@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 for the sf0.01 DuckDB correctness gate.
+
+All implementations live in ``gcp_dbt_data_engineering_spark``; this
+module only aggregates the per-module spec registries.
 """
 
 from __future__ import annotations
@@ -13,26 +14,51 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gcp_dbt_data_engineering_spark.plans.spec import QuerySpec
+
+
+def _all_specs() -> dict[str, QuerySpec]:
+    specs: dict[str, QuerySpec] = {}
+    from gcp_dbt_data_engineering_spark.plans import analytics
+
+    modules = [analytics]
+    for modname in (
+        "gcp_dbt_data_engineering_spark.operators.dq",
+        "gcp_dbt_data_engineering_spark.operators.profile",
+        "gcp_dbt_data_engineering_spark.operators.dedup",
+        "gcp_dbt_data_engineering_spark.operators.similarity",
+        "gcp_dbt_data_engineering_spark.operators.text",
+        "gcp_dbt_data_engineering_spark.operators.multimodal",
+        "gcp_dbt_data_engineering_spark.plans.models",
+        "gcp_dbt_data_engineering_spark.streaming.events",
+    ):
+        try:
+            import importlib
+
+            modules.append(importlib.import_module(modname))
+        except ImportError:
+            continue  # module not built yet this round
+    for mod in modules:
+        specs.update(getattr(mod, "SPECS", {}))
+    return specs
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from gcp_dbt_data_engineering_spark.plans.analytics import revenue_by_region
+
+    return revenue_by_region(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.spark for name, spec in _all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
+    return {
+        name: spec.oracle
+        for name, spec in _all_specs().items()
+        if spec.oracle is not None
+    }

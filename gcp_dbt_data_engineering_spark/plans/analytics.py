@@ -1,0 +1,428 @@
+"""Analytic query library — the dbt-model layer's query surface,
+re-expressed as idiomatic DataFrame plans (SURVEY.md §2.2-2.6).
+
+The reference's transformation layer is "named SELECTs over warehouse
+tables" (``models/example/*.sql``); its real workloads are the
+banking-style scans/joins/aggregations implied by
+``tests/dq_sql_notes.md:13-47`` (anti-joins, tolerance joins, date
+slices). This module exercises that full relational surface on the
+driver's TPC-H-ish tables: multi-way joins (broadcast for dims),
+hash aggregation, semi/anti joins, window top-k, conditional
+aggregation, JSON extraction.
+
+Scale posture: every query here is a single Catalyst plan — filters
+reach the parquet scan, dim tables are broadcast (no shuffle of the
+fact table for joins), aggregations are partial-agg + single shuffle on
+the group keys. No collects, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .spec import QuerySpec, money_avg, money_sum, sql_money_avg, sql_money_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship: revenue by region (TPC-H Q5 shape)
+# Exercises the reference's join surface (dq_sql_notes.md:35-43 equi-join
+# with post-filter) at star-schema scale: fact ⋈ 4 broadcast dims.
+# ---------------------------------------------------------------------------
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # orders is date-pruned but still fact-sized → shuffle join with
+    # lineitem on the key; customer/nation/region are dims → broadcast.
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_REGION = f"""
+SELECT r_name AS region,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape): wide conditional aggregation, the same
+# single-pass agg idiom the DQ engine compiles checks into (SURVEY.md §4).
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity"), "sum_qty"),
+        money_sum(F.col("l_extendedprice"), "sum_base_price"),
+        money_sum(disc_price, "sum_disc_price"),
+        money_sum(charge, "sum_charge"),
+        money_avg(F.col("l_quantity"), "avg_qty"),
+        money_avg(F.col("l_extendedprice"), "avg_price"),
+        money_avg(F.col("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_money_sum("l_quantity", "sum_qty")},
+       {sql_money_sum("l_extendedprice", "sum_base_price")},
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+       {sql_money_avg("l_quantity", "avg_qty")},
+       {sql_money_avg("l_extendedprice", "avg_price")},
+       {sql_money_avg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# shipping priority top-10 (TPC-H Q3 shape): filter + join + agg + window
+# top-k with total-order tiebreak (SURVEY.md §2.5 W2).
+# ---------------------------------------------------------------------------
+
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    # global top-k: orderBy().limit(k) lets Spark run a distributed
+    # TakeOrdered instead of a single-partition window.
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# order priority with EXISTS (TPC-H Q4 shape): semi-join — the logical dual
+# of the reference's NOT EXISTS anti-join (dq_sql_notes.md:23-27).
+# ---------------------------------------------------------------------------
+
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# customers without orders: LEFT ANTI join — direct Spark mapping of the
+# reference's correlated NOT EXISTS (SURVEY.md §2.3 J2).
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_avg(F.col("c_acctbal"), "avg_acctbal"),
+        )
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_money_avg("c_acctbal", "avg_acctbal")}
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# promo revenue share (TPC-H Q14 shape): conditional agg + stable ratio.
+# ---------------------------------------------------------------------------
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        money_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), "promo_revenue"),
+        money_sum(rev, "total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+ORACLE_PROMO_REVENUE = f"""
+WITH agg AS (
+  SELECT
+    {sql_money_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", "promo_revenue")},
+    {sql_money_sum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share_pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# top customers by revenue: join + agg + deterministic top-k.
+# ---------------------------------------------------------------------------
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        money_sum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("revenue"), F.col("n_orders")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, revenue, n_orders
+FROM (
+  SELECT o_custkey,
+         {sql_money_sum("o_totalprice", "revenue")},
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) o
+JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier nation revenue: 3-way join keyed off the supplier side.
+# ---------------------------------------------------------------------------
+
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("supplier_nation"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.countDistinct(F.col("l_suppkey")).alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_NATION = f"""
+SELECT n_name AS supplier_nation,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand stats: per-dim-group stats incl. engine-stable avg.
+# ---------------------------------------------------------------------------
+
+def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        money_avg(F.col("p_retailprice"), "avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.min("p_size").alias("min_size"),
+    )
+
+
+ORACLE_BRAND_STATS = f"""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       {sql_money_avg("p_retailprice", "avg_price")},
+       MAX(p_size) AS max_size,
+       MIN(p_size) AS min_size
+FROM part
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: daily funnel over the nanosecond-timestamp stream table
+# (date-slice idiom of the reference: dq_sql_notes.md:75 fecha filters).
+# ---------------------------------------------------------------------------
+
+def events_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAILY = f"""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_money_sum("value", "total_value")}
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# events JSON: props is a JSON string — get_json_object extraction
+# (the [EXT] hook SURVEY.md §2.6 identifies for events.props).
+# ---------------------------------------------------------------------------
+
+def events_json_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select(k.alias("k"), F.col("value"))
+        .withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_avg(F.col("value"), "avg_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       {sql_money_avg("value", "avg_value")},
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in [
+        QuerySpec("revenue_by_region", revenue_by_region, ORACLE_REVENUE_BY_REGION,
+                  "flagship: fact ⋈ broadcast-dim star join + agg (Q5 shape)"),
+        QuerySpec("pricing_summary", pricing_summary, ORACLE_PRICING_SUMMARY,
+                  "wide single-pass conditional agg (Q1 shape)"),
+        QuerySpec("shipping_priority_top10", shipping_priority_top10,
+                  ORACLE_SHIPPING_PRIORITY, "filter+join+agg+global top-k (Q3 shape)"),
+        QuerySpec("order_priority_semijoin", order_priority_semijoin,
+                  ORACLE_ORDER_PRIORITY, "EXISTS → left-semi join (Q4 shape)"),
+        QuerySpec("customers_without_orders", customers_without_orders,
+                  ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+                  "NOT EXISTS → left-anti join (reference J2)"),
+        QuerySpec("promo_revenue_share", promo_revenue_share, ORACLE_PROMO_REVENUE,
+                  "conditional agg ratio (Q14 shape)"),
+        QuerySpec("top_customers_by_revenue", top_customers_by_revenue,
+                  ORACLE_TOP_CUSTOMERS, "agg + broadcast join + deterministic top-k"),
+        QuerySpec("supplier_nation_revenue", supplier_nation_revenue,
+                  ORACLE_SUPPLIER_NATION, "multi-hop dim join + count distinct"),
+        QuerySpec("brand_stats", brand_stats, ORACLE_BRAND_STATS,
+                  "per-group stats with engine-stable avg"),
+        QuerySpec("events_daily_funnel", events_daily_funnel, ORACLE_EVENTS_DAILY,
+                  "date-slice agg over nanosecond event stream"),
+        QuerySpec("events_json_k_stats", events_json_k_stats, ORACLE_EVENTS_JSON,
+                  "JSON extraction from string props column"),
+    ]
+}

@@ -1,0 +1,61 @@
+"""Query spec registry plumbing shared by all operator modules.
+
+A ``QuerySpec`` couples an idiomatic-PySpark implementation with the
+ANSI-SQL oracle string the driver runs through DuckDB (``oracle=None``
+for genuinely non-SQL-expressible ops → rows-only check).
+
+Determinism rules used throughout this repo (so the driver's
+order-insensitive value-hash matches between Spark and DuckDB):
+
+- money aggregates: cast the per-row double expression to
+  DECIMAL(22,6) *before* SUM (exact, associativity-proof), cast the
+  exact sum to DOUBLE at the end. Double↔decimal conversions are
+  unambiguous (no representable midpoints), so both engines produce
+  bit-identical doubles.
+- averages/ratios: exact decimal sums cast to double, then one double
+  division — deterministic IEEE in both engines.
+- top-k: rank with explicit total-order tiebreakers (unique keys last).
+- timestamps: output DATE or STRING, never raw timestamps (the events
+  table is nanosecond-precision parquet that the two engines read at
+  different precisions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def money_sum(expr: Column, name: str) -> Column:
+    """Exact, engine-stable SUM over a double money expression."""
+    return F.sum(expr.cast("decimal(22,6)")).cast("double").alias(name)
+
+
+def money_avg(expr: Column, name: str) -> Column:
+    """Engine-stable AVG: exact decimal sum → double → / count."""
+    return (
+        F.sum(expr.cast("decimal(22,6)")).cast("double") / F.count(F.lit(1))
+    ).alias(name)
+
+
+# SQL-side twins (DuckDB dialect == ANSI here)
+def sql_money_sum(expr: str, name: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,6))) AS DOUBLE) AS {name}"
+
+
+def sql_money_avg(expr: str, name: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(22,6))) AS DOUBLE)"
+        f" / COUNT(*) AS {name}"
+    )

@@ -1,0 +1,85 @@
+"""SparkSession factory and engine tuning.
+
+The reference configures Spark only at the resource level
+(``tests/orchestrate.md:292-297``: 2 executors x 4g). Here we centralize
+the *semantic* and *optimizer* configuration the engine depends on, so
+the same code runs on local[*] for tests and on a real cluster:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- UTC session timezone (deterministic timestamp semantics vs the oracle)
+- nanosecond-parquet compatibility (``events.parquet`` uses
+  TIMESTAMP(NANOS), which Spark reads as long only when
+  ``spark.sql.legacy.parquet.nanosAsLong`` is set; the registry converts
+  back to timestamp_ntz — see sources/registry.py)
+- Arrow for any Pandas-UDF path
+
+``tune(spark)`` applies the runtime-settable subset to an *existing*
+session (the driver harness hands us one), ``get_spark`` builds a fresh
+tuned local session for tests/bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be set on a live session (SQLConf, runtime-settable).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); without this Spark 4 refuses
+    # the file outright (PARQUET_TYPE_ILLEGAL). With it, NANOS columns read
+    # as bigint nanoseconds and the registry rebuilds the timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partial (map-side) aggregation and codegen are defaults; pushdown of
+    # parquet filters/aggregates likewise. We assert them in tests instead
+    # of re-setting here.
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime conf on this build — fine for confs that only
+            # matter at session-build time (get_spark sets them there).
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "gcp-dbt-data-engineering-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    Local defaults follow the driver environment: ``local[$SPARK_GRAFT_CPUS]``
+    and shuffle partitions sized to the core count — at 100 TB on a real
+    cluster you'd instead size shuffle partitions to ~128-256 MB of
+    shuffle data each (or let AQE coalesce from a high initial number).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or (32 if cpus == "*" else int(cpus))),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,75 @@
+"""Parquet-backed table registry.
+
+Replaces the reference's BigQuery scan/sink pair
+(``tests/dq_sql_notes.md:74``: ``spark.read.format("bigquery")``;
+``tests/profiling_example.py:24-28``: APPEND sink) with parquet sources
+(SURVEY.md §2.1 S1/S2). The registry is the single place that knows the
+physical layout, so every operator above it is storage-agnostic — on a
+real deployment this is where you'd swap in a catalog table, Iceberg
+layout, or the BigQuery connector again.
+
+Scale notes (100 TB posture):
+
+- Reads are plain ``spark.read.parquet`` → Catalyst handles column
+  pruning + predicate/aggregate pushdown + partition pruning; nothing is
+  collected to the driver.
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Spark 4 reads it
+  only as bigint (``spark.sql.legacy.parquet.nanosAsLong``); we rebuild a
+  ``timestamp_ntz`` from the raw nanos with integer arithmetic — a
+  codegen-friendly projection, no UDF, negligible cost at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+#: All tables the driver test data provides (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes the events nanosecond timestamp."""
+    tune(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros with integer division, then NTZ timestamp.
+        # Session TZ is UTC (session.RUNTIME_CONF) so LTZ→NTZ is lossless.
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+        )
+    return df
+
+
+def register_all(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view; returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
