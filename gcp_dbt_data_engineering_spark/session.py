@@ -35,6 +35,15 @@ RUNTIME_CONF: dict[str, str] = {
     # as bigint nanoseconds and the registry rebuilds the timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # This sandbox shows rare multi-10s single-task freezes (scheduler-level,
+    # not compute). Aggressive speculation re-launches a straggler copy and
+    # takes the first finisher — near-free on healthy runs, bounds the damage
+    # on a stalled one. Same posture you'd want on a 1000-executor cluster
+    # with occasional bad nodes.
+    "spark.speculation": "true",
+    "spark.speculation.interval": "1s",
+    "spark.speculation.multiplier": "4",
+    "spark.speculation.quantile": "0.75",
     # Partial (map-side) aggregation and codegen are defaults; pushdown of
     # parquet filters/aggregates likewise. We assert them in tests instead
     # of re-setting here.
