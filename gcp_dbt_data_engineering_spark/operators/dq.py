@@ -1,0 +1,559 @@
+"""Config-driven data-quality engine (reference parity core).
+
+Re-implements the five check families of the reference's
+``SimpleDataQualityFunctions`` (``tests/dq_sql_notes.md:59-257``) and its
+YAML config surface (``tests/example_templates.yaml``), restructured for
+Spark's execution model:
+
+- The reference launches **2 + #checks Spark jobs per family** (a
+  ``count()`` action per column/rule — ``dq_sql_notes.md:77,84,117,...``).
+  Here every completeness/format/range/custom check compiles into a
+  single ``agg`` pass over the table — ``count(when(violation, 1))``
+  per check + one ``count(*)`` — i.e. ONE scan and ONE job regardless
+  of check count. At 100 TB that's the difference between N full scans
+  and one.
+- Uniqueness checks need a shuffle on their key columns and stay as one
+  ``groupBy`` per key combination (``dq_sql_notes.md:116-117``), unioned
+  into the same lazily-built results DataFrame. Nothing is collected on
+  the driver; the caller decides the action/sink.
+- Results are rows in a fixed schema (tests-as-data idiom,
+  ``dq_sql_notes.md:87-97``), one row per check.
+
+Reference semantic traps handled (SURVEY.md §7 risk register):
+
+- ``isnan`` applies only to float columns; the reference calls it
+  unconditionally and would throw on strings (``dq_sql_notes.md:83``).
+  We guard by dtype: string → NULL or ``''``; float → NULL or NaN;
+  everything else → NULL only.
+- format rules declared in configs but unimplemented by the reference
+  (``numeric_11``, ``email_format``, ``phone_format`` —
+  ``example_templates.yaml:27,87-88``, silently skipped by
+  ``dq_sql_notes.md:147-161``) are implemented here; genuinely unknown
+  rules yield a SKIPPED row instead of the reference's silent PASS.
+- NULL handling mirrors the reference's ``filter(...)`` counting: a
+  predicate that evaluates to NULL does not count as a violation,
+  except in ``range`` checks where NULL is an explicit violation
+  (``dq_sql_notes.md:195-201``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.spec import QuerySpec
+from ..security import validate_config
+from ..sources import TABLE_DTYPES, load_table
+
+RESULT_FIELDS = [
+    ("test_date", "string"),
+    ("test_name", "string"),
+    ("test_category", "string"),
+    ("status", "string"),
+    ("failed_records", "bigint"),
+    ("total_records", "bigint"),
+    ("failure_rate", "double"),
+    ("column_name", "string"),
+    ("rule", "string"),
+    ("key_columns", "string"),
+    ("sql_condition", "string"),
+    ("min_value", "double"),
+    ("max_value", "double"),
+    ("severity", "string"),
+]
+
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+}
+RESULT_SCHEMA = T.StructType(
+    [T.StructField(n, _TYPE_MAP[t]) for n, t in RESULT_FIELDS]
+)
+
+#: format rule → (regex, negate_on_match) or special handling.
+#: length_3/positive/not_empty per dq_sql_notes.md:150-161; numeric_11 /
+#: email_format / phone_format close the reference's declared-but-
+#: unimplemented gap (example_templates.yaml:27,87-88).
+FORMAT_REGEX_RULES = {
+    "length_3": r"^[A-Z]{3}$",
+    "numeric_11": r"^[0-9]{11}$",
+    "email_format": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "phone_format": r"^\+?[0-9]{7,15}$",
+}
+
+
+class _Check:
+    """One compiled single-pass check: metadata + violation condition."""
+
+    def __init__(self, cond: Column | None, skipped: bool = False, **meta: Any):
+        self.cond = cond
+        self.skipped = skipped
+        self.meta = meta
+
+
+def _string_kind(dtype: str) -> str:
+    if dtype in ("string", "varchar"):
+        return "string"
+    if dtype in ("double", "float"):
+        return "float"
+    return "other"
+
+
+def _completeness_cond(col: str, kind: str) -> Column:
+    c = F.col(col)
+    if kind == "string":
+        return c.isNull() | (c == "")
+    if kind == "float":
+        return c.isNull() | F.isnan(c)
+    return c.isNull()
+
+
+def _severity_for(columns: list[str], critical: set[str]) -> str:
+    return "ERROR" if any(c in critical for c in columns) else "WARNING"
+
+
+def compile_checks(
+    config: dict[str, Any], dtypes: dict[str, str]
+) -> tuple[list[_Check], list[dict[str, Any]]]:
+    """Compile config → (single-pass checks, uniqueness specs)."""
+    tests = config.get("tests", {})
+    critical = set(
+        config.get("quality_thresholds", {}).get("critical_columns", [])
+    )
+    checks: list[_Check] = []
+
+    for col in tests.get("completeness", []):
+        kind = _string_kind(dtypes.get(col, "other"))
+        checks.append(
+            _Check(
+                _completeness_cond(col, kind),
+                test_name=f"completeness_{col}",
+                test_category="completeness",
+                column_name=col,
+                severity=_severity_for([col], critical),
+            )
+        )
+
+    for col, rule in tests.get("format", {}).items():
+        meta = dict(
+            test_name=f"format_{col}_{rule}",
+            test_category="format",
+            column_name=col,
+            rule=rule,
+            severity=_severity_for([col], critical),
+        )
+        if rule in FORMAT_REGEX_RULES:
+            # NULLs don't count: rlike(NULL) is NULL → when() skips it,
+            # matching the reference's filter() semantics.
+            checks.append(_Check(~F.col(col).rlike(FORMAT_REGEX_RULES[rule]), **meta))
+        elif rule == "positive":
+            checks.append(_Check(F.col(col) <= 0, **meta))
+        elif rule == "not_empty":
+            checks.append(_Check(F.col(col).isNull() | (F.col(col) == ""), **meta))
+        else:
+            checks.append(_Check(None, skipped=True, **meta))
+
+    for col, bounds in tests.get("range", {}).items():
+        ok = F.col(col).isNotNull()
+        if bounds.get("min") is not None:
+            ok = ok & (F.col(col) >= F.lit(float(bounds["min"])))
+        if bounds.get("max") is not None:
+            ok = ok & (F.col(col) <= F.lit(float(bounds["max"])))
+        # NOT(ok): NULL column → ok is false → violation counts, matching
+        # the reference (~condition over isNotNull conjunction).
+        checks.append(
+            _Check(
+                ~ok,
+                test_name=f"range_{col}",
+                test_category="range",
+                column_name=col,
+                min_value=(
+                    float(bounds["min"]) if bounds.get("min") is not None else None
+                ),
+                max_value=(
+                    float(bounds["max"]) if bounds.get("max") is not None else None
+                ),
+                severity=_severity_for([col], critical),
+            )
+        )
+
+    for custom in tests.get("custom_sql", []):
+        cond = custom.get("sql_condition", custom.get("sql", ""))
+        checks.append(
+            _Check(
+                ~F.expr(cond),
+                test_name=f"custom_{custom['test_name']}",
+                test_category="custom",
+                sql_condition=cond,
+                severity=custom.get("severity", "ERROR"),
+            )
+        )
+
+    uniq = [
+        {
+            "keys": list(combo),
+            "test_name": "uniqueness_" + "_".join(combo),
+            "key_columns": ",".join(combo),
+            "severity": _severity_for(list(combo), critical),
+        }
+        for combo in tests.get("uniqueness", [])
+    ]
+    return checks, uniq
+
+
+class DQEngine:
+    """Compile + run a DQ job config against one table.
+
+    ``run`` returns the results DataFrame lazily — callers append it to
+    a results table / show it, mirroring the reference's results-sink
+    flow (``tests/profiling_example.py:24-31``).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def run(
+        self,
+        config: dict[str, Any],
+        df: DataFrame | None = None,
+        sf_dir: str | None = None,
+    ) -> DataFrame:
+        validate_config(config)
+        table = config["table_name"].split(".")[-1]
+        if df is None:
+            df = load_table(self.spark, sf_dir, table)
+
+        fecha = config.get("fecha")
+        date_column = config.get("date_column")
+        if fecha and date_column:
+            df = df.filter(
+                F.col(date_column).cast("date") == F.lit(fecha).cast("date")
+            )
+
+        dtypes = dict(df.dtypes)
+        checks, uniq = compile_checks(config, dtypes)
+        test_date = F.lit(fecha if fecha else "ALL")
+
+        # ---- single pass: one agg row with count(*) + one counter/check
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, ch in enumerate(checks):
+            if ch.skipped:
+                continue
+            aggs.append(F.count(F.when(ch.cond, F.lit(1))).alias(f"__c{i}"))
+        base = df.agg(*aggs)
+
+        def meta_lit(ch: _Check, key: str) -> Column:
+            v = ch.meta.get(key)
+            typ = dict(RESULT_FIELDS)[key]
+            return F.lit(v).cast(typ)
+
+        def result_struct(ch: _Check, failed: Column) -> Column:
+            total = F.col("__total")
+            status = (
+                F.lit("SKIPPED")
+                if ch.skipped
+                else F.when(failed == 0, "PASS").otherwise("FAIL")
+            )
+            rate = (
+                F.lit(0.0)
+                if ch.skipped
+                else F.when(
+                    total > 0, failed.cast("double") / total.cast("double")
+                ).otherwise(F.lit(0.0))
+            )
+            return F.struct(
+                test_date.alias("test_date"),
+                meta_lit(ch, "test_name").alias("test_name"),
+                meta_lit(ch, "test_category").alias("test_category"),
+                status.alias("status"),
+                failed.cast("bigint").alias("failed_records"),
+                total.cast("bigint").alias("total_records"),
+                rate.alias("failure_rate"),
+                meta_lit(ch, "column_name").alias("column_name"),
+                meta_lit(ch, "rule").alias("rule"),
+                meta_lit(ch, "key_columns").alias("key_columns"),
+                meta_lit(ch, "sql_condition").alias("sql_condition"),
+                meta_lit(ch, "min_value").alias("min_value"),
+                meta_lit(ch, "max_value").alias("max_value"),
+                meta_lit(ch, "severity").alias("severity"),
+            )
+
+        structs = [
+            result_struct(
+                ch,
+                F.lit(0).cast("bigint") if ch.skipped else F.col(f"__c{i}"),
+            )
+            for i, ch in enumerate(checks)
+        ]
+        parts: list[DataFrame] = []
+        if structs:
+            parts.append(
+                base.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+            )
+
+        # ---- uniqueness: one shuffle per key combo; failed_records is the
+        # number of duplicated key groups (reference: dq_sql_notes.md:117)
+        total_row = base.select("__total")
+        for u in uniq:
+            dup_groups = (
+                df.groupBy(*u["keys"])
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .filter(F.col("__cnt") > 1)
+                .agg(F.count(F.lit(1)).alias("__dups"))
+            )
+            uch = _Check(
+                None,
+                test_name=u["test_name"],
+                test_category="uniqueness",
+                key_columns=u["key_columns"],
+                severity=u["severity"],
+            )
+            parts.append(
+                dup_groups.crossJoin(total_row)
+                .select(result_struct(uch, F.col("__dups")).alias("r"))
+                .select("r.*")
+            )
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle twin: compile the SAME config to one ANSI SQL statement,
+# so Spark results and oracle results stay in lockstep by construction.
+# ---------------------------------------------------------------------------
+
+def _sql_quote(v: Any) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def compile_oracle_sql(config: dict[str, Any]) -> str:
+    """ANSI-SQL twin of ``DQEngine.run`` for the DuckDB oracle."""
+    table = config["table_name"].split(".")[-1]
+    dtypes = TABLE_DTYPES[table]
+    tests = config.get("tests", {})
+    critical = set(
+        config.get("quality_thresholds", {}).get("critical_columns", [])
+    )
+    fecha = config.get("fecha")
+    date_column = config.get("date_column")
+    where = (
+        f"WHERE CAST({date_column} AS DATE) = DATE '{fecha}'"
+        if fecha and date_column
+        else ""
+    )
+    test_date = fecha if fecha else "ALL"
+
+    def viol_sql_completeness(col: str) -> str:
+        kind = _string_kind(dtypes.get(col, "other"))
+        if kind == "string":
+            return f"({col} IS NULL OR {col} = '')"
+        if kind == "float":
+            return f"({col} IS NULL OR isnan({col}))"
+        return f"({col} IS NULL)"
+
+    rows: list[str] = []
+
+    def add_row(
+        name: str,
+        category: str,
+        viol: str | None,
+        *,
+        column_name: str | None = None,
+        rule: str | None = None,
+        key_columns: str | None = None,
+        sql_condition: str | None = None,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        severity: str = "WARNING",
+        skipped: bool = False,
+    ) -> None:
+        failed = (
+            "CAST(0 AS BIGINT)"
+            if skipped
+            else f"(SELECT COUNT(*) FROM {table} {where} "
+            + (f"{'AND' if where else 'WHERE'} {viol})" if viol else ")")
+        )
+        status = (
+            "'SKIPPED'"
+            if skipped
+            else "CASE WHEN failed_records = 0 THEN 'PASS' ELSE 'FAIL' END"
+        )
+        mn = "CAST(NULL AS DOUBLE)" if min_value is None else f"CAST({min_value} AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)" if max_value is None else f"CAST({max_value} AS DOUBLE)"
+        rows.append(
+            f"SELECT {_sql_quote(test_date)} AS test_date, {_sql_quote(name)} AS test_name, "
+            f"{_sql_quote(category)} AS test_category, {status} AS status, "
+            f"failed_records, total_records, "
+            f"CASE WHEN {'TRUE' if skipped else 'total_records > 0'} AND NOT {str(skipped).upper()} "
+            f"THEN CAST(failed_records AS DOUBLE) / total_records ELSE 0.0 END AS failure_rate, "
+            f"{_sql_quote(column_name)} AS column_name, {_sql_quote(rule)} AS rule, "
+            f"{_sql_quote(key_columns)} AS key_columns, {_sql_quote(sql_condition)} AS sql_condition, "
+            f"{mn} AS min_value, {mx} AS max_value, {_sql_quote(severity)} AS severity "
+            f"FROM (SELECT {failed} AS failed_records, "
+            f"(SELECT COUNT(*) FROM {table} {where}) AS total_records)"
+        )
+
+    def sev(cols: list[str]) -> str:
+        return "ERROR" if any(c in critical for c in cols) else "WARNING"
+
+    for col in tests.get("completeness", []):
+        add_row(
+            f"completeness_{col}", "completeness", viol_sql_completeness(col),
+            column_name=col, severity=sev([col]),
+        )
+    for col, rule in tests.get("format", {}).items():
+        if rule in FORMAT_REGEX_RULES:
+            viol = f"NOT regexp_matches({col}, '{FORMAT_REGEX_RULES[rule]}')"
+        elif rule == "positive":
+            viol = f"{col} <= 0"
+        elif rule == "not_empty":
+            viol = f"({col} IS NULL OR {col} = '')"
+        else:
+            add_row(
+                f"format_{col}_{rule}", "format", None, column_name=col,
+                rule=rule, severity=sev([col]), skipped=True,
+            )
+            continue
+        add_row(
+            f"format_{col}_{rule}", "format", viol, column_name=col,
+            rule=rule, severity=sev([col]),
+        )
+    for col, bounds in tests.get("range", {}).items():
+        ok = [f"{col} IS NOT NULL"]
+        if bounds.get("min") is not None:
+            ok.append(f"{col} >= {float(bounds['min'])}")
+        if bounds.get("max") is not None:
+            ok.append(f"{col} <= {float(bounds['max'])}")
+        add_row(
+            f"range_{col}", "range", f"NOT ({' AND '.join(ok)})",
+            column_name=col,
+            min_value=float(bounds["min"]) if bounds.get("min") is not None else None,
+            max_value=float(bounds["max"]) if bounds.get("max") is not None else None,
+            severity=sev([col]),
+        )
+    for custom in tests.get("custom_sql", []):
+        cond = custom.get("sql_condition", custom.get("sql", ""))
+        add_row(
+            f"custom_{custom['test_name']}", "custom", f"NOT ({cond})",
+            sql_condition=cond, severity=custom.get("severity", "ERROR"),
+        )
+    for combo in tests.get("uniqueness", []):
+        keys = ", ".join(combo)
+        sub = (
+            f"(SELECT COUNT(*) FROM (SELECT {keys} FROM {table} {where} "
+            f"GROUP BY {keys} HAVING COUNT(*) > 1))"
+        )
+        name = "uniqueness_" + "_".join(combo)
+        rows.append(
+            f"SELECT {_sql_quote(test_date)} AS test_date, {_sql_quote(name)} AS test_name, "
+            f"'uniqueness' AS test_category, "
+            f"CASE WHEN failed_records = 0 THEN 'PASS' ELSE 'FAIL' END AS status, "
+            f"failed_records, total_records, "
+            f"CASE WHEN total_records > 0 THEN CAST(failed_records AS DOUBLE) / total_records "
+            f"ELSE 0.0 END AS failure_rate, "
+            f"CAST(NULL AS VARCHAR) AS column_name, CAST(NULL AS VARCHAR) AS rule, "
+            f"{_sql_quote(','.join(combo))} AS key_columns, CAST(NULL AS VARCHAR) AS sql_condition, "
+            f"CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, "
+            f"{_sql_quote(sev(list(combo)))} AS severity "
+            f"FROM (SELECT CAST({sub} AS BIGINT) AS failed_records, "
+            f"(SELECT COUNT(*) FROM {table} {where}) AS total_records)"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# Demo DQ job configs over the driver tables (the reference's two YAML
+# examples mapped onto customer/events — FIXTURES.md §B).
+# ---------------------------------------------------------------------------
+
+CUSTOMER_DQ_CONFIG: dict[str, Any] = {
+    "table_name": "customer",
+    "tests": {
+        "completeness": ["c_name", "c_acctbal", "c_mktsegment"],
+        "uniqueness": [["c_custkey"], ["c_name"]],
+        "format": {
+            "c_name": "not_empty",
+            "c_mktsegment": "length_3",  # fails by design: segments are words
+            "c_acctbal": "positive",
+        },
+        "range": {"c_acctbal": {"min": 0.0, "max": 10000.0}},
+        "custom_sql": [
+            {
+                "test_name": "valid_mktsegment",
+                "sql_condition": (
+                    "c_mktsegment IN ('AUTOMOBILE','HOUSEHOLD','BUILDING',"
+                    "'FURNITURE','MACHINERY')"
+                ),
+                "severity": "ERROR",
+            },
+            {
+                "test_name": "acctbal_above_floor",
+                "sql_condition": "c_acctbal > -1000.0",
+                "severity": "WARNING",
+            },
+        ],
+    },
+    "quality_thresholds": {
+        "completeness_threshold": 95.0,
+        "max_failure_rate": 5.0,
+        "critical_columns": ["c_custkey", "c_acctbal"],
+    },
+}
+
+EVENTS_DQ_CONFIG: dict[str, Any] = {
+    "table_name": "events",
+    "fecha": "2024-01-15",
+    "date_column": "ts",
+    "tests": {
+        "completeness": ["user_id", "value", "props", "event_type"],
+        # note: no timestamp in uniqueness keys — Spark reads events.ts at
+        # microsecond precision, DuckDB at nanosecond; grouping on it could
+        # legitimately differ between engines
+        "uniqueness": [["event_id"], ["user_id", "event_type"]],
+        "format": {"event_type": "not_empty", "value": "positive"},
+        "range": {"value": {"min": 0.0, "max": 10000.0}},
+        "custom_sql": [
+            {
+                "test_name": "known_event_types",
+                "sql_condition": (
+                    "event_type IN ('signup','click','purchase','error','view')"
+                ),
+                "severity": "ERROR",
+            }
+        ],
+    },
+    "quality_thresholds": {"critical_columns": ["event_id", "user_id"]},
+}
+
+
+def dq_customer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=sf_dir)
+
+
+def dq_events_daily_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DQEngine(spark).run(EVENTS_DQ_CONFIG, sf_dir=sf_dir)
+
+
+SPECS: dict[str, QuerySpec] = {
+    "dq_customer_suite": QuerySpec(
+        "dq_customer_suite",
+        dq_customer_suite,
+        compile_oracle_sql(CUSTOMER_DQ_CONFIG),
+        "five DQ families over customer in one agg pass + 2 uniqueness shuffles",
+    ),
+    "dq_events_daily_slice": QuerySpec(
+        "dq_events_daily_slice",
+        dq_events_daily_slice,
+        compile_oracle_sql(EVENTS_DQ_CONFIG),
+        "fecha-sliced DQ job over the events stream table (reference E2 flow)",
+    ),
+}

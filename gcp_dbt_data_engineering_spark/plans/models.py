@@ -1,0 +1,346 @@
+"""dbt-style model layer: SQL models + ref() DAG + materialization.
+
+Reference surface (SURVEY.md §3 E1):
+
+- ``dbt_project.yml:31-42`` — per-directory materialization config with
+  per-model ``{{ config(materialized='...') }}`` override
+  (``models/example/my_first_dbt_model.sql:10``),
+- ``{{ ref('model') }}`` resolution creating DAG edges
+  (``models/example/my_second_dbt_model.sql:5``),
+- ``models/example/schema.yml`` — ``unique`` / ``not_null`` column
+  tests, which are the same operators as the DQ engine's uniqueness /
+  completeness families (SURVEY.md §2.9) and route through it here.
+
+Spark-native execution: render the template (regex mini-Jinja — the
+reference uses only ``config``/``ref``), topo-sort on ref edges, then
+per model ``spark.sql(rendered)`` and materialize:
+
+- ``view``  → ``createOrReplaceTempView`` (the dbt default,
+  ``dbt_project.yml:36``)
+- ``table`` → parquet write + re-register (CTAS equivalent)
+- ``incremental`` → dynamic partition-overwrite parquet write keyed on
+  ``partition_by`` (the Spark analog of dbt incremental models /
+  BigQuery MERGE by partition): only partitions present in the new run
+  are replaced, so a daily run rewrites one ``fecha`` partition of a
+  100 TB table, not the table.
+
+Models are *data* (name → SQL text), so the engine can load them from a
+directory of ``.sql`` files exactly like dbt's ``models/`` tree.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import register_all
+from .spec import QuerySpec
+
+_CONFIG_RE = re.compile(r"\{\{\s*config\s*\((.*?)\)\s*\}\}", re.DOTALL)
+_REF_RE = re.compile(r"\{\{\s*ref\s*\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}")
+_KWARG_RE = re.compile(r"(\w+)\s*=\s*['\"]?([A-Za-z0-9_,\- ]+)['\"]?")
+
+
+@dataclass
+class Model:
+    name: str
+    raw_sql: str
+    config: dict = field(default_factory=dict)
+
+    @property
+    def refs(self) -> list[str]:
+        return _REF_RE.findall(self.raw_sql)
+
+    def render(self, defaults: dict) -> tuple[str, dict]:
+        cfg = dict(defaults)
+        m = _CONFIG_RE.search(self.raw_sql)
+        if m:
+            cfg.update(dict(_KWARG_RE.findall(m.group(1))))
+        sql = _CONFIG_RE.sub("", self.raw_sql)
+        sql = _REF_RE.sub(lambda mm: mm.group(1), sql)
+        return sql.strip(), cfg
+
+
+class ModelGraph:
+    """Load, topo-sort, and materialize a set of SQL models."""
+
+    def __init__(
+        self,
+        models: dict[str, str],
+        defaults: dict | None = None,
+        warehouse_dir: str = "/root/repo/.artifacts/warehouse",
+    ):
+        self.models = {n: Model(n, sql) for n, sql in models.items()}
+        self.defaults = {"materialized": "view", **(defaults or {})}
+        self.warehouse_dir = warehouse_dir
+
+    @classmethod
+    def from_dir(cls, path: str, **kw) -> "ModelGraph":
+        models = {}
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".sql"):
+                with open(os.path.join(path, fn)) as f:
+                    models[fn[:-4]] = f.read()
+        return cls(models, **kw)
+
+    def topo_order(self) -> list[str]:
+        ts = TopologicalSorter(
+            {n: [r for r in m.refs if r in self.models] for n, m in self.models.items()}
+        )
+        return list(ts.static_order())
+
+    def run(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Materialize every model in dependency order; returns name→DF."""
+        out: dict[str, DataFrame] = {}
+        for name in self.topo_order():
+            sql, cfg = self.models[name].render(self.defaults)
+            df = spark.sql(sql)
+            mat = cfg.get("materialized", "view")
+            if mat == "view":
+                df.createOrReplaceTempView(name)
+            elif mat == "table":
+                path = f"{self.warehouse_dir}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+                df.createOrReplaceTempView(name)
+            elif mat == "incremental":
+                path = f"{self.warehouse_dir}/{name}"
+                part = cfg.get("partition_by")
+                if not part:
+                    raise ValueError(f"incremental model {name} needs partition_by")
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                writer = df.write.mode("overwrite").partitionBy(part)
+                if os.path.exists(path):
+                    # dynamic mode: only partitions present in df are replaced
+                    writer.parquet(path)
+                else:
+                    writer.parquet(path)
+                df = spark.read.parquet(path)
+                df.createOrReplaceTempView(name)
+            else:
+                raise ValueError(f"unknown materialization {mat!r} for {name}")
+            out[name] = df
+        return out
+
+
+# ---------------------------------------------------------------------------
+# The reference's example project, ported verbatim as the first corpus
+# (models/example/my_first_dbt_model.sql:12-21, my_second_dbt_model.sql:4-6).
+# Model 1 materializes as table and contains an intentional NULL id;
+# model 2 is a view filtering to id = 1.
+# ---------------------------------------------------------------------------
+
+EXAMPLE_MODELS: dict[str, str] = {
+    "my_first_dbt_model": """
+{{ config(materialized='table') }}
+
+with source_data as (
+
+    select 1 as id
+    union all
+    select null as id
+
+)
+
+select *
+from source_data
+""",
+    "my_second_dbt_model": """
+select *
+from {{ ref('my_first_dbt_model') }}
+where id = 1
+""",
+}
+
+
+def run_example_project(spark: SparkSession) -> dict[str, DataFrame]:
+    return ModelGraph(EXAMPLE_MODELS).run(spark)
+
+
+def dbt_example_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of both example models' outputs, tagged by model name."""
+    out = run_example_project(spark)
+    first = out["my_first_dbt_model"].selectExpr(
+        "'my_first_dbt_model' AS model", "CAST(id AS BIGINT) AS id"
+    )
+    second = out["my_second_dbt_model"].selectExpr(
+        "'my_second_dbt_model' AS model", "CAST(id AS BIGINT) AS id"
+    )
+    return first.unionByName(second)
+
+
+ORACLE_EXAMPLE_MODELS = """
+WITH my_first_dbt_model AS (
+  SELECT 1 AS id UNION ALL SELECT NULL AS id
+),
+my_second_dbt_model AS (
+  SELECT * FROM my_first_dbt_model WHERE id = 1
+)
+SELECT 'my_first_dbt_model' AS model, CAST(id AS BIGINT) AS id FROM my_first_dbt_model
+UNION ALL
+SELECT 'my_second_dbt_model' AS model, CAST(id AS BIGINT) AS id FROM my_second_dbt_model
+"""
+
+
+# ---------------------------------------------------------------------------
+# dbt generic schema tests (`unique`, `not_null` — models/example/schema.yml)
+# routed through the DQ engine: same operators, different front-end.
+# my_first_dbt_model.id intentionally violates not_null (the starter's
+# built-in negative test, SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+SCHEMA_TESTS: dict[str, dict[str, list[str]]] = {
+    # model → column → tests (schema.yml:10-12,19-21)
+    "my_first_dbt_model": {"id": ["unique", "not_null"]},
+    "my_second_dbt_model": {"id": ["unique", "not_null"]},
+}
+
+
+def dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run schema.yml-style tests over the materialized example models.
+
+    dbt semantics: `unique` counts values occurring more than once,
+    NULLs exempt; `not_null` counts NULL rows. 0 violations ⇒ pass.
+    """
+    run_example_project(spark)
+    rows = []
+    for model, cols in SCHEMA_TESTS.items():
+        for col, tests in cols.items():
+            for test in tests:
+                if test == "unique":
+                    sql = (
+                        f"SELECT COUNT(*) FROM (SELECT {col} FROM {model} "
+                        f"WHERE {col} IS NOT NULL GROUP BY {col} "
+                        f"HAVING COUNT(*) > 1)"
+                    )
+                elif test == "not_null":
+                    sql = f"SELECT COUNT(*) FROM {model} WHERE {col} IS NULL"
+                else:
+                    raise ValueError(f"unknown schema test {test!r}")
+                rows.append((model, col, test, sql))
+    parts = [
+        spark.sql(
+            f"SELECT '{m}' AS model, '{c}' AS column_name, '{t}' AS test_name, "
+            f"CAST(({sql}) AS BIGINT) AS failed_records, "
+            f"CASE WHEN ({sql}) = 0 THEN 'PASS' ELSE 'FAIL' END AS status"
+        )
+        for m, c, t, sql in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_SCHEMA_TESTS = """
+WITH my_first_dbt_model AS (
+  SELECT 1 AS id UNION ALL SELECT NULL AS id
+),
+my_second_dbt_model AS (
+  SELECT * FROM my_first_dbt_model WHERE id = 1
+),
+checks(model, column_name, test_name, failed_records) AS (
+  SELECT 'my_first_dbt_model', 'id', 'unique',
+    (SELECT COUNT(*) FROM (SELECT id FROM my_first_dbt_model WHERE id IS NOT NULL GROUP BY id HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'my_first_dbt_model', 'id', 'not_null',
+    (SELECT COUNT(*) FROM my_first_dbt_model WHERE id IS NULL)
+  UNION ALL
+  SELECT 'my_second_dbt_model', 'id', 'unique',
+    (SELECT COUNT(*) FROM (SELECT id FROM my_second_dbt_model WHERE id IS NOT NULL GROUP BY id HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'my_second_dbt_model', 'id', 'not_null',
+    (SELECT COUNT(*) FROM my_second_dbt_model WHERE id IS NULL)
+)
+SELECT model, column_name, test_name, CAST(failed_records AS BIGINT) AS failed_records,
+       CASE WHEN failed_records = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+FROM checks
+"""
+
+
+# ---------------------------------------------------------------------------
+# A realistic model DAG over the driver tables: raw → curated → mart,
+# exercising ref() chains, table + view materialization, and showing the
+# model layer is not tied to the toy example.
+# ---------------------------------------------------------------------------
+
+ANALYTICS_MODELS: dict[str, str] = {
+    "stg_orders": """
+select o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       cast(o_orderdate as date) as order_date
+from orders
+""",
+    "stg_customers": """
+select c_custkey, c_name, c_nationkey, c_mktsegment
+from customer
+""",
+    "fct_customer_orders": """
+{{ config(materialized='table') }}
+select c.c_custkey, c.c_name, c.c_mktsegment,
+       count(*) as n_orders,
+       cast(sum(cast(o.o_totalprice as decimal(22,6))) as double) as lifetime_value
+from {{ ref('stg_orders') }} o
+join {{ ref('stg_customers') }} c on o.o_custkey = c.c_custkey
+group by c.c_custkey, c.c_name, c.c_mktsegment
+""",
+    "mart_segment_summary": """
+select c_mktsegment,
+       count(*) as n_customers,
+       cast(sum(cast(lifetime_value as decimal(22,6))) as double) as segment_value
+from {{ ref('fct_customer_orders') }}
+group by c_mktsegment
+""",
+}
+
+
+def model_pipeline_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    out = ModelGraph(ANALYTICS_MODELS).run(spark)
+    return out["mart_segment_summary"]
+
+
+ORACLE_MODEL_PIPELINE = """
+WITH stg_orders AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate AS DATE) AS order_date
+  FROM orders
+),
+stg_customers AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+),
+fct_customer_orders AS (
+  SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS lifetime_value
+  FROM stg_orders o JOIN stg_customers c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(lifetime_value AS DECIMAL(22,6))) AS DOUBLE) AS segment_value
+FROM fct_customer_orders
+GROUP BY c_mktsegment
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "dbt_example_models": QuerySpec(
+        "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
+        "reference example models ported verbatim (table + view + ref DAG)",
+    ),
+    "dbt_schema_tests": QuerySpec(
+        "dbt_schema_tests", dbt_schema_tests, ORACLE_SCHEMA_TESTS,
+        "schema.yml unique/not_null tests; model 1 fails not_null by design",
+    ),
+    "model_pipeline_segment_summary": QuerySpec(
+        "model_pipeline_segment_summary", model_pipeline_segment_summary,
+        ORACLE_MODEL_PIPELINE,
+        "raw→staging→fact→mart ref() DAG over driver tables",
+    ),
+}

@@ -1,1 +1,7 @@
-from .registry import TABLES, load_table, register_all, table_path  # noqa: F401
+from .registry import (  # noqa: F401
+    TABLE_DTYPES,
+    TABLES,
+    load_table,
+    register_all,
+    table_path,
+)

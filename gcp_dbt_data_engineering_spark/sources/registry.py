@@ -44,6 +44,48 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Static column → type-kind map for the driver tables (TESTDATA.md).
+#: Used where a plan must be built without a live session (e.g. the
+#: DuckDB-oracle compiler needs dtype guards before Spark runs).
+#: kinds: "string" | "float" (isnan applies) | "int" | "date" | other
+TABLE_DTYPES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "float", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "float",
+    },
+    "part": {
+        "p_partkey": "int", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "float",
+    },
+    "orders": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "string",
+        "o_totalprice": "float", "o_orderdate": "date",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "float",
+        "l_extendedprice": "float", "l_discount": "float", "l_tax": "float",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": "date",
+    },
+    "events": {
+        "event_id": "int", "ts": "date", "user_id": "int",
+        "event_type": "string", "value": "float", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int",
+    },
+    "embeddings": {"vec_id": "int", "embedding": "array", "label": "int"},
+}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"

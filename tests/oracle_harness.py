@@ -48,7 +48,7 @@ def compare(spark_df, oracle: str, sf_dir: str) -> dict:
     def canon(cols, rows):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
         return sorted(
-            tuple(_norm(row[i]) for i in order) for row in rows
+            (tuple(_norm(row[i]) for i in order) for row in rows), key=repr
         )
 
     s_canon = canon(s_cols, s_rows)
