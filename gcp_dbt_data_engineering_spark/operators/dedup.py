@@ -1,0 +1,475 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+North-star [EXT] surface (SURVEY.md §2.4 A8, §2.3 J4): the reference's
+uniqueness machinery (``tests/dq_sql_notes.md:116-117`` — groupBy
+business key, count, flag groups >1) generalized to the five dedup
+strategies a large-scale training-data pipeline needs:
+
+- ``dedup_exact``            — hash-groupBy on normalized text (A3/A8).
+- ``dedup_ngram_jaccard``    — exact set-similarity self-join on 3-word
+                               shingles (inverted-index PPJoin shape).
+- ``dedup_minhash_lsh``      — MinHash signatures -> banded LSH bucket
+                               join -> exact-Jaccard verification.
+- ``dedup_simhash``          — 32-bit SimHash + 4-bit-chunk banding;
+                               pigeonhole-exact for hamming <= 4.
+- ``dedup_embedding_cosine`` — near-dup pairs by cosine over quantized
+                               int64 embeddings, blocked by ``label``.
+
+Correctness: every hash is portable integer arithmetic (see
+``texthash.py``) so the DuckDB oracle reproduces Spark's output
+bit-for-bit — including any LSH misses (determinism, not recall, is
+what the driver gate checks; recall is asserted separately in tests).
+
+Scale posture (100 TB):
+
+- Shingling/hashing is per-row projection work — no shuffle, linear.
+- Every pair-generating join keys on 8-byte hashes, never raw text;
+  the only shuffles are on those hashes and on ``doc_id``.
+- MinHash: signatures come from ONE hash-aggregate pass (16 ``min``
+  partial aggs), not 16 jobs; LSH bucket join replaces the O(n^2)
+  pairing with per-bucket blow-up. Skewed buckets (boilerplate docs)
+  would salt or cap-by-frequency here — noted, not needed at test SF.
+- SimHash: one groupBy(doc_id) with 32 partial-agg sign counters, then
+  an 8-way chunk-equality self-join (hamming<=4 has exact recall by
+  pigeonhole over 8 chunks of 4 bits).
+- Embedding near-dup: ``applyInPandas`` per blocking key — the classic
+  blocked near-dup pattern; at 100 TB the block key becomes an LSH
+  bucket (see ``similarity.py``) instead of the synthetic ``label``.
+  Quantization (floor(x * 2^20) -> int64) makes the dot products exact
+  integers, so numpy matmul and the SQL oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..plans.spec import QuerySpec
+from . import texthash as th
+
+# ---------------------------------------------------------------------------
+# shared shingle/word-hash relations
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) rows — the inverted-index input."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id", f"{th.shingle_hashes('text', SHINGLE_N, 'spark')} AS hs"
+        )
+        .select("doc_id", F.explode("hs").alias("h"))
+        .distinct()
+    )
+
+
+def _sql_shingle_cte() -> str:
+    """DuckDB CTE bodies mirroring :func:`_shingle_rows` (names sh, sz)."""
+    hashes = th.shingle_hashes("text", SHINGLE_N, "duck")
+    return f"""
+sh AS (SELECT DISTINCT doc_id, h
+       FROM (SELECT doc_id, unnest({hashes}) AS h FROM documents)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def _jaccard_pairs(
+    pairs: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via hash join."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(sz.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup (hash-groupBy) — SURVEY.md §2.4 A3/A8
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on whitespace/case-normalized text.
+
+    Output: one row per distinct normalized text — first/last doc_id to
+    keep (keep-first and keep-latest policies) and the copy count. The
+    keep-latest column is MAX per group rather than a row_number window
+    (same result, one hash aggregate, no sort) — the window variant
+    only matters when whole duplicate *rows* must be kept, not ids.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "k", F.expr("regexp_replace(trim(lower(text)), '\\\\s+', ' ')")
+        )
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").alias("keep_first"),
+            F.max("doc_id").alias("keep_last"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_first", "keep_last", "n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_first,
+       MAX(doc_id) AS keep_last,
+       COUNT(*)    AS n_copies
+FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k
+      FROM documents)
+GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard set-similarity join (exact)
+# ---------------------------------------------------------------------------
+
+JACCARD_T = 0.8
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with 3-word-shingle Jaccard >= 0.8, exactly.
+
+    Inverted-index self-join: explode distinct shingle hashes, equi-join
+    on the hash (the only fact-sized shuffle), count intersections,
+    then Jaccard from per-doc set sizes. At 100 TB add a document-
+    frequency cap on shingles (drop boilerplate n-grams) and the PPJoin
+    prefix filter; both prune candidates without changing the answer.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(pairs, sh, JACCARD_T)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_sql_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz x ON doc_a = x.doc_id
+JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + banded LSH, exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+VERIFY_T = 0.5
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle -> 16-perm MinHash -> 4x4 banded LSH -> verified pairs.
+
+    Signatures come from a single hash-aggregate over the exploded
+    shingle hashes (16 ``min`` partial aggs — map-side combined, one
+    shuffle on doc_id). Band keys bucket docs; docs sharing any band
+    become candidates; candidates are verified with exact Jaccard.
+    The oracle replays the identical permutations, so even LSH *misses*
+    match bit-for-bit.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    r = MINHASH_K // LSH_BANDS
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"({a} * h + {b}) % {th.P}")
+            ).alias(f"mh{i}")
+            for i, (a, b) in (
+                (i, th.perm_coeffs(i)) for i in range(MINHASH_K)
+            )
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"mh{bnd * r + j}") for j in range(r)])
+            for bnd in range(LSH_BANDS)
+        ]
+    )
+    bands = mins.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    x = bands.selectExpr("doc_id AS doc_a", "band", "key")
+    y = bands.selectExpr("doc_id AS doc_b", "band", "key")
+    pairs = (
+        x.join(y, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(pairs, sh, VERIFY_T)
+
+
+def _sql_minhash() -> str:
+    r = MINHASH_K // LSH_BANDS
+    min_cols = ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {th.P}) AS mh{i}"
+        for i, (a, b) in ((i, th.perm_coeffs(i)) for i in range(MINHASH_K))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS key FROM mins".format(
+            bnd=bnd,
+            cols=", ".join(f"mh{bnd * r + j}" for j in range(r)),
+        )
+        for bnd in range(LSH_BANDS)
+    )
+    return f"""
+mins AS (SELECT doc_id,
+       {min_cols}
+       FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_sql_shingle_cte()},
+{_sql_minhash()},
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz x ON doc_a = x.doc_id
+JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {VERIFY_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash near-dup pairs (hamming <= 4, recall-exact via 8x4-bit bands)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 8  # 4 bits each; hamming<=7 keeps >=1 chunk equal
+HAMMING_T = 4
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct shingle hashes; pairs hamming<=4.
+
+    Features are 3-word shingles, not single words: the synthetic
+    corpus has a ~40-word vocabulary, so word-level simhashes collapse
+    (every doc shares most words); shingles keep fingerprints apart
+    while planted near-dups still land at hamming <= 4.
+
+    One groupBy(doc_id) computes all 32 sign counters as partial aggs
+    (no per-bit shuffle); the fingerprint is assembled with shifts.
+    Candidate pairs share at least one of 8 4-bit chunks — by
+    pigeonhole that is *complete* for hamming <= 7, so the <=4 output
+    is exact (no LSH luck involved), and the oracle agrees exactly.
+    """
+    wh = _shingle_rows(spark, sf_dir)
+    sign_aggs = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN {th.bit('h', str(j), 'spark')} = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    fp_expr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {th.shiftleft_one(str(j), 'spark')}"
+        " ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = (
+        wh.groupBy("doc_id")
+        .agg(*sign_aggs)
+        .selectExpr("doc_id", f"{fp_expr} AS simhash")
+    )
+    chunk_arr = F.array(
+        *[
+            F.expr(f"(shiftright(simhash, {4 * k}) & 15)")
+            for k in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = sim.select(
+        "doc_id", "simhash", F.posexplode(chunk_arr).alias("k", "ck")
+    )
+    x = chunks.selectExpr("doc_id AS doc_a", "simhash AS fa", "k", "ck")
+    y = chunks.selectExpr("doc_id AS doc_b", "simhash AS fb", "k", "ck")
+    return (
+        x.join(y, ["k", "ck"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST(bit_count({th.xor('fa', 'fb', 'spark')}) AS INT)"
+            " AS hamming",
+        )
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
+def _sql_simhash() -> str:
+    sign_cols = ",\n       ".join(
+        f"SUM(CASE WHEN {th.bit('h', str(j), 'duck')} = 1 THEN 1 ELSE -1 END)"
+        f" AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {th.shiftleft_one(str(j), 'duck')}"
+        " ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+signs AS (SELECT doc_id,
+       {sign_cols}
+       FROM sh GROUP BY doc_id),
+sim AS (SELECT doc_id, {fp} AS simhash FROM signs),
+chunks AS (SELECT doc_id, simhash, k, (simhash >> (4 * k)) & 15 AS ck
+           FROM sim, (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS k))"""
+
+
+ORACLE_SIMHASH = f"""
+WITH {_sql_shingle_cte()},
+{_sql_simhash()}
+SELECT doc_a, doc_b, hamming
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count({th.xor('a.simhash', 'b.simhash', 'duck')}) AS INT)
+           AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.k = b.k AND a.ck = b.ck AND a.doc_id < b.doc_id)
+WHERE hamming <= {HAMMING_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup (quantized int64, label-blocked)
+# ---------------------------------------------------------------------------
+
+QSCALE = 1 << 20  # floor(x * 2^20): exact in float64, portable to SQL
+COSINE_T = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs (cosine >= 0.4) within each label block.
+
+    Embeddings are quantized to int64 (floor(x * 2^20)) in a JVM-side
+    projection, then each block is handed to ``applyInPandas`` where
+    numpy computes the exact integer Gram matrix (dim 64, |x_q| < 2^20
+    -> dot < 2^47, no overflow, exactly representable in float64).
+    Cosine is then a fixed sequence of IEEE double ops the SQL oracle
+    replays exactly. Blocking key: ``label`` here; at scale an LSH
+    bucket id (similarity.py) plays this role.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "label",
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE})"
+        " AS BIGINT)) AS q",
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(pdf["q"].tolist(), dtype=np.int64)
+        G = X @ X.T  # exact: values < 2^47
+        norms = np.sqrt(np.diag(G).astype(np.float64))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = G[ia, ib].astype(np.float64) / (norms[ia] * norms[ib])
+        keep = cos >= COSINE_T
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        block_pairs, schema="vec_a bigint, vec_b bigint, cosine double"
+    )
+
+
+ORACLE_EMBEDDING_COSINE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, qv,
+         list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nn
+  FROM q),
+d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_reduce(
+           list_transform(generate_series(1, len(a.qv)),
+                          i -> a.qv[i] * b.qv[i]),
+           (x, y) -> x + y) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM d
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= {COSINE_T}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in (
+        QuerySpec("dedup_exact", dedup_exact, ORACLE_DEDUP_EXACT),
+        QuerySpec(
+            "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD
+        ),
+        QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, ORACLE_MINHASH_LSH),
+        QuerySpec("dedup_simhash", dedup_simhash, ORACLE_SIMHASH),
+        QuerySpec(
+            "dedup_embedding_cosine",
+            dedup_embedding_cosine,
+            ORACLE_EMBEDDING_COSINE,
+        ),
+    )
+}

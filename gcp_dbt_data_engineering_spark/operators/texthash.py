@@ -1,0 +1,128 @@
+"""Portable text-hashing SQL fragments (Spark SQL + DuckDB dialects).
+
+The dedup/fingerprint operators (SURVEY.md §2 [EXT]; north star
+"dedup: exact, MinHash+LSH, SimHash, n-gram Jaccard") need hash
+functions that produce *bit-identical* values in Spark (the engine) and
+DuckDB (the driver's correctness oracle). Neither engine's built-in
+``hash()`` matches the other, so every hash here is plain 64-bit
+integer arithmetic over code points — expressible in both dialects and
+verified equal (see tests/test_dedup_oracle.py).
+
+Design notes:
+
+- ``polyhash``: left-fold ``acc*31 + code (mod P)`` over characters,
+  P = 1e9+7. Spark ``aggregate(..., 0, ...)`` equals DuckDB's
+  init-less ``list_reduce`` because ``f(0, h0) = h0``.
+- All arithmetic stays in BIGINT and non-negative, so ``%`` semantics
+  agree and Spark 4's ANSI overflow checks never trip
+  (max intermediate: ``(P-1)*31 + c`` ≈ 3.1e10, and for the affine
+  rehash ``a*h`` with ``a, h < P`` ≈ 1e18 < 2^63).
+- Fragments are built from one function per concept with a ``dialect``
+  parameter so the Spark plan and the DuckDB oracle cannot drift.
+
+At 100 TB these expressions run inside Spark higher-order functions
+(interpreted, not codegen) — fine for per-document shingling, which is
+O(doc length) work embarrassingly parallel over partitions with no
+shuffle; the shuffles happen later on the compact 8-byte hashes.
+"""
+
+from __future__ import annotations
+
+#: Fold modulus (prime) shared by every portable hash in the repo.
+P = 1_000_000_007
+
+#: Multiplier used to derive the i-th MinHash permutation.
+_A0 = 999_999_937  # largest prime < 1e9
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """(a, b) of the i-th affine MinHash permutation h -> (a*h+b) % P."""
+    return ((i + 1) * _A0) % P, i
+
+
+def words(col: str, dialect: str) -> str:
+    """Lower-cased alphanumeric word array (no empty tokens)."""
+    if dialect == "spark":
+        return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+    return f"regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+def polyhash(s: str, dialect: str) -> str:
+    """Portable 64-bit polynomial hash of string expression ``s``."""
+    if dialect == "spark":
+        codes = f"transform(split({s}, ''), c -> CAST(ascii(c) AS BIGINT))"
+        return (
+            f"aggregate({codes}, CAST(0 AS BIGINT),"
+            f" (acc, c) -> (acc * 31 + c) % {P})"
+        )
+    codes = f"list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))"
+    return f"list_reduce({codes}, (acc, c) -> (acc * 31 + c) % {P})"
+
+
+def word_shingles(ws: str, n: int, dialect: str) -> str:
+    """Array of n-word shingle strings from word-array expression ``ws``."""
+    if dialect == "spark":
+        body = (
+            f"transform(sequence(0, size({ws}) - {n}),"
+            f" i -> concat_ws(' ', slice({ws}, i + 1, {n})))"
+        )
+        return f"CASE WHEN size({ws}) >= {n} THEN {body} ELSE array() END"
+    body = (
+        f"list_transform(generate_series(0, len({ws}) - {n}),"
+        f" i -> array_to_string(list_slice({ws}, i + 1, i + {n}), ' '))"
+    )
+    return f"CASE WHEN len({ws}) >= {n} THEN {body} ELSE [] END"
+
+
+def shingle_hashes(text_col: str, n: int, dialect: str) -> str:
+    """Array of polyhashes of the n-word shingles of a text column."""
+    sh = word_shingles(words(text_col, dialect), n, dialect)
+    inner = polyhash("s", dialect)
+    if dialect == "spark":
+        return f"transform({sh}, s -> {inner})"
+    return f"list_transform({sh}, s -> {inner})"
+
+
+def word_hashes(text_col: str, dialect: str) -> str:
+    """Array of polyhashes of the individual words of a text column."""
+    ws = words(text_col, dialect)
+    inner = polyhash("s", dialect)
+    if dialect == "spark":
+        return f"transform({ws}, s -> {inner})"
+    return f"list_transform({ws}, s -> {inner})"
+
+
+def char_shingle_hashes(text_col: str, n: int, dialect: str) -> str:
+    """Array of polyhashes of the character n-grams of a text column."""
+    if dialect == "spark":
+        grams = (
+            f"CASE WHEN length({text_col}) >= {n} THEN"
+            f" transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n})) ELSE array() END"
+        )
+        return f"transform({grams}, s -> {polyhash('s', dialect)})"
+    grams = (
+        f"CASE WHEN length({text_col}) >= {n} THEN"
+        f" list_transform(generate_series(1, length({text_col}) - {n - 1}),"
+        f" i -> substr({text_col}, i, {n})) ELSE [] END"
+    )
+    return f"list_transform({grams}, s -> {polyhash('s', dialect)})"
+
+
+def xor(a: str, b: str, dialect: str) -> str:
+    """Bitwise XOR of two BIGINT expressions."""
+    return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
+
+
+def shiftleft_one(j: str, dialect: str) -> str:
+    """``1 << j`` as BIGINT."""
+    if dialect == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), {j})"
+    return f"(CAST(1 AS BIGINT) << {j})"
+
+
+def bit(h: str, j: str, dialect: str) -> str:
+    """Bit ``j`` (0/1) of non-negative BIGINT expression ``h``."""
+    if dialect == "spark":
+        return f"(shiftright({h}, {j}) & 1)"
+    return f"(({h} >> {j}) & 1)"
