@@ -1,0 +1,320 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star [EXT] surface (SURVEY.md §2.6 F7): the operations a
+training-data pipeline runs over raw text — language identification,
+quality scoring, token counting, document fingerprinting. The
+reference's own text surface is regex format checks
+(``tests/dq_sql_notes.md:147-161``); these operators are the same
+"per-row expression, zero UDF" idiom applied to corpus curation.
+
+Everything here is built-in Spark SQL expressions (JVM-side; the
+higher-order folds are interpreted but per-row and shuffle-free), with
+bit-exact DuckDB oracle twins from the shared dialect fragments in
+``texthash.py``. All derived ratios are fixed-order IEEE double
+arithmetic over exact integers, so both engines produce identical
+bits. Regex patterns deliberately avoid backslash classes (``\\s``
+etc.) because Spark and DuckDB unescape string literals differently —
+explicit character classes are portable verbatim.
+
+Scale posture (100 TB): every operator is a projection followed by at
+most one aggregation or window — no joins, no skew risk; Catalyst
+prunes to the ``text`` (+ grouping) columns at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.spec import QuerySpec
+from ..sources import load_table
+from . import texthash as th
+
+#: BPE-ish token pattern: word, integer, or single non-alnum mark.
+#: (text is pre-lowered; explicit space class keeps the pattern
+#: escape-free and therefore dialect-portable.)
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: tiny per-language stopword lexicons (public common-word lists) for
+#: the stopword-ratio language heuristic.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr": ("le", "la", "de", "et", "un", "en", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein", "in", "den", "von"),
+}
+
+
+def _size(arr: str, dialect: str) -> str:
+    return f"size({arr})" if dialect == "spark" else f"len({arr})"
+
+
+def _stop_ratio(ws: str, lang: str, dialect: str) -> str:
+    """Fraction of tokens that are ``lang`` stopwords (0.0 if empty)."""
+    inlist = ", ".join(f"'{w}'" for w in LEXICONS[lang])
+    flt = "filter" if dialect == "spark" else "list_filter"
+    n = _size(f"{flt}({ws}, w -> w IN ({inlist}))", dialect)
+    tot = _size(ws, dialect)
+    return (
+        f"CASE WHEN {tot} > 0 THEN CAST({n} AS DOUBLE) / CAST({tot} AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+
+
+def _cjk_count(col: str, dialect: str) -> str:
+    """Count of CJK-range code points, via per-char code-point filter
+    (portable: no regex escapes; CJK Unified Ideographs block)."""
+    if dialect == "spark":
+        return (
+            f"size(filter(split({col}, ''),"
+            " c -> ascii(c) >= 19968 AND ascii(c) <= 40959))"
+        )
+    return (
+        f"len(list_filter(string_split({col}, ''),"
+        " c -> ord(c) >= 19968 AND ord(c) <= 40959))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace words + BPE-ish regex), per source
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting: docs, word/BPE-ish token totals.
+
+    ``total_bpe_tokens`` (words + numbers + punctuation marks) is the
+    usual cheap proxy for tokenizer cost when budgeting a training
+    mix. One projection + one hash aggregate on ``source``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.selectExpr(
+        "source",
+        f"size({th.words('text', 'spark')}) AS n_words",
+        f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0)) AS n_bpe",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.expr(
+            "CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("avg_words_per_doc"),
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH per_doc AS (
+  SELECT source,
+         len({th.words('text', 'duck')}) AS n_words,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_bpe
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_words) AS total_words,
+       SUM(n_bpe) AS total_bpe_tokens,
+       CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_words_per_doc
+FROM per_doc
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-ratio + CJK code-point heuristic)
+# ---------------------------------------------------------------------------
+
+#: fixed-precedence argmax over the four stopword ratios, CJK override
+#: first: >30% CJK code points ⇒ zh (integer compare — no float ratio).
+_LANG_PRED = """CASE
+  WHEN cjk_n * 10 > txt_len * 3 THEN 'zh'
+  WHEN r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en'
+  WHEN r_es >= r_fr AND r_es >= r_de THEN 'es'
+  WHEN r_fr >= r_de THEN 'fr'
+  ELSE 'de' END"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK code-point share, else best stopword
+    ratio (ties broken by fixed precedence en>es>fr>de).
+
+    The synthetic corpus draws text from one shared vocabulary and
+    assigns ``lang`` labels independently, so predictions collapse to
+    'en' — the deliverable is the deterministic classifier plumbing
+    (reproduced exactly by the oracle), not label accuracy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{th.words('text', 'spark')} AS ws",
+        f"{_cjk_count('text', 'spark')} AS cjk_n",
+        "length(text) AS txt_len",
+    )
+    scored = feats.selectExpr(
+        "doc_id",
+        "lang",
+        *[
+            f"{_stop_ratio('ws', lang, 'spark')} AS r_{lang}"
+            for lang in LEXICONS
+        ],
+        "cjk_n",
+        "txt_len",
+    )
+    return scored.selectExpr(
+        "doc_id", "lang", f"{_LANG_PRED} AS pred_lang",
+        "r_en", "r_es", "r_fr", "r_de",
+    )
+
+
+ORACLE_LANGUAGE_ID = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         {th.words('text', 'duck')} AS ws,
+         {_cjk_count('text', 'duck')} AS cjk_n,
+         length(text) AS txt_len
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {",".join(f"{_stop_ratio('ws', lang, 'duck')} AS r_{lang}" for lang in LEXICONS)},
+         cjk_n, txt_len
+  FROM feats)
+SELECT doc_id, lang, {_LANG_PRED} AS pred_lang, r_en, r_es, r_fr, r_de
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def _quality_feats(dialect: str) -> dict[str, str]:
+    ws = th.words("text", dialect)
+    n_words = _size(ws, dialect)
+    g = ", 'g'" if dialect == "duck" else ""
+    alpha_len = f"length(regexp_replace(lower(text), '[^a-z0-9]', ''{g}))"
+    digit_len = f"length(regexp_replace(text, '[^0-9]', ''{g}))"
+    return {
+        "n_words": n_words,
+        "avg_word_len": (
+            f"CASE WHEN {n_words} > 0 THEN CAST({alpha_len} AS DOUBLE)"
+            f" / CAST({n_words} AS DOUBLE) ELSE 0.0 END"
+        ),
+        "stop_ratio": _stop_ratio(ws, "en", dialect),
+        "digit_ratio": (
+            f"CASE WHEN length(text) > 0 THEN CAST({digit_len} AS DOUBLE)"
+            " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+        ),
+    }
+
+
+#: weighted score — fixed operation order, identical text both sides.
+_SCORE = (
+    "0.4 * stop_ratio"
+    " + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)"
+    " + 0.2 * (1.0 - digit_ratio)"
+    " + 0.1 * least(avg_word_len / 8.0, 1.0)"
+)
+
+_TIER = (
+    "CASE WHEN score >= 0.6 THEN 'high'"
+    " WHEN score >= 0.45 THEN 'medium' ELSE 'low' END"
+)
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics + weighted score + tier.
+
+    Length, stopword density, digit density, mean word length — the
+    standard cheap pre-filters before model-based scoring. Pure
+    projection; deterministic double arithmetic.
+    """
+    feats = _quality_feats("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id", *[f"{e} AS {name}" for name, e in feats.items()]
+        )
+        .selectExpr(
+            "doc_id", "n_words", "avg_word_len", "stop_ratio",
+            "digit_ratio", f"{_SCORE} AS score",
+        )
+        .selectExpr(
+            "doc_id", "n_words", "avg_word_len", "stop_ratio",
+            "digit_ratio", "score", f"{_TIER} AS tier",
+        )
+    )
+
+
+def _oracle_quality() -> str:
+    feats = _quality_feats("duck")
+    cols = ",\n         ".join(f"{e} AS {k}" for k, e in feats.items())
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         {cols}
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_words, avg_word_len, stop_ratio, digit_ratio,
+         {_SCORE} AS score
+  FROM feats)
+SELECT doc_id, n_words, avg_word_len, stop_ratio, digit_ratio, score,
+       {_TIER} AS tier
+FROM scored
+"""
+
+
+ORACLE_QUALITY = _oracle_quality()
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling-hash winnowing-lite)
+# ---------------------------------------------------------------------------
+
+FP_GRAM = 5
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling char-5-gram min-hash fingerprint + whole-doc hash.
+
+    ``fp_min`` is the minimum rolling polynomial hash over all
+    character 5-grams (a 1-permutation MinHash — the winnowing
+    primitive); ``fp_full`` is the polyhash of the whole lowered text
+    (exact-dup detector). ``n_docs_same_fp`` counts docs sharing
+    ``fp_min`` via a window — a cheap near-dup signal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.selectExpr(
+        "doc_id",
+        f"array_min({th.char_shingle_hashes('lower(text)', FP_GRAM, 'spark')})"
+        " AS fp_min",
+        f"{th.polyhash('lower(text)', 'spark')} AS fp_full",
+    )
+    w = Window.partitionBy("fp_min")
+    return per_doc.select(
+        "doc_id", "fp_min", "fp_full",
+        F.count(F.lit(1)).over(w).alias("n_docs_same_fp"),
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         list_min({th.char_shingle_hashes('lower(text)', FP_GRAM, 'duck')})
+           AS fp_min,
+         {th.polyhash('lower(text)', 'duck')} AS fp_full
+  FROM documents)
+SELECT doc_id, fp_min, fp_full,
+       COUNT(*) OVER (PARTITION BY fp_min) AS n_docs_same_fp
+FROM per_doc
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in (
+        QuerySpec("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS),
+        QuerySpec("text_language_id", text_language_id, ORACLE_LANGUAGE_ID),
+        QuerySpec("text_quality_score", text_quality_score, ORACLE_QUALITY),
+        QuerySpec("text_fingerprint", text_fingerprint, ORACLE_FINGERPRINT),
+    )
+}
