@@ -1,0 +1,274 @@
+"""Similarity search over the ``embeddings`` table.
+
+North-star [EXT] surface (SURVEY.md §2.3 J4, §2.6 F8): top-k nearest
+neighbours by cosine over ``embedding: array<float>`` — brute force as
+the correctness baseline, and a random-hyperplane (sign-LSH) bucketed
+variant as the scale path.
+
+Determinism contract (same as ``dedup.py``): embeddings are quantized
+to int64 (``floor(x * 2^20)``), so dot products and norms are *exact
+integers* in both engines; cosine is then a fixed sequence of IEEE
+double ops. The LSH hyperplanes are themselves integer-arithmetic
+pseudo-random vectors, so bucket assignment — and therefore the ANN
+variant's entire output, including its recall misses — is bit-exactly
+reproduced by the DuckDB oracle.
+
+Scale posture (100 TB):
+
+- Brute force is O(|Q| x N): correct baseline, linear in N only
+  because |Q| is fixed — it exists to validate the ANN path and to
+  serve small query batches. The query side is broadcast; the big side
+  streams (no shuffle of the embedding table).
+- Sign-LSH: one projection pass computes a 16-bit bucket per vector
+  (integer arithmetic, no shuffle), 4x4-bit banded chunks generate
+  candidates via an equi-join on (chunk_idx, chunk_key) — the classic
+  multi-probe trade: ~P(chunk collision) of N candidates per query
+  instead of N. Exact re-rank only touches candidates. At 100 TB the
+  bucket table is the thing you bucket/partition the lake by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.spec import QuerySpec
+from ..sources import load_table
+from .dedup import QSCALE
+
+#: deterministic pseudo-random hyperplane component (Knuth multiplier):
+#: integer in [-(P-1)/2, (P-1)/2], a function of (plane j, dim d) only.
+_P = 1_000_000_007
+_HALF = (_P - 1) // 2
+N_PLANES = 16
+N_CHUNKS = 4  # 4-bit chunks of the 16-bit bucket
+DIM = 64
+TOP_K = 10
+QUERY_MOD = 100  # queries = vec_id % 100 == 0
+
+
+def _w(j: str, d: str) -> str:
+    """Hyperplane component w[j][d] — same text in both dialects."""
+    return (
+        f"(CAST(({j}) * {DIM} + ({d}) AS BIGINT) * 2654435761 % {_P}"
+        f" - {_HALF})"
+    )
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE})"
+        " AS BIGINT)) AS q",
+    ).selectExpr(
+        "vec_id",
+        "q",
+        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS nn",
+    )
+
+
+_SQL_QUANTIZED = f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+qn AS (
+  SELECT vec_id, qv,
+         list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nn
+  FROM q)"""
+
+#: cosine from exact integer dot/norms — identical text both sides
+#: modulo column prefixes, fixed op order.
+def _cosine(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CAST({dot} AS DOUBLE)"
+        f" / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k (correctness baseline)
+# ---------------------------------------------------------------------------
+
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbours for each query vector.
+
+    Queries (vec_id % 100 == 0) are broadcast against the full table;
+    the integer dot product runs as a JVM higher-order fold; ranking is
+    one window per query with a total-order tiebreak (vec_id).
+    """
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(
+        (F.col("vec_id") % QUERY_MOD) == 0
+    ).selectExpr("vec_id AS query_id", "q AS qa", "nn AS na")
+    pairs = F.broadcast(queries).crossJoin(
+        base.selectExpr("vec_id AS neighbor_id", "q AS qb", "nn AS nb")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.selectExpr(
+        "query_id",
+        "neighbor_id",
+        _cosine(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+            "na",
+            "nb",
+        )
+        + " AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+ORACLE_TOPK_COSINE = f"""
+WITH {_SQL_QUANTIZED},
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_cosine(
+             "list_reduce(list_transform(generate_series(1, len(a.qv)),"
+             " i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)",
+             "a.nn", "b.nn")} AS cosine
+  FROM qn a JOIN qn b ON a.vec_id % {QUERY_MOD} = 0
+                     AND a.vec_id != b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+def _spark_chunks(df: DataFrame) -> DataFrame:
+    """(vec_id, q, nn, c, ck): 4-bit LSH chunk keys per vector."""
+    bits = (
+        f"transform(sequence(0, {N_PLANES - 1}), j -> CASE WHEN"
+        f" aggregate(sequence(0, {DIM - 1}), CAST(0 AS BIGINT),"
+        f" (acc, d) -> acc + element_at(q, d + 1) * {_w('j', 'd')})"
+        " > 0 THEN 1 ELSE 0 END)"
+    )
+    chunks = (
+        f"transform(sequence(0, {N_CHUNKS - 1}), c ->"
+        " element_at(bits, 4 * c + 1)"
+        " + element_at(bits, 4 * c + 2) * 2"
+        " + element_at(bits, 4 * c + 3) * 4"
+        " + element_at(bits, 4 * c + 4) * 8)"
+    )
+    return (
+        df.selectExpr("vec_id", "q", "nn", f"{bits} AS bits")
+        .selectExpr("vec_id", "q", "nn", f"{chunks} AS chunks")
+        .select(
+            "vec_id", "q", "nn", F.posexplode("chunks").alias("c", "ck")
+        )
+    )
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbours among sign-LSH candidates.
+
+    Candidates share at least one of four 4-bit hyperplane-sign chunks
+    with the query (multi-probe banding); only candidates get the
+    exact re-rank. Output shape matches the brute-force spec so recall
+    is directly measurable (tests do); misses are deterministic and
+    mirrored by the oracle.
+    """
+    base = _quantized(spark, sf_dir)
+    chunks = _spark_chunks(base)
+    qc = chunks.filter((F.col("vec_id") % QUERY_MOD) == 0).selectExpr(
+        "vec_id AS query_id", "q AS qa", "nn AS na", "c", "ck"
+    )
+    cand = (
+        F.broadcast(qc)
+        .join(chunks.selectExpr("vec_id AS neighbor_id", "c", "ck"),
+              ["c", "ck"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qa", "na", "neighbor_id")
+        .distinct()
+    )
+    scored = cand.join(
+        base.selectExpr("vec_id AS neighbor_id", "q AS qb", "nn AS nb"),
+        "neighbor_id",
+    ).selectExpr(
+        "query_id",
+        "neighbor_id",
+        _cosine(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+            "na",
+            "nb",
+        )
+        + " AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_SQL_CHUNKS = f"""
+bits AS (
+  SELECT vec_id, qv, nn,
+         list_transform(generate_series(0, {N_PLANES - 1}), j ->
+           CASE WHEN list_reduce(
+             list_transform(generate_series(0, {DIM - 1}),
+               d -> qv[d + 1] * {_w('j', 'd')}),
+             (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) AS b
+  FROM qn),
+chunks AS (
+  SELECT vec_id, qv, nn, c,
+         b[4 * c + 1] + b[4 * c + 2] * 2 + b[4 * c + 3] * 4
+           + b[4 * c + 4] * 8 AS ck
+  FROM bits, (SELECT unnest(generate_series(0, {N_CHUNKS - 1})) AS c))"""
+
+
+ORACLE_ANN_LSH = f"""
+WITH {_SQL_QUANTIZED},
+{_SQL_CHUNKS},
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+  WHERE a.vec_id % {QUERY_MOD} = 0 AND a.vec_id != b.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_cosine(
+             "list_reduce(list_transform(generate_series(1, len(a.qv)),"
+             " i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)",
+             "a.nn", "b.nn")} AS cosine
+  FROM cand c
+  JOIN qn a ON a.vec_id = c.query_id
+  JOIN qn b ON b.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in (
+        QuerySpec(
+            "similarity_topk_cosine", similarity_topk_cosine,
+            ORACLE_TOPK_COSINE,
+        ),
+        QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ORACLE_ANN_LSH),
+    )
+}

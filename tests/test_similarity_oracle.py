@@ -1,0 +1,49 @@
+"""Similarity search vs the DuckDB oracle at sf0.01, plus an ANN
+recall measurement against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_dbt_data_engineering_spark.operators.similarity import SPECS, TOP_K
+
+from .oracle_harness import compare
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_similarity_oracle_sf001(spark, name):
+    spec = SPECS[name]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+
+def test_topk_shape(spark):
+    rows = SPECS["similarity_topk_cosine"].spark(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == TOP_K for v in by_q.values())
+    for v in by_q.values():
+        ranks = sorted(r.rank for r in v)
+        assert ranks == list(range(1, TOP_K + 1))
+        by_rank = sorted(v, key=lambda r: r.rank)
+        cosines = [r.cosine for r in by_rank]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["similarity_topk_cosine"].spark(spark, SF).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["similarity_ann_lsh"].spark(spark, SF).collect()
+    }
+    recall = len(bf & ann) / len(bf)
+    # random near-orthogonal vectors: 4x4-bit banding retrieves ~23%
+    # of the table; recall well above that floor shows the buckets
+    # correlate with cosine. (Planted-cluster data would score higher.)
+    assert recall >= 0.25, f"ANN recall@10 {recall:.2f}"
