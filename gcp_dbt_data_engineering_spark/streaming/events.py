@@ -1,0 +1,211 @@
+"""Event-stream operators: windowed aggregation + sessionization.
+
+The reference's temporal model is micro-batch-by-schedule (Airflow
+cron + per-run ``fecha`` filters — ``tests/orchestrate.md:311-323``,
+``tests/dq_sql_notes.md:75``; SURVEY.md §2.7). This module keeps that
+batch surface (both specs run and oracle-check as batch queries) and
+adds the [EXT] Structured Streaming path over the same plan:
+``run_hourly_stream`` executes the identical windowed aggregation as a
+``readStream -> withWatermark -> window -> writeStream`` pipeline, so
+batch output == streaming output is an invariant the tests assert.
+
+Scale posture (100 TB):
+
+- Hourly windows: one shuffle on (window, event_type); partial aggs
+  map-side. In streaming, state is bounded by the 2h watermark —
+  late events beyond it are dropped deterministically.
+- Sessionization: the gap-and-island pattern — two analytic windows
+  over (user_id, ts) then one aggregate; a single hash partition by
+  user_id, no iteration. At 1000 executors the only concern is
+  user-key skew (bots) — salt or cap-events-per-user upstream.
+- Timestamps: parquet stores TIMESTAMP(NANOS); both engines land on
+  microseconds (sources.load_table: nanos DIV 1000), so interval
+  comparisons agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.spec import QuerySpec, money_sum, sql_money_sum
+from ..session import tune
+from ..sources import load_table, table_path
+
+WINDOW = "1 hour"
+SESSION_GAP = "INTERVAL 30 MINUTE"  # parses in both dialects
+WATERMARK = "2 hours"
+
+
+# ---------------------------------------------------------------------------
+# hourly tumbling windows (batch spec; the streaming plan's twin)
+# ---------------------------------------------------------------------------
+
+def _hourly_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
+    # exact distinct is not supported over streaming state; the stream
+    # variant degrades to HLL (documented; batch stays oracle-exact).
+    n_users = (
+        F.approx_count_distinct("user_id")
+        if streaming
+        else F.countDistinct("user_id")
+    )
+    return (
+        events.groupBy(
+            F.window("ts", WINDOW).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value"), "total_value"),
+            n_users.alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count, value, users."""
+    return _hourly_agg(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_HOURLY_WINDOWS = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")},
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gaps-and-islands, 30-minute inactivity gap)
+# ---------------------------------------------------------------------------
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats with a 30-minute inactivity gap.
+
+    lag → new-session flag → running sum (session id) → two hash
+    aggregates. All windows share one partitioning (user_id), so
+    Spark plans a single sort + exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    flagged = events.selectExpr(
+        "user_id",
+        "event_id",
+        "ts",
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,"
+        f" event_id) > {SESSION_GAP} THEN 1 ELSE 0 END AS new_sess",
+    )
+    sess = flagged.selectExpr(
+        "user_id",
+        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS session_id",
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+        F.expr("CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)").alias(
+            "avg_session_events"
+        ),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > {SESSION_GAP}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n
+  FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n) AS n_events,
+       MAX(n) AS max_session_events,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_session_events
+FROM per_sess
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming path (same plan, readStream -> writeStream)
+# ---------------------------------------------------------------------------
+
+def run_hourly_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "hourly_stream"
+) -> DataFrame:
+    """Run the hourly-window aggregation as a Structured Stream.
+
+    ``readStream`` over the events parquet (file source discovers the
+    single file via pathGlobFilter), the nanos→timestamp projection
+    from ``sources.load_table``, a 2-hour watermark bounding state,
+    the *same* ``_hourly_agg`` plan, and an available-now trigger into
+    a memory sink. Complete output mode keeps every window observable
+    for the batch-equality test; a production append sink would rely
+    on the watermark to finalize windows instead.
+    """
+    tune(spark)  # nanosAsLong etc. must be set before schema inference
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (LTZ); session TZ is UTC, so window
+    # boundaries and formatted strings match the batch NTZ plan.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = _hourly_agg(stream.withWatermark("ts", WATERMARK), streaming=True)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in (
+        QuerySpec(
+            "events_hourly_windows",
+            events_hourly_windows,
+            ORACLE_HOURLY_WINDOWS,
+        ),
+        QuerySpec("events_sessionize", events_sessionize, ORACLE_SESSIONIZE),
+    )
+}

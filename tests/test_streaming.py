@@ -1,0 +1,44 @@
+"""Streaming module: batch specs vs the DuckDB oracle at sf0.01, and
+the Structured Streaming pipeline's equality with its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_dbt_data_engineering_spark.streaming.events import (
+    SPECS,
+    events_hourly_windows,
+    run_hourly_stream,
+)
+
+from .oracle_harness import compare
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_streaming_batch_oracle_sf001(spark, name):
+    spec = SPECS[name]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+
+def test_stream_equals_batch(spark):
+    """readStream→watermark→window→memory-sink == the batch plan
+    (exact columns; n_users is HLL in streaming, exact in batch)."""
+    exact = lambda r: (r.window_start, r.event_type, r.n_events, r.total_value)
+    batch = {exact(r) for r in events_hourly_windows(spark, SF).collect()}
+    stream = {
+        exact(r)
+        for r in run_hourly_stream(spark, SF, query_name="t_stream").collect()
+    }
+    assert stream == batch
+    assert len(batch) > 100
+
+
+def test_sessionize_invariants(spark):
+    rows = SPECS["events_sessionize"].spark(spark, SF).collect()
+    assert sum(r.n_events for r in rows) == 10_000  # every event in a session
+    for r in rows:
+        assert 1 <= r.n_sessions <= r.n_events
+        assert r.max_session_events <= r.n_events
