@@ -329,6 +329,72 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental materialization demo: a daily event-revenue model built in
+# four partition-overwrite runs (three day-range slices + one overlapping
+# re-run proving idempotence). The final table must equal the one-shot
+# aggregate — the invariant dbt incremental models promise. At 100 TB a
+# daily run rewrites only that day's partitions (dynamic
+# partitionOverwriteMode), never the table.
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_MODEL: dict[str, str] = {
+    "daily_event_revenue": """
+{{ config(materialized='incremental', partition_by='event_date') }}
+select cast(cast(ts as date) as string) as event_date,
+       event_type,
+       count(*) as n_events,
+       cast(sum(cast(value as decimal(22,6))) as double) as total_value
+from events_batch
+group by 1, 2
+""",
+}
+
+#: [lo, hi) ts slices simulating scheduled daily-range runs; the last
+#: overlaps the second — partition overwrite makes the re-run a no-op.
+INCREMENTAL_SLICES = (
+    ("2024-01-01", "2024-01-11"),
+    ("2024-01-11", "2024-01-21"),
+    ("2024-01-21", "2024-02-01"),
+    ("2024-01-14", "2024-01-16"),
+)
+
+
+def model_incremental_daily_revenue(
+    spark: SparkSession, sf_dir: str,
+    warehouse_dir: str = "/root/repo/.artifacts/warehouse_incr",
+) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(warehouse_dir, ignore_errors=True)
+    events = register_all(spark, sf_dir, tables=("events",))["events"]
+    graph = ModelGraph(INCREMENTAL_MODEL, warehouse_dir=warehouse_dir)
+    for lo, hi in INCREMENTAL_SLICES:
+        events.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        ).createOrReplaceTempView("events_batch")
+        graph.run(spark)
+    return spark.read.parquet(f"{warehouse_dir}/daily_event_revenue").select(
+        F.col("event_date").cast("string").alias("event_date"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE_INCREMENTAL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dbt_example_models": QuerySpec(
         "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
@@ -342,5 +408,10 @@ SPECS: dict[str, QuerySpec] = {
         "model_pipeline_segment_summary", model_pipeline_segment_summary,
         ORACLE_MODEL_PIPELINE,
         "raw→staging→fact→mart ref() DAG over driver tables",
+    ),
+    "model_incremental_daily_revenue": QuerySpec(
+        "model_incremental_daily_revenue", model_incremental_daily_revenue,
+        ORACLE_INCREMENTAL,
+        "incremental partition-overwrite materialization in 4 sliced runs",
     ),
 }
