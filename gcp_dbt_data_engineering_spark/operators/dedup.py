@@ -57,14 +57,28 @@ SHINGLE_N = 3
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle-hash) rows — the inverted-index input."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Distinct (doc_id, shingle-hash) rows — the inverted-index input.
+
+    Persisted: every consumer references this relation 2-4 times (pair
+    join sides, set sizes, verification), and without a cache Spark
+    re-runs the interpreted shingle hashing per branch. At warehouse
+    scale this is the intermediate you materialize to parquet once per
+    corpus snapshot instead.
+    """
+    # the documents table arrives as one small parquet file -> one
+    # partition; spread rows across cores BEFORE the CPU-heavy hashing
+    # projection (hash-partitioning by doc_id also pre-aligns the
+    # later per-doc aggregates).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         docs.selectExpr(
             "doc_id", f"{th.shingle_hashes('text', SHINGLE_N, 'spark')} AS hs"
         )
         .select("doc_id", F.explode("hs").alias("h"))
         .distinct()
+        .persist()
     )
 
 
@@ -159,13 +173,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    pairs = (
+    # one row per (pair, shared shingle) -> counting them IS the
+    # intersection size; never materialize a pair list to re-join.
+    inter = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    return _jaccard_pairs(pairs, sh, JACCARD_T)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(sz.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
 
 
 ORACLE_NGRAM_JACCARD = f"""

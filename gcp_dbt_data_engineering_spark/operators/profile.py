@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
-from ..sources import TABLE_DTYPES, load_table
+from ..sources import TABLE_DTYPES, load_table, spread
 
 NUMERIC_KINDS = {"float", "int"}
 
@@ -40,8 +40,19 @@ NUMERIC_KINDS = {"float", "int"}
 def _column_stats(
     df: DataFrame, table: str, dtypes: dict[str, str]
 ) -> DataFrame:
-    """One agg pass → one long-format row per column."""
+    """Two agg passes → one long-format row per column.
+
+    Pass split matters: the multi-``countDistinct`` agg plans an
+    Expand (one row copy per distinct column), and if ANY agg in the
+    same pass has an immutable buffer type (``min``/``max`` on
+    strings), Spark downgrades the whole thing from HashAggregate to
+    SortAggregate — sorting rows x (columns+1). Keeping string
+    min/max in their own Expand-free pass leaves the expensive
+    distinct pass hash-aggregated; the two one-row results cross-join
+    for free.
+    """
     aggs = [F.count(F.lit(1)).alias("__total")]
+    str_aggs = []
     for c, kind in dtypes.items():
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
@@ -57,16 +68,18 @@ def _column_stats(
                 .alias(f"__sumsq_{c}")
             )
         elif kind == "string":
-            aggs.append(F.min(F.col(c)).alias(f"__min_s_{c}"))
-            aggs.append(F.max(F.col(c)).alias(f"__max_s_{c}"))
+            str_aggs.append(F.min(F.col(c)).alias(f"__min_s_{c}"))
+            str_aggs.append(F.max(F.col(c)).alias(f"__max_s_{c}"))
         elif kind == "date":
-            aggs.append(
+            str_aggs.append(
                 F.min(F.col(c).cast("date")).cast("string").alias(f"__min_s_{c}")
             )
-            aggs.append(
+            str_aggs.append(
                 F.max(F.col(c).cast("date")).cast("string").alias(f"__max_s_{c}")
             )
     base = df.agg(*aggs)
+    if str_aggs:
+        base = base.crossJoin(df.agg(*str_aggs))
 
     structs = []
     for c, kind in dtypes.items():
@@ -144,7 +157,10 @@ class SimpleDataProfiler:
     ) -> DataFrame:
         parts = []
         for t in tables:
-            df = load_table(self.spark, sf_dir, t)
+            # spread: the multi-countDistinct agg expands rows several-
+            # fold; an unsplittable single-partition scan would run
+            # that expansion on one core (see sources.spread).
+            df = spread(load_table(self.spark, sf_dir, t))
             if fecha and date_column and date_column in df.columns:
                 df = df.filter(F.col(date_column).cast("date") == F.lit(fecha))
             dtypes = {

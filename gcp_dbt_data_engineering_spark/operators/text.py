@@ -282,7 +282,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-dup detector). ``n_docs_same_fp`` counts docs sharing
     ``fp_min`` via a window — a cheap near-dup signal.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # single-file table -> repartition so the per-char hash folds run
+    # on all cores, not one.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     per_doc = docs.selectExpr(
         "doc_id",
         f"array_min({th.char_shingle_hashes('lower(text)', FP_GRAM, 'spark')})"

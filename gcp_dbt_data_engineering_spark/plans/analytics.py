@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 from .spec import QuerySpec, money_avg, money_sum, sql_money_avg, sql_money_sum
 
 
@@ -82,7 +82,9 @@ GROUP BY r_name
 # ---------------------------------------------------------------------------
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(
+    # spread: 8 decimal partial-aggs per row dominate; an unsplittable
+    # single-row-group scan would serialize them on one core.
+    li = spread(_t(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -3,5 +3,6 @@ from .registry import (  # noqa: F401
     TABLES,
     load_table,
     register_all,
+    spread,
     table_path,
 )

@@ -105,6 +105,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition when the source cannot be split.
+
+    The driver test files are single-row-group parquet, so Spark reads
+    each table as ONE partition and any CPU-heavy aggregate runs on
+    one core. This helper pays one cheap shuffle to spread rows across
+    the cluster when (and only when) the scan came back under-split;
+    real multi-row-group/multi-file lakes split at the scan and skip
+    the shuffle entirely.
+    """
+    sc = df.sparkSession.sparkContext
+    n = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, n // 2):
+        return df.repartition(n)
+    return df
+
+
 def register_all(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
