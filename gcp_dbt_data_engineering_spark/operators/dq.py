@@ -38,6 +38,7 @@ Reference semantic traps handled (SURVEY.md §7 risk register):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -149,7 +150,16 @@ def compile_checks(
         if rule in FORMAT_REGEX_RULES:
             # NULLs don't count: rlike(NULL) is NULL → when() skips it,
             # matching the reference's filter() semantics.
-            checks.append(_Check(~F.col(col).rlike(FORMAT_REGEX_RULES[rule]), **meta))
+            # regex rules apply to the string form: numeric ids (e.g.
+            # the reference's numeric_11 rut check) cast first, exactly
+            # as the oracle does (bigint→string is identical text in
+            # both engines).
+            checks.append(
+                _Check(
+                    ~F.col(col).cast("string").rlike(FORMAT_REGEX_RULES[rule]),
+                    **meta,
+                )
+            )
         elif rule == "positive":
             checks.append(_Check(F.col(col) <= 0, **meta))
         elif rule == "not_empty":
@@ -412,7 +422,10 @@ def compile_oracle_sql(config: dict[str, Any]) -> str:
         )
     for col, rule in tests.get("format", {}).items():
         if rule in FORMAT_REGEX_RULES:
-            viol = f"NOT regexp_matches({col}, '{FORMAT_REGEX_RULES[rule]}')"
+            viol = (
+                f"NOT regexp_matches(CAST({col} AS VARCHAR),"
+                f" '{FORMAT_REGEX_RULES[rule]}')"
+            )
         elif rule == "positive":
             viol = f"{col} <= 0"
         elif rule == "not_empty":
@@ -535,6 +548,37 @@ EVENTS_DQ_CONFIG: dict[str, Any] = {
 }
 
 
+def load_job_config(path: str) -> dict[str, Any]:
+    """Load a YAML (or JSON) DQ job config — reference S8
+    (``tests/orchestrate.md:221-242``: GCS blob → yaml.safe_load →
+    JSON job arg). Local file replaces the GCS blob; the engine
+    consumes the same dict either way, pre-screened by the security
+    validator at run time.
+    """
+    import json
+
+    import yaml
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return json.loads(text)
+
+
+ORDERS_YAML_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "configs",
+    "dq_orders_daily.yaml",
+)
+
+
+def dq_yaml_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference E2 flow: YAML template → validate → engine."""
+    return DQEngine(spark).run(load_job_config(ORDERS_YAML_PATH), sf_dir=sf_dir)
+
+
 def dq_customer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=sf_dir)
 
@@ -555,5 +599,11 @@ SPECS: dict[str, QuerySpec] = {
         dq_events_daily_slice,
         compile_oracle_sql(EVENTS_DQ_CONFIG),
         "fecha-sliced DQ job over the events stream table (reference E2 flow)",
+    ),
+    "dq_yaml_orders_daily": QuerySpec(
+        "dq_yaml_orders_daily",
+        dq_yaml_orders_daily,
+        compile_oracle_sql(load_job_config(ORDERS_YAML_PATH)),
+        "YAML job template -> validator -> DQ engine (reference S8+E2)",
     ),
 }

@@ -400,9 +400,72 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# price tolerance audit — the reference's J1 shape verbatim
+# (dq_sql_notes.md:35-43: LEFT JOIN on the reference/dim table, then a
+# theta post-filter ABS(actual - standard) > tolerance), mapped to
+# lineitem unit prices vs the part list price. A missing dim row counts
+# as a violation (the left join's reason for existing). The dim side is
+# broadcast; violations fold into one conditional agg per brand rather
+# than a second scan.
+# ---------------------------------------------------------------------------
+
+TOLERANCE_FACTOR = 0.5
+
+
+def price_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    dev = F.abs(
+        F.col("l_extendedprice") / F.col("l_quantity") - F.col("p_retailprice")
+    )
+    viol = F.col("p_partkey").isNull() | (
+        dev > F.lit(TOLERANCE_FACTOR) * F.col("p_retailprice")
+    )
+    return (
+        li.join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("p_brand"), F.lit("UNKNOWN")).alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.count(F.when(viol, 1)).alias("n_violations"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN p_partkey IS NULL OR "
+                f"ABS(l_extendedprice / l_quantity - p_retailprice) > "
+                f"{TOLERANCE_FACTOR} * p_retailprice THEN 1 END) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("violation_rate"),
+        )
+    )
+
+
+ORACLE_PRICE_TOLERANCE = f"""
+SELECT COALESCE(p_brand, 'UNKNOWN') AS brand,
+       COUNT(*) AS n_lineitems,
+       COUNT(CASE WHEN p_partkey IS NULL OR
+                  ABS(l_extendedprice / l_quantity - p_retailprice)
+                    > {TOLERANCE_FACTOR} * p_retailprice THEN 1 END)
+         AS n_violations,
+       CAST(COUNT(CASE WHEN p_partkey IS NULL OR
+                  ABS(l_extendedprice / l_quantity - p_retailprice)
+                    > {TOLERANCE_FACTOR} * p_retailprice THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS violation_rate
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("price_tolerance_audit", price_tolerance_audit,
+                  ORACLE_PRICE_TOLERANCE,
+                  "left join + ABS tolerance post-filter (reference J1)"),
         QuerySpec("revenue_by_region", revenue_by_region, ORACLE_REVENUE_BY_REGION,
                   "flagship: fact ⋈ broadcast-dim star join + agg (Q5 shape)"),
         QuerySpec("pricing_summary", pricing_summary, ORACLE_PRICING_SUMMARY,
