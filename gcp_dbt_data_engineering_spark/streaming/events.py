@@ -171,26 +171,85 @@ def run_hourly_stream(
     for the batch-equality test; a production append sink would rely
     on the watermark to finalize windows instead.
     """
-    tune(spark)  # nanosAsLong etc. must be set before schema inference
+    # _event_stream yields TIMESTAMP (LTZ) — watermarks require it;
+    # session TZ is UTC, so window boundaries and formatted strings
+    # match the batch NTZ plan.
+    stream = _event_stream(spark, sf_dir)
+    agg = _hourly_agg(stream.withWatermark("ts", WATERMARK), streaming=True)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events parquet with the ts projection."""
+    tune(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # watermarks require TIMESTAMP (LTZ); session TZ is UTC, so window
-    # boundaries and formatted strings match the batch NTZ plan.
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(ts DIV 1000)")
         )
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = _hourly_agg(stream.withWatermark("ts", WATERMARK), streaming=True)
+    return stream
+
+
+def run_user_totals_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "user_totals_stream"
+) -> DataFrame:
+    """Per-user running totals via ``applyInPandasWithState``.
+
+    The custom-stateful-operator shape: state is an explicit
+    (n_events, total_value) tuple per user key, updated from Arrow
+    batches and re-emitted each trigger ('update' mode). This is the
+    seam where arbitrary per-key logic (session models, CUSUM
+    drift detectors, rate limiters) plugs into the stream; bounded
+    here by NoTimeout since the demo source is finite.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    out = _event_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n_events bigint, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
     query = (
-        agg.writeStream.format("memory")
+        out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

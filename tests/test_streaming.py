@@ -36,6 +36,32 @@ def test_stream_equals_batch(spark):
     assert len(batch) > 100
 
 
+def test_stateful_user_totals_equals_batch(spark):
+    """applyInPandasWithState running totals == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_user_totals_stream,
+    )
+
+    res = run_user_totals_stream(spark, SF, query_name="t_user_totals")
+    s = {r.user_id: (r.n_events, r.total_value) for r in res.collect()}
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    b = {r.user_id: (r.n, r.tv) for r in batch}
+    assert set(s) == set(b) and len(b) == 150
+    assert all(s[k][0] == b[k][0] for k in b)
+    # double sums accumulate in different orders across the two plans
+    assert all(
+        abs(s[k][1] - b[k][1]) <= 1e-6 * max(1.0, abs(b[k][1])) for k in b
+    )
+
+
 def test_sessionize_invariants(spark):
     rows = SPECS["events_sessionize"].spark(spark, SF).collect()
     assert sum(r.n_events for r in rows) == 10_000  # every event in a session
