@@ -266,9 +266,49 @@ ORACLE_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+HIST_BUCKETS = 10
+
+
+def profile_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width o_totalprice histogram (``calculate_histograms``
+    flag of the reference profiler config)."""
+    df = load_table(spark, sf_dir, "orders")
+    return profile_histogram(df, "o_totalprice", HIST_BUCKETS).select(
+        "bucket", "n", "bucket_lo", "bucket_hi"
+    )
+
+
+#: width/bounds arithmetic mirrors profile_histogram exactly: lo/hi are
+#: exact doubles, width = (hi-lo)/buckets, bucket = least(floor(...)),
+#: so both engines bucket and label identically.
+ORACLE_HISTOGRAM = f"""
+WITH mm AS (
+  SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+  FROM orders),
+b AS (
+  SELECT LEAST(CAST(floor((o_totalprice - lo)
+                    / ((hi - lo) / {HIST_BUCKETS})) AS INT),
+               {HIST_BUCKETS - 1}) AS bucket,
+         lo, hi
+  FROM orders, mm
+  WHERE o_totalprice IS NOT NULL)
+SELECT bucket, COUNT(*) AS n,
+       lo + bucket * ((hi - lo) / {HIST_BUCKETS}) AS bucket_lo,
+       lo + (bucket + 1) * ((hi - lo) / {HIST_BUCKETS}) AS bucket_hi
+FROM b
+GROUP BY bucket, lo, hi
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "profile_core_tables": QuerySpec(
         "profile_core_tables", profile_core_tables, ORACLE_PROFILE,
         "single-agg-pass column profiler over 4 tables, long format",
+    ),
+    "profile_histogram_orders": QuerySpec(
+        "profile_histogram_orders", profile_histogram_orders,
+        ORACLE_HISTOGRAM,
+        "equi-width histogram (calculate_histograms profiler flag)",
     ),
 }
