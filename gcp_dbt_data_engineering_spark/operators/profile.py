@@ -178,6 +178,14 @@ class SimpleDataProfiler:
             "environment", F.lit(environment)
         )
 
+    def append_history(self, df: DataFrame, path: str) -> None:
+        """Append a profile run to the history table — the reference's
+        BigQuery APPEND sink (``tests/profiling_example.py:24-28``,
+        SURVEY.md §2.1 S2) over parquet. Long-format rows + stable
+        schema make daily runs accumulate into one queryable history.
+        """
+        df.write.mode("append").parquet(path)
+
 
 def profile_histogram(
     df: DataFrame, column: str, buckets: int = 10
