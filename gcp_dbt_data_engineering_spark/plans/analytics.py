@@ -460,9 +460,51 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# salted two-stage aggregation — the skew-mitigation idiom made explicit.
+# events has only 5 event_type values: at 100 TB a plain groupBy sends
+# 1/5th of the table to one reducer. Salting appends a shard key to the
+# hot group key for the partial stage, then a cheap second aggregate
+# over 5 x SALT rows removes it. Results are exactly the plain-agg
+# results (counts and decimal-exact sums re-aggregate losslessly), so
+# the oracle is the unsalted SQL. AQE's skew handling covers joins;
+# this pattern covers skewed aggregation keys.
+# ---------------------------------------------------------------------------
+
+SALT = 16
+
+
+def events_type_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % SALT).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
+
+
+ORACLE_SALTED = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")}
+FROM events
+GROUP BY event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("events_type_value_salted", events_type_value_salted,
+                  ORACLE_SALTED,
+                  "salted two-stage agg over skewed keys == plain agg"),
         QuerySpec("price_tolerance_audit", price_tolerance_audit,
                   ORACLE_PRICE_TOLERANCE,
                   "left join + ABS tolerance post-filter (reference J1)"),

@@ -257,6 +257,56 @@ def run_user_totals_stream(
     return spark.table(query_name)
 
 
+# ---------------------------------------------------------------------------
+# streaming DQ: the batch DQ engine applied per micro-batch
+# ---------------------------------------------------------------------------
+
+def run_dq_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    config: dict | None = None,
+    results_path: str = "/root/repo/.artifacts/dq_stream_results",
+) -> DataFrame:
+    """Run the config-driven DQ suite over the event stream.
+
+    ``foreachBatch`` hands each micro-batch to the unchanged batch
+    ``DQEngine`` (the reference's E2 compiler), and the
+    results-as-data rows append into a history table keyed by
+    batch_id — continuous data quality from the same config surface
+    the scheduled jobs use. Late/reprocessed batches just append new
+    result rows; the history table is the audit log.
+    """
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from ..operators.dq import EVENTS_DQ_CONFIG, DQEngine
+
+    if config is None:
+        config = {
+            k: v
+            for k, v in EVENTS_DQ_CONFIG.items()
+            if k not in ("fecha", "date_column")  # whole-batch checks
+        }
+    shutil.rmtree(results_path, ignore_errors=True)
+    engine = DQEngine(spark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = engine.run(config, df=batch_df).withColumn(
+            "batch_id", SF.lit(batch_id)
+        )
+        out.write.mode("append").parquet(results_path)
+
+    query = (
+        _event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(results_path)
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (

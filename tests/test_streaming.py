@@ -62,6 +62,28 @@ def test_stateful_user_totals_equals_batch(spark):
     )
 
 
+def test_streaming_dq_equals_batch_dq(spark):
+    """foreachBatch + DQEngine over the stream == batch DQ run."""
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        EVENTS_DQ_CONFIG,
+        DQEngine,
+    )
+    from gcp_dbt_data_engineering_spark.streaming.events import run_dq_stream
+
+    cfg = {
+        k: v
+        for k, v in EVENTS_DQ_CONFIG.items()
+        if k not in ("fecha", "date_column")
+    }
+    key = lambda r: (r.test_name, r.failed_records, r.total_records, r.status)
+    stream_rows = sorted(key(r) for r in run_dq_stream(spark, SF).collect())
+    batch_rows = sorted(
+        key(r) for r in DQEngine(spark).run(cfg, sf_dir=SF).collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 10
+
+
 def test_sessionize_invariants(spark):
     rows = SPECS["events_sessionize"].spark(spark, SF).collect()
     assert sum(r.n_events for r in rows) == 10_000  # every event in a session
