@@ -290,6 +290,140 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN (coarse quantizer -> probe -> exact re-rank)
+# ---------------------------------------------------------------------------
+
+N_PROBE = 3  # clusters searched per query
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbours via inverted-file (IVF) search.
+
+    The ``label`` column plays the coarse quantizer's cluster
+    assignment (at 100 TB it would come from k-means and the table
+    would be partitioned by it). Centroids are floor-averaged
+    quantized vectors — exact integer arithmetic, so the oracle
+    reproduces probing decisions bit-for-bit. Each query scans only
+    its 3 nearest clusters (by integer L2 to the centroid), then
+    exact cosine re-ranks the candidates: the IVF trade of recall
+    for a bounded fraction of the table scanned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = _quantized(spark, sf_dir)
+    labeled = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    vecs = base.join(labeled, "vec_id")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(pdf["q"].tolist(), dtype=np.int64)
+        # floor of the exact double division — mirrors the SQL oracle
+        c = np.floor(X.sum(axis=0).astype(np.float64) / len(X)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {"label": [int(pdf["label"].iloc[0])], "c": [c.tolist()]}
+        )
+
+    cents = vecs.groupBy("label").applyInPandas(
+        centroid, schema="label bigint, c array<bigint>"
+    )
+
+    queries = vecs.filter((F.col("vec_id") % QUERY_MOD) == 0).selectExpr(
+        "vec_id AS query_id", "q AS qa", "nn AS na"
+    )
+    # probe: integer L2 to every centroid (tiny cross join), keep 3
+    l2 = F.broadcast(queries).crossJoin(F.broadcast(cents)).selectExpr(
+        "query_id",
+        "qa",
+        "na",
+        "label",
+        "aggregate(zip_with(qa, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS l2",
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("label"))
+    probes = (
+        l2.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "qa", "na", "label")
+    )
+    # search only the probed clusters, exact cosine re-rank
+    scored = F.broadcast(probes).join(
+        vecs.selectExpr("vec_id AS neighbor_id", "q AS qb", "nn AS nb",
+                        "label"),
+        "label",
+    ).filter(F.col("query_id") != F.col("neighbor_id")).selectExpr(
+        "query_id",
+        "neighbor_id",
+        _cosine(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+            "na",
+            "nb",
+        )
+        + " AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH {_SQL_QUANTIZED},
+lv AS (
+  SELECT qn.vec_id, qn.qv, qn.nn, e.label
+  FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id),
+edim AS (
+  SELECT vec_id, label, unnest(qv) AS x, generate_subscripts(qv, 1) AS i
+  FROM lv),
+cents AS (
+  SELECT label, i,
+         CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM edim GROUP BY label, i),
+qrys AS (
+  SELECT vec_id AS query_id, qv AS qa, nn AS na, label
+  FROM lv WHERE vec_id % {QUERY_MOD} = 0),
+l2 AS (
+  SELECT q.query_id, c.label,
+         SUM((qd.x - c.c) * (qd.x - c.c)) AS l2
+  FROM qrys q
+  JOIN edim qd ON qd.vec_id = q.query_id
+  JOIN cents c ON c.i = qd.i
+  GROUP BY q.query_id, c.label),
+probes AS (
+  SELECT query_id, label
+  FROM (SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY l2 ASC, label ASC) AS pr
+        FROM l2)
+  WHERE pr <= {N_PROBE}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {_cosine(
+             "list_reduce(list_transform(generate_series(1, len(q.qa)),"
+             " i -> q.qa[i] * b.qv[i]), (x, y) -> x + y)",
+             "q.na", "b.nn")} AS cosine
+  FROM probes p
+  JOIN qrys q ON q.query_id = p.query_id
+  JOIN lv b ON b.label = p.label AND b.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -298,5 +432,6 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_TOPK_COSINE,
         ),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ORACLE_ANN_LSH),
+        QuerySpec("similarity_ann_ivf", similarity_ann_ivf, ORACLE_ANN_IVF),
     )
 }

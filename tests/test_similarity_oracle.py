@@ -47,3 +47,12 @@ def test_ann_recall_vs_bruteforce(spark):
     # of the table; recall well above that floor shows the buckets
     # correlate with cosine. (Planted-cluster data would score higher.)
     assert recall >= 0.25, f"ANN recall@10 {recall:.2f}"
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["similarity_ann_ivf"].spark(spark, SF).collect()
+    }
+    ivf_recall = len(bf & ivf) / len(bf)
+    # probes 3 of 10 clusters -> 30% of the table scanned; recall above
+    # that floor shows centroid probing correlates with cosine.
+    assert ivf_recall >= 0.35, f"IVF recall@10 {ivf_recall:.2f}"
