@@ -548,6 +548,64 @@ EVENTS_DQ_CONFIG: dict[str, Any] = {
 }
 
 
+def apply_thresholds(results: DataFrame, config: dict[str, Any]) -> DataFrame:
+    """Threshold verdicts over the results table — reference A6
+    (``example_templates.yaml:51-54``: ``completeness_threshold``,
+    ``max_failure_rate``). A failing check whose failure rate stays
+    within ``max_failure_rate`` percent downgrades to WARN; a
+    completeness check under ``completeness_threshold`` percent
+    coverage is always FAIL regardless of tolerance. Post-processing
+    over the results DataFrame — the check pass itself stays
+    single-scan.
+    """
+    th = config.get("quality_thresholds", {})
+    max_rate = float(th.get("max_failure_rate", 0.0)) / 100.0
+    comp_min = float(th.get("completeness_threshold", 100.0)) / 100.0
+    return results.withColumn(
+        "verdict",
+        F.when(F.col("status") == "SKIPPED", "SKIPPED")
+        .when(F.col("failed_records") == 0, "PASS")
+        .when(
+            (F.col("test_category") == "completeness")
+            & (1.0 - F.col("failure_rate") < F.lit(comp_min)),
+            "FAIL",
+        )
+        .when(F.col("failure_rate") <= F.lit(max_rate), "WARN")
+        .otherwise("FAIL"),
+    )
+
+
+def route_notifications(
+    results_rows: list, config: dict[str, Any]
+) -> list[dict[str, Any]]:
+    """Compile verdicts into notification payloads — the reference's
+    ``notifications.on_failure`` / ``on_warning`` routing
+    (``example_templates.yaml:6-8``). Pure function: returns payload
+    dicts; the delivery transport (email/SMTP there) stays a seam.
+    """
+    notif = config.get("notifications", {})
+    out: list[dict[str, Any]] = []
+    fails = [r for r in results_rows if r["verdict"] == "FAIL"]
+    warns = [r for r in results_rows if r["verdict"] == "WARN"]
+    if fails and notif.get("on_failure"):
+        out.append(
+            {
+                "recipients": list(notif["on_failure"]),
+                "level": "failure",
+                "tests": sorted(r["test_name"] for r in fails),
+            }
+        )
+    if warns and notif.get("on_warning"):
+        out.append(
+            {
+                "recipients": list(notif["on_warning"]),
+                "level": "warning",
+                "tests": sorted(r["test_name"] for r in warns),
+            }
+        )
+    return out
+
+
 def load_job_config(path: str) -> dict[str, Any]:
     """Load a YAML (or JSON) DQ job config — reference S8
     (``tests/orchestrate.md:221-242``: GCS blob → yaml.safe_load →

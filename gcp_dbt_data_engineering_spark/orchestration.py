@@ -1,0 +1,130 @@
+"""Job orchestration layer — reference E2 steps 1-2 re-expressed.
+
+The reference builds Airflow DAGs from a factory
+(``tests/orchestrate.md:256-306``: ``create_dq_dag(dag_id, schedule,
+...)`` with ``load_job_config -> submit PySpark job`` tasks, retry
+policy ``tests/orchestrate.md:251-252``, and a fixed daily ordering —
+profiling at 7AM before DQ at 9AM, ``tests/profiling_example.py:61-67``).
+
+This module models the same surface without the Airflow dependency:
+jobs are *data* (name, cron schedule string, dependencies, retry
+policy) plus a callable, and :class:`LocalScheduler` executes one
+logical date's worth of jobs in dependency order with retries — the
+shape a real deployment hands to Airflow/Dataproc (each ``fn`` becomes
+a task; ``schedule`` and ``retries`` map onto the operator kwargs
+verbatim).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any
+
+
+@dataclass
+class JobSpec:
+    name: str
+    fn: Callable[..., Any]
+    schedule: str = "0 9 * * *"  # cron text, carried as metadata
+    depends_on: list[str] = field(default_factory=list)
+    retries: int = 1  # reference default_args: 1 retry
+    retry_delay_s: float = 0.0  # 300s in the reference; 0 for tests
+
+
+@dataclass
+class JobResult:
+    name: str
+    status: str  # SUCCESS | FAILED
+    attempts: int
+    result: Any = None
+    error: str | None = None
+
+
+class LocalScheduler:
+    """Run a DAG of jobs for one logical date, honoring dependencies
+    and per-job retry policy. A job whose dependency failed is
+    SKIPPED (Airflow's default trigger rule)."""
+
+    def __init__(self, jobs: list[JobSpec]):
+        names = [j.name for j in jobs]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate job names")
+        self.jobs = {j.name: j for j in jobs}
+        unknown = {
+            d for j in jobs for d in j.depends_on if d not in self.jobs
+        }
+        if unknown:
+            raise ValueError(f"unknown dependencies: {sorted(unknown)}")
+
+    def topo_order(self) -> list[str]:
+        ts = TopologicalSorter(
+            {n: list(j.depends_on) for n, j in self.jobs.items()}
+        )
+        return list(ts.static_order())
+
+    def run(self, **kwargs: Any) -> dict[str, JobResult]:
+        out: dict[str, JobResult] = {}
+        for name in self.topo_order():
+            job = self.jobs[name]
+            if any(out[d].status != "SUCCESS" for d in job.depends_on):
+                out[name] = JobResult(name, "SKIPPED", 0)
+                continue
+            attempts = 0
+            last_err: str | None = None
+            result = None
+            while attempts <= job.retries:
+                attempts += 1
+                try:
+                    result = job.fn(**kwargs)
+                    last_err = None
+                    break
+                except Exception as ex:  # noqa: BLE001 — retry boundary
+                    last_err = f"{type(ex).__name__}: {ex}"
+                    if attempts <= job.retries and job.retry_delay_s:
+                        time.sleep(job.retry_delay_s)
+            out[name] = JobResult(
+                name,
+                "SUCCESS" if last_err is None else "FAILED",
+                attempts,
+                result=result,
+                error=last_err,
+            )
+        return out
+
+
+def daily_pipeline(sf_dir: str) -> list[JobSpec]:
+    """The reference's daily ordering: profiling before DQ, DQ jobs
+    fan out per table config (orchestrate.md:311-323 schedules)."""
+    from .operators.dq import (
+        CUSTOMER_DQ_CONFIG,
+        EVENTS_DQ_CONFIG,
+        DQEngine,
+    )
+    from .operators.profile import PROFILE_TABLES, SimpleDataProfiler
+
+    def profiling(spark):
+        p = SimpleDataProfiler(spark)
+        return p.with_run_metadata(
+            p.profile_multiple_tables(PROFILE_TABLES, sf_dir)
+        )
+
+    def dq_customer(spark):
+        return DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=sf_dir)
+
+    def dq_events(spark):
+        return DQEngine(spark).run(EVENTS_DQ_CONFIG, sf_dir=sf_dir)
+
+    return [
+        JobSpec("data_profiling", profiling, schedule="0 7 * * *"),
+        JobSpec(
+            "dq_customer", dq_customer, schedule="0 9 * * *",
+            depends_on=["data_profiling"],
+        ),
+        JobSpec(
+            "dq_events", dq_events, schedule="0 9 * * *",
+            depends_on=["data_profiling"],
+        ),
+    ]
