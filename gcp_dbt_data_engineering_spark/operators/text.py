@@ -313,9 +313,79 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# lexicon-based sentiment (SURVEY.md §2.6 F7: "lexicon join for
+# sentiment"). The corpus vocabulary is database jargon, so the
+# lexicons map speed/size connotations; the deliverable is the
+# deterministic scoring plumbing (explode-free membership counting,
+# fixed-order ratio arithmetic), reproduced exactly by the oracle.
+# ---------------------------------------------------------------------------
+
+POSITIVE_WORDS = ("fast", "small", "value")
+NEGATIVE_WORDS = ("slow", "big", "error")
+
+
+def _polarity_counts(ws: str, dialect: str) -> tuple[str, str]:
+    flt = "filter" if dialect == "spark" else "list_filter"
+    pos_in = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg_in = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    pos = _size(f"{flt}({ws}, w -> w IN ({pos_in}))", dialect)
+    neg = _size(f"{flt}({ws}, w -> w IN ({neg_in}))", dialect)
+    return pos, neg
+
+
+_POLARITY = (
+    "CASE WHEN n_pos > n_neg THEN 'positive'"
+    " WHEN n_neg > n_pos THEN 'negative' ELSE 'neutral' END"
+)
+
+
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentiment: lexicon hit counts -> signed score -> label.
+
+    score = (pos - neg) / (pos + neg + 1): bounded, smooth near zero,
+    integer inputs so the double division is deterministic.
+    """
+    pos, neg = _polarity_counts("ws", "spark")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"{th.words('text', 'spark')} AS ws")
+        .selectExpr("doc_id", f"{pos} AS n_pos", f"{neg} AS n_neg")
+        .selectExpr(
+            "doc_id",
+            "n_pos",
+            "n_neg",
+            "CAST(n_pos - n_neg AS DOUBLE) / CAST(n_pos + n_neg + 1"
+            " AS DOUBLE) AS sentiment_score",
+            f"{_POLARITY} AS polarity",
+        )
+    )
+
+
+def _oracle_sentiment() -> str:
+    pos, neg = _polarity_counts("ws", "duck")
+    return f"""
+WITH w AS (
+  SELECT doc_id, {th.words('text', 'duck')} AS ws FROM documents),
+counts AS (
+  SELECT doc_id, {pos} AS n_pos, {neg} AS n_neg FROM w)
+SELECT doc_id, n_pos, n_neg,
+       CAST(n_pos - n_neg AS DOUBLE) / CAST(n_pos + n_neg + 1 AS DOUBLE)
+         AS sentiment_score,
+       {_POLARITY} AS polarity
+FROM counts
+"""
+
+
+ORACLE_SENTIMENT = _oracle_sentiment()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "text_sentiment_lexicon", text_sentiment_lexicon, ORACLE_SENTIMENT
+        ),
         QuerySpec("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS),
         QuerySpec("text_language_id", text_language_id, ORACLE_LANGUAGE_ID),
         QuerySpec("text_quality_score", text_quality_score, ORACLE_QUALITY),
