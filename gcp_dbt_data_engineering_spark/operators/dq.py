@@ -328,6 +328,8 @@ class DQEngine:
                 .select("r.*")
             )
 
+        if not parts:  # config declares no checks: empty, stable schema
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -480,6 +482,12 @@ def compile_oracle_sql(config: dict[str, Any]) -> str:
             f"FROM (SELECT CAST({sub} AS BIGINT) AS failed_records, "
             f"(SELECT COUNT(*) FROM {table} {where}) AS total_records)"
         )
+    if not rows:  # no checks configured: empty set, stable columns
+        sql_types = {"string": "VARCHAR", "bigint": "BIGINT", "double": "DOUBLE"}
+        cols = ", ".join(
+            f"CAST(NULL AS {sql_types[t]}) AS {n}" for n, t in RESULT_FIELDS
+        )
+        return f"SELECT {cols} WHERE 1 = 0"
     return "\nUNION ALL\n".join(rows)
 
 

@@ -1,0 +1,83 @@
+"""Property-based check of the DQ compiler: for RANDOM job configs,
+the Spark single-pass engine and the generated DuckDB oracle SQL must
+agree exactly. This probes the config->plan compiler across the combi-
+natorial surface (column subsets, bounds, rules, thresholds) that the
+hand-written example configs cannot cover.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gcp_dbt_data_engineering_spark.operators.dq import (
+    DQEngine,
+    compile_oracle_sql,
+)
+
+from .oracle_harness import compare
+
+SF = "/root/testdata/sf0.001"
+
+_COMP_COLS = st.lists(
+    st.sampled_from(["c_name", "c_acctbal", "c_mktsegment", "c_nationkey"]),
+    unique=True,
+    max_size=3,
+)
+_FORMAT = st.dictionaries(
+    st.sampled_from(["c_name", "c_mktsegment"]),
+    st.sampled_from(["not_empty", "length_3", "email_format"]),
+    max_size=2,
+)
+_RANGE = st.dictionaries(
+    st.sampled_from(["c_acctbal", "c_nationkey"]),
+    st.fixed_dictionaries(
+        {
+            "min": st.one_of(
+                st.none(), st.integers(min_value=-1000, max_value=100)
+            ),
+            "max": st.one_of(
+                st.none(), st.integers(min_value=101, max_value=20000)
+            ),
+        }
+    ),
+    max_size=2,
+)
+_UNIQ = st.lists(
+    st.sampled_from([["c_custkey"], ["c_name"], ["c_nationkey", "c_name"]]),
+    unique_by=lambda c: tuple(c),
+    max_size=2,
+)
+
+_CONFIG = st.fixed_dictionaries(
+    {
+        "tests": st.fixed_dictionaries(
+            {
+                "completeness": _COMP_COLS,
+                "format": _FORMAT,
+                "range": _RANGE,
+                "uniqueness": _UNIQ,
+            }
+        ),
+        "quality_thresholds": st.fixed_dictionaries(
+            {
+                "critical_columns": st.lists(
+                    st.sampled_from(["c_custkey", "c_acctbal"]), max_size=2
+                )
+            }
+        ),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(cfg=_CONFIG)
+def test_random_configs_match_oracle(spark, cfg):
+    config = {"table_name": "customer", **cfg}
+    df = DQEngine(spark).run(config, sf_dir=SF)
+    res = compare(df, compile_oracle_sql(config), SF)
+    assert res["match"], (config, res)
