@@ -1,0 +1,92 @@
+"""Physical-plan assertions (the plans we tuned must not regress) and
+property-based parity of the portable hash core."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gcp_dbt_data_engineering_spark.operators import texthash as th
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_flagship_joins_are_broadcast_and_pushed(spark):
+    from gcp_dbt_data_engineering_spark.plans.analytics import (
+        revenue_by_region,
+    )
+
+    plan = _plan(revenue_by_region(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the o_orderdate range reaches the parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    , 1)[1][:400]
+
+
+def test_pricing_summary_hash_aggregates(spark):
+    from gcp_dbt_data_engineering_spark.plans.analytics import pricing_summary
+
+    plan = _plan(pricing_summary(spark, SF))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_profiler_distinct_pass_stays_hash_aggregated(spark):
+    from gcp_dbt_data_engineering_spark.operators.profile import (
+        profile_core_tables,
+    )
+
+    plan = _plan(profile_core_tables(spark, SF))
+    # the Expand (multi-countDistinct) pass must hash-aggregate; string
+    # min/max lives in its own pass and may sort — but never adjacent
+    # to an Expand.
+    assert "Expand" in plan and "HashAggregate" in plan
+    expand_idx = plan.index("Expand")
+    assert "SortAggregate" not in plan[max(0, expand_idx - 600):expand_idx]
+
+
+def test_no_cartesian_products_anywhere(spark):
+    import __spark_entry__ as e
+
+    for name, fn in sorted(e.queries().items()):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+_TEXT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,!?'-",
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(s=_TEXT)
+def test_polyhash_parity_random_strings(spark, s):
+    """The portable hash core must agree on arbitrary strings — the
+    foundation every dedup/fingerprint oracle rests on."""
+    lit = "'" + s.replace("'", "''") + "'"
+    spark_h = spark.sql(
+        f"SELECT {th.polyhash(lit, 'spark')} AS h"
+    ).collect()[0][0]
+    duck_h = duckdb.sql(
+        f"SELECT {th.polyhash(lit, 'duck')} AS h"
+    ).fetchone()[0]
+    assert spark_h == duck_h
+    assert 0 <= spark_h < th.P
