@@ -105,6 +105,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Format-dispatching reader (S1 generalized): parquet (columnar,
+    splittable — the default and the only sane 100 TB choice), csv and
+    json (ingest-edge formats; header/inference defaulted on, but pass
+    ``schema`` in production — inference scans the data twice).
+    """
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"unsupported source format: {fmt!r}")
+    tune(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true" if schema is None else "false"}
+        opts.update(options)
+        return reader.options(**opts).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    return reader.options(**options).parquet(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Format-dispatching writer (S2 generalized). ``partition_by``
+    produces hive-layout directories — the physical contract that
+    makes the reference's daily ``fecha`` slices partition-pruned
+    reads instead of full scans (SURVEY.md §1.1/§4).
+    """
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"unsupported sink format: {fmt!r}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition when the source cannot be split.
 
