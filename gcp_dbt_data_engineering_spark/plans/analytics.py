@@ -461,6 +461,66 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# pivot: daily event counts cross-tabbed per type. The pivot value list
+# is explicit — Spark then skips the extra distinct-values job and the
+# output schema is deterministic (and matches the oracle's conditional
+# aggregation column-for-column). Missing combinations coalesce to 0.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    piv = (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+ORACLE_EVENTS_PIVOT = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup: subtotal hierarchy over (status, priority) — SURVEY.md §2.4
+# noted grouping sets as zero-custom-work in Spark; this makes it a
+# covered, oracle-checked operator. NULL group cells mark subtotal rows
+# identically in both engines.
+# ---------------------------------------------------------------------------
+
+def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    return od.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+ORACLE_ORDERS_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
 # salted two-stage aggregation — the skew-mitigation idiom made explicit.
 # events has only 5 event_type values: at 100 TB a plain groupBy sends
 # 1/5th of the table to one reducer. Salting appends a shard key to the
@@ -505,6 +565,12 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("events_type_value_salted", events_type_value_salted,
                   ORACLE_SALTED,
                   "salted two-stage agg over skewed keys == plain agg"),
+        QuerySpec("events_daily_type_pivot", events_daily_type_pivot,
+                  ORACLE_EVENTS_PIVOT,
+                  "pivot with explicit value list == conditional agg"),
+        QuerySpec("orders_rollup_status_priority",
+                  orders_rollup_status_priority, ORACLE_ORDERS_ROLLUP,
+                  "rollup subtotal hierarchy (grouping sets)"),
         QuerySpec("price_tolerance_audit", price_tolerance_audit,
                   ORACLE_PRICE_TOLERANCE,
                   "left join + ABS tolerance post-filter (reference J1)"),
