@@ -556,6 +556,109 @@ EVENTS_DQ_CONFIG: dict[str, Any] = {
 }
 
 
+def run_sql_tests(
+    spark: SparkSession,
+    sql_tests: list[dict[str, Any]],
+    sf_dir: str,
+    table_name: str | None = None,
+    fecha: str | None = None,
+) -> DataFrame:
+    """Expected-result SQL tests — the reference's inline-SQL test type
+    (``tests/dq_sql_notes.md:13-47``): each test is a full SELECT
+    returning one count, with ``{table_name}`` / ``{fecha}``
+    placeholders, an ``expected_result``, and a ``severity``. The SQL
+    is screened by the keyword scanner before execution; results are
+    rows (S7 pattern: local dicts → DataFrame with explicit schema).
+    """
+    from ..security import scan_sql
+    from ..sources import register_all
+
+    register_all(spark, sf_dir)
+    rows = []
+    for t in sql_tests:
+        sql = scan_sql(t["sql"]).format(
+            table_name=table_name or "", fecha=fecha or ""
+        )
+        actual = int(spark.sql(sql).collect()[0][0])
+        expected = int(t.get("expected_result", 0))
+        rows.append(
+            {
+                "test_name": t["test_name"],
+                "description": t.get("description", ""),
+                "actual": actual,
+                "expected_result": expected,
+                "status": "PASS" if actual == expected else "FAIL",
+                "severity": t.get("severity", "ERROR"),
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("test_name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("actual", T.LongType()),
+            T.StructField("expected_result", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("severity", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+#: the reference's two inline-SQL shapes (NOT EXISTS referential check,
+#: LEFT JOIN tolerance check) mapped onto the driver tables. The
+#: tolerance test expects 0 and fails by construction — the negative
+#: path the reference's severity routing exists for.
+SQL_EXPECTATION_TESTS: list[dict[str, Any]] = [
+    {
+        "test_name": "valid_part_reference",
+        "description": "every lineitem references an existing part",
+        "sql": """
+            SELECT COUNT(*) AS failed_records
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL
+              AND NOT EXISTS (
+                  SELECT 1 FROM part p WHERE p.p_partkey = l_partkey
+              )
+        """,
+        "expected_result": 0,
+        "severity": "ERROR",
+    },
+    {
+        "test_name": "consistent_unit_prices",
+        "description": "unit price within 50% of part list price",
+        "sql": """
+            SELECT COUNT(*) AS failed_records
+            FROM lineitem t
+            LEFT JOIN part r ON t.l_partkey = r.p_partkey
+            WHERE ABS(t.l_extendedprice / t.l_quantity - r.p_retailprice)
+                    > 0.5 * r.p_retailprice
+        """,
+        "expected_result": 0,
+        "severity": "WARNING",
+    },
+]
+
+
+def dq_sql_expectation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql_tests(spark, SQL_EXPECTATION_TESTS, sf_dir)
+
+
+def _oracle_sql_expectations() -> str:
+    parts = []
+    for t in SQL_EXPECTATION_TESTS:
+        sub = t["sql"].strip()
+        parts.append(
+            f"SELECT {_sql_quote(t['test_name'])} AS test_name, "
+            f"{_sql_quote(t.get('description', ''))} AS description, "
+            f"CAST(({sub}) AS BIGINT) AS actual, "
+            f"CAST({int(t.get('expected_result', 0))} AS BIGINT) AS expected_result, "
+            f"CASE WHEN ({sub}) = {int(t.get('expected_result', 0))} "
+            f"THEN 'PASS' ELSE 'FAIL' END AS status, "
+            f"{_sql_quote(t.get('severity', 'ERROR'))} AS severity"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def apply_thresholds(results: DataFrame, config: dict[str, Any]) -> DataFrame:
     """Threshold verdicts over the results table — reference A6
     (``example_templates.yaml:51-54``: ``completeness_threshold``,
@@ -671,5 +774,11 @@ SPECS: dict[str, QuerySpec] = {
         dq_yaml_orders_daily,
         compile_oracle_sql(load_job_config(ORDERS_YAML_PATH)),
         "YAML job template -> validator -> DQ engine (reference S8+E2)",
+    ),
+    "dq_sql_expectation_tests": QuerySpec(
+        "dq_sql_expectation_tests",
+        dq_sql_expectation_tests,
+        _oracle_sql_expectations(),
+        "inline-SQL expected-result tests (reference dq_sql_notes shape)",
     ),
 }

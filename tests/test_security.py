@@ -1,0 +1,83 @@
+"""Security validator negative tests — the reference's own test
+strategy item 4 (SURVEY.md §5: ValueError on bad identifiers, table
+names, dates, and forbidden SQL keywords;
+``tests/dq_sql_notes.md:284-343``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_dbt_data_engineering_spark import security as sec
+from gcp_dbt_data_engineering_spark.operators.dq import run_sql_tests
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_identifiers():
+    assert sec.validate_identifier("o_orderkey") == "o_orderkey"
+    for bad in ("o-key", "1abc;", "a b", "drop table", ""):
+        with pytest.raises(ValueError):
+            sec.validate_identifier(bad)
+
+
+def test_table_names():
+    assert sec.validate_table_name("proj.raw.orders")
+    assert sec.validate_table_name("orders")
+    for bad in ("a.b", "a.b.c.d", "x; drop", "pr oj.raw.t"):
+        with pytest.raises(ValueError):
+            sec.validate_table_name(bad)
+
+
+def test_fecha():
+    assert sec.validate_fecha("2024-01-15") == "2024-01-15"
+    for bad in ("15-01-2024", "2024/01/15", "not-a-date", "2024-13-40"):
+        with pytest.raises(ValueError):
+            sec.validate_fecha(bad)
+
+
+def test_scan_sql_blocks_keywords():
+    assert sec.scan_sql("SELECT COUNT(*) FROM t WHERE x IN ('a')")
+    for bad in (
+        "DROP TABLE t",
+        "SELECT 1; DELETE FROM t",
+        "SELECT 1 -- comment",
+        "INSERT INTO t VALUES (1)",
+        "SELECT 1 /* x */",
+    ):
+        with pytest.raises(ValueError):
+            sec.scan_sql(bad)
+
+
+def test_scan_sql_no_false_positive_on_substrings():
+    # keyword scan is word-boundary aware: 'created'/'updated_at'
+    # contain forbidden stems but are legitimate identifiers.
+    assert sec.scan_sql("SELECT created, updated_at FROM t")
+
+
+def test_validate_config_rejects_injection():
+    with pytest.raises(ValueError):
+        sec.validate_config(
+            {"table_name": "t; drop table users", "tests": {}}
+        )
+    with pytest.raises(ValueError):
+        sec.validate_config(
+            {
+                "table_name": "customer",
+                "tests": {"completeness": ["c_name; --"]},
+            }
+        )
+
+
+def test_run_sql_tests_screens_sql(spark):
+    with pytest.raises(ValueError):
+        run_sql_tests(
+            spark,
+            [
+                {
+                    "test_name": "evil",
+                    "sql": "DROP TABLE lineitem",
+                    "expected_result": 0,
+                }
+            ],
+            SF,
+        )
