@@ -1,0 +1,373 @@
+"""Window-frame / ranking / set-op / as-of query pack.
+
+SURVEY.md §2.5 noted the reference never writes explicit window frames,
+INTERSECT/EXCEPT, or CUBE — "they come free in Spark SQL if a model
+uses them". This module makes each of those a covered, oracle-checked
+operator instead of a claim, and adds the two time-series join shapes a
+training-data pipeline needs that Spark has no single operator for:
+
+- **as-of join** (last-touch attribution): implemented the scalable way
+  — a single shuffle on the partition key plus a running window — not a
+  quadratic inequality self-join. At 100 TB the window approach is one
+  sort per user-partition; the naive `e2.ts <= e1.ts` join is O(events²
+  / users) and unrunnable.
+- **range/band join**: fact column joined into an interval dimension.
+  The dim is tiny and broadcast, so the non-equi condition costs a
+  BroadcastNestedLoopJoin over a 5-row build side — constant work per
+  fact row, no shuffle.
+
+Determinism: every window is ordered by a unique total order (ts or
+key, then the unique id) with an explicit ROWS frame, so Spark and
+DuckDB agree row-for-row; money math uses the decimal-exact
+``money_sum`` idiom from ``spec.py``; rank outputs are cast to BIGINT
+(Spark's int vs DuckDB's bigint would otherwise diverge at the schema
+gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .spec import QuerySpec, money_sum, sql_money_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# running totals + lag: per-customer order history (explicit ROWS frame).
+# The custkey slice keeps the spec's output review-sized at any SF; the
+# window itself is per-customer and scales linearly with one shuffle.
+# ---------------------------------------------------------------------------
+
+CUST_SLICE = 101  # o_custkey % CUST_SLICE == 0 → ~1% of customers
+
+
+def customer_orders_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % CUST_SLICE == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderdate = F.col("o_orderdate").cast("date")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        orderdate.alias("orderdate"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+        .over(wrows)
+        .cast("double")
+        .alias("running_spend"),
+        F.datediff(orderdate, F.lag(orderdate).over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+ORACLE_RUNNING = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS running_spend,
+       CAST(DATE_DIFF('day',
+            LAG(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+FROM orders
+WHERE o_custkey % {CUST_SLICE} = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# moving aggregate: 7-day moving average / max of daily revenue.
+# The unpartitioned window runs over the ~daily-grain AGGREGATE (2.4k
+# rows for 6.5 years), not the fact table — a deliberate two-stage plan:
+# shuffle-agg first, then a single-partition window over tiny data.
+# ---------------------------------------------------------------------------
+
+def orders_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        "n_orders",
+        (
+            F.sum("rev_dec").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7)
+        ).alias("ma7_revenue"),
+        F.max("rev_dec").over(w7).cast("double").alias("max7_revenue"),
+    )
+
+
+ORACLE_MOVING = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev_dec AS DOUBLE) AS daily_revenue,
+       n_orders,
+       CAST(SUM(rev_dec) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS ma7_revenue,
+       CAST(MAX(rev_dec) OVER w7 AS DOUBLE) AS max7_revenue
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ranking pack: dense_rank / percent_rank / ntile within nation, top-5
+# customers per nation by revenue. Rank functions need a total order —
+# revenue ties broken by custkey — or the two engines may disagree.
+# ---------------------------------------------------------------------------
+
+def nation_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_cust = od.groupBy("o_custkey").agg(
+        money_sum(F.col("o_totalprice"), "revenue")
+    )
+    base = per_cust.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        base.select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            "revenue",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.dense_rank().over(w).cast("bigint").alias("drank"),
+            F.percent_rank().over(w).alias("prank"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+ORACLE_RANK = f"""
+WITH per_cust AS (
+  SELECT o_custkey, {sql_money_sum("o_totalprice", "revenue")}
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT n_name AS nation, n_nationkey, c_custkey, revenue
+  FROM per_cust
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT nation, c_custkey, revenue,
+       CAST(ROW_NUMBER()   OVER w AS BIGINT) AS rn,
+       CAST(DENSE_RANK()   OVER w AS BIGINT) AS drank,
+       PERCENT_RANK()      OVER w            AS prank,
+       CAST(NTILE(4)       OVER w AS BIGINT) AS quartile
+FROM base
+WINDOW w AS (PARTITION BY n_nationkey ORDER BY revenue DESC, c_custkey ASC)
+QUALIFY rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations: INTERSECT / EXCEPT between two distinct brand sets.
+# Spark's intersect()/exceptAll() are distinct-input set ops here, so
+# they match ANSI INTERSECT / EXCEPT exactly.
+# ---------------------------------------------------------------------------
+
+def part_brand_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    large = part.filter(F.col("p_size") >= 45).select("p_brand").distinct()
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_brand").distinct()
+    tag = lambda df, m: df.select(  # noqa: E731
+        F.col("p_brand"), F.lit(m).alias("membership")
+    )
+    return (
+        tag(large.intersect(promo), "both")
+        .unionAll(tag(large.exceptAll(promo), "large_only"))
+        .unionAll(tag(promo.exceptAll(large), "promo_only"))
+    )
+
+
+ORACLE_SET_OPS = """
+WITH large AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 45),
+     promo AS (SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO')
+SELECT p_brand, 'both' AS membership
+  FROM (SELECT p_brand FROM large INTERSECT SELECT p_brand FROM promo)
+UNION ALL
+SELECT p_brand, 'large_only'
+  FROM (SELECT p_brand FROM large EXCEPT SELECT p_brand FROM promo)
+UNION ALL
+SELECT p_brand, 'promo_only'
+  FROM (SELECT p_brand FROM promo EXCEPT SELECT p_brand FROM large)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all 2^2 grouping sets over (event_type, user cohort) — completes
+# the grouping-sets family next to the pivot and rollup specs.
+# ---------------------------------------------------------------------------
+
+def events_cube_type_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("bigint")
+    )
+    return ev.cube("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value"), "total_value"),
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT event_type, user_id % 4 AS cohort,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")}
+FROM events
+GROUP BY CUBE (event_type, user_id % 4)
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join (last-touch attribution): for every purchase event, the
+# most recent earlier non-purchase event by the same user. One window
+# over (user_id, ts, event_id) — monotone ts within the frame means
+# MAX(touch_ts) over preceding rows IS the as-of match; no IGNORE NULLS
+# or quadratic self-join needed. Timestamps leave as epoch-micros
+# BIGINTs (the events parquet is nanosecond-precision; micros is the
+# common grain both engines read exactly).
+# ---------------------------------------------------------------------------
+
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touch_us = F.when(F.col("event_type") != "purchase", us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            us.alias("purchase_us"),
+            F.max(touch_us).over(w).alias("last_touch_us"),
+            F.count(touch_us).over(w).cast("bigint").alias("n_prior_touches"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "purchase_us",
+            "last_touch_us",
+            (F.col("purchase_us") - F.col("last_touch_us")).alias("gap_us"),
+            "n_prior_touches",
+        )
+    )
+
+
+ORACLE_ASOF = """
+WITH scored AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS purchase_us,
+         MAX(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END)
+           OVER w AS last_touch_us,
+         CAST(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+           OVER w AS BIGINT) AS n_prior_touches
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, purchase_us, last_touch_us,
+       purchase_us - last_touch_us AS gap_us,
+       n_prior_touches
+FROM scored
+WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# range/band join: events.value joined into a literal interval dim.
+# Non-equi join on a broadcast 5-row build side — the scalable shape for
+# banding/bucketing dimensions (rate tables, SLA tiers, histograms with
+# irregular edges).
+# ---------------------------------------------------------------------------
+
+VALUE_BANDS: tuple[tuple[str, float, float], ...] = (
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 25.0),
+    ("mid", 25.0, 50.0),
+    ("large", 50.0, 100.0),
+    ("whale", 100.0, 1000.0),
+)
+
+
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        list(VALUE_BANDS), schema="band string, lo double, hi double"
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{b}' AS band, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi"
+    for b, lo, hi in VALUE_BANDS
+)
+
+ORACLE_BAND_JOIN = f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT band,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")}
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in [
+        QuerySpec("customer_orders_running", customer_orders_running,
+                  ORACLE_RUNNING,
+                  "running sum + row_number + lag with explicit ROWS frame"),
+        QuerySpec("orders_daily_moving_stats", orders_daily_moving_stats,
+                  ORACLE_MOVING,
+                  "7-day moving avg/max over daily aggregate"),
+        QuerySpec("nation_customer_rank", nation_customer_rank,
+                  ORACLE_RANK,
+                  "dense_rank/percent_rank/ntile top-5 per nation"),
+        QuerySpec("part_brand_set_ops", part_brand_set_ops,
+                  ORACLE_SET_OPS, "INTERSECT / EXCEPT with membership tags"),
+        QuerySpec("events_cube_type_cohort", events_cube_type_cohort,
+                  ORACLE_CUBE, "CUBE grouping sets over type x cohort"),
+        QuerySpec("events_asof_attribution", events_asof_attribution,
+                  ORACLE_ASOF,
+                  "as-of join (last-touch attribution) via running window"),
+        QuerySpec("events_value_band_join", events_value_band_join,
+                  ORACLE_BAND_JOIN,
+                  "range/band join against broadcast interval dim"),
+    ]
+}
