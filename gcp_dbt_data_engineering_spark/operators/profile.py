@@ -7,12 +7,23 @@ profile_multiple_tables(table_list, fecha)`` honoring config
 ``environment`` (``:20-21``) and appends to a results table (``:24-28``).
 We design its internals Spark-first:
 
-- ONE ``agg`` pass per table computes every per-column statistic
-  (count/nulls/distinct/min/max/avg/stddev) — map-side partial
-  aggregation, single shuffle of one row; at 100 TB the profile costs
-  one scan per table, never one scan per column.
-- results melt to long format (one row per column) with a stable
-  schema so daily profiles append into one history table.
+- the table melts to LONG FORM first — ``explode`` of one struct per
+  column per row — and every statistic is then a single narrow
+  ``groupBy(table, column)`` aggregation. The plan has ~15 expressions
+  regardless of how many tables/columns are profiled (the previous
+  wide-agg design carried ~50 expressions per table and spent 10x the
+  query's runtime in Catalyst analysis + codegen, re-paid every run);
+  at 100 TB the profile costs one scan + one combine-friendly shuffle,
+  never one scan per column.
+- distinct counts ride the same pass: a single ``countDistinct`` over
+  the column's injective string key plans as a two-phase hash
+  aggregate over (table, column, value) — the standard distributed
+  distinct shape, no Expand of the input.
+- string/date min-max run in a second, strings-only long pass:
+  an immutable agg buffer (min/max on strings) would downgrade the
+  whole shared aggregate to SortAggregate (see BASELINE.md log).
+- results stay long format (one row per column) with a stable schema
+  so daily profiles append into one history table.
 - ``sample_size`` uses ``df.limit`` (deterministic; the reference's
   contract is "cap the rows profiled") — at cluster scale you'd switch
   the flag to ``df.sample`` for a uniform sample.
@@ -37,89 +48,102 @@ from ..sources import TABLE_DTYPES, load_table, spread
 NUMERIC_KINDS = {"float", "int"}
 
 
-def _column_stats(
-    df: DataFrame, table: str, dtypes: dict[str, str]
+def _long_form(
+    df: DataFrame, table: str, dtypes: dict[str, str], strings_only: bool = False
 ) -> DataFrame:
-    """Two agg passes → one long-format row per column.
+    """Melt a table to one row per (source row, profiled column).
 
-    Pass split matters: the multi-``countDistinct`` agg plans an
-    Expand (one row copy per distinct column), and if ANY agg in the
-    same pass has an immutable buffer type (``min``/``max`` on
-    strings), Spark downgrades the whole thing from HashAggregate to
-    SortAggregate — sorting rows x (columns+1). Keeping string
-    min/max in their own Expand-free pass leaves the expensive
-    distinct pass hash-aggregated; the two one-row results cross-join
-    for free.
+    Per cell: ``dval`` (numeric value as double), ``sval`` (the
+    string/date display form used for min/max_str), ``kval`` (an
+    injective string key for distinct counting — CAST to string is
+    injective for every type here, so COUNT(DISTINCT kval) ==
+    COUNT(DISTINCT col)), and a null flag. Pure projection + explode:
+    codegen-friendly, no UDFs, linear in cells.
     """
-    aggs = [F.count(F.lit(1)).alias("__total")]
-    str_aggs = []
-    for c, kind in dtypes.items():
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
-        if kind in NUMERIC_KINDS:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
-            aggs.append(
-                F.sum(F.col(c).cast("decimal(22,6)")).cast("double").alias(f"__sum_{c}")
-            )
-            aggs.append(
-                F.sum((F.col(c) * F.col(c)).cast("decimal(30,8)"))
-                .cast("double")
-                .alias(f"__sumsq_{c}")
-            )
-        elif kind == "string":
-            str_aggs.append(F.min(F.col(c)).alias(f"__min_s_{c}"))
-            str_aggs.append(F.max(F.col(c)).alias(f"__max_s_{c}"))
-        elif kind == "date":
-            str_aggs.append(
-                F.min(F.col(c).cast("date")).cast("string").alias(f"__min_s_{c}")
-            )
-            str_aggs.append(
-                F.max(F.col(c).cast("date")).cast("string").alias(f"__max_s_{c}")
-            )
-    base = df.agg(*aggs)
-    if str_aggs:
-        base = base.crossJoin(df.agg(*str_aggs))
-
     structs = []
     for c, kind in dtypes.items():
+        if strings_only and kind not in ("string", "date"):
+            continue
+        col = F.col(c)
         numeric = kind in NUMERIC_KINDS
-        total = F.col("__total")
-        n = total - F.col(f"__null_{c}")
-        if numeric:
-            mean = F.when(n > 0, F.col(f"__sum_{c}") / n)
-            # exact-decimal sample variance: (sumsq - sum^2/n) / (n-1)
-            var = F.when(
-                n > 1,
-                (F.col(f"__sumsq_{c}") - F.col(f"__sum_{c}") * F.col(f"__sum_{c}") / n)
-                / (n - 1),
-            )
-            stddev = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
         structs.append(
             F.struct(
-                F.lit(table).alias("table_name"),
                 F.lit(c).alias("column_name"),
                 F.lit(kind).alias("dtype"),
-                total.cast("bigint").alias("total_count"),
-                F.col(f"__null_{c}").cast("bigint").alias("null_count"),
-                F.col(f"__dist_{c}").cast("bigint").alias("distinct_count"),
-                (F.col(f"__min_{c}") if numeric else F.lit(None).cast("double")).alias("min_num"),
-                (F.col(f"__max_{c}") if numeric else F.lit(None).cast("double")).alias("max_num"),
-                (mean if numeric else F.lit(None).cast("double")).alias("avg_num"),
-                (stddev if numeric else F.lit(None).cast("double")).alias("stddev_num"),
+                (col.cast("double") if numeric else F.lit(None).cast("double")).alias("dval"),
                 (
-                    F.col(f"__min_s_{c}")
-                    if kind in ("string", "date")
-                    else F.lit(None).cast("string")
-                ).alias("min_str"),
-                (
-                    F.col(f"__max_s_{c}")
-                    if kind in ("string", "date")
-                    else F.lit(None).cast("string")
-                ).alias("max_str"),
+                    col.cast("date").cast("string")
+                    if kind == "date"
+                    else (col if kind == "string" else F.lit(None).cast("string"))
+                ).alias("sval"),
+                col.cast("string").alias("kval"),
+                col.isNull().cast("bigint").alias("isnull"),
             )
         )
-    return base.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    return df.select(F.explode(F.array(*structs)).alias("r")).select(
+        F.lit(table).alias("table_name"), "r.*"
+    )
+
+
+def _column_stats(parts: list[tuple[DataFrame, str, dict[str, str]]]) -> DataFrame:
+    """Profile many (df, table, dtypes) in TWO fused jobs total.
+
+    Pass A (numeric + counts + distinct) hash-aggregates the long form
+    of every table at once; pass B (string/date min-max) runs its own
+    strings-only long pass so its immutable agg buffers can't downgrade
+    pass A to SortAggregate. The two ~#columns-row results broadcast-
+    join into the final long-format profile.
+    """
+    long_all = None
+    str_all = None
+    for df, table, dtypes in parts:
+        lf = _long_form(df, table, dtypes)
+        long_all = lf if long_all is None else long_all.unionByName(lf)
+        if any(k in ("string", "date") for k in dtypes.values()):
+            sf_ = _long_form(df, table, dtypes, strings_only=True)
+            str_all = sf_ if str_all is None else str_all.unionByName(sf_)
+
+    keys = ["table_name", "column_name", "dtype"]
+    a = long_all.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum("isnull").alias("null_count"),
+        F.countDistinct("kval").alias("distinct_count"),
+        F.min("dval").alias("min_num"),
+        F.max("dval").alias("max_num"),
+        F.sum(F.col("dval").cast("decimal(22,6)")).cast("double").alias("__sum"),
+        F.sum((F.col("dval") * F.col("dval")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("__sumsq"),
+    )
+    if str_all is not None:
+        b = str_all.groupBy("table_name", "column_name").agg(
+            F.min("sval").alias("min_str"), F.max("sval").alias("max_str")
+        )
+        a = a.join(F.broadcast(b), ["table_name", "column_name"], "left")
+    else:
+        a = a.withColumn("min_str", F.lit(None).cast("string")).withColumn(
+            "max_str", F.lit(None).cast("string")
+        )
+    n = F.col("total_count") - F.col("null_count")
+    mean = F.when(n > 0, F.col("__sum") / n)
+    # exact-decimal sample variance: (sumsq - sum^2/n) / (n-1)
+    var = F.when(
+        n > 1, (F.col("__sumsq") - F.col("__sum") * F.col("__sum") / n) / (n - 1)
+    )
+    stddev = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    numeric = F.col("dtype").isin(*sorted(NUMERIC_KINDS))
+    return a.select(
+        *keys,
+        F.col("total_count").cast("bigint").alias("total_count"),
+        F.col("null_count").cast("bigint").alias("null_count"),
+        F.col("distinct_count").cast("bigint").alias("distinct_count"),
+        "min_num",
+        "max_num",
+        F.when(numeric, mean).alias("avg_num"),
+        F.when(numeric, stddev).alias("stddev_num"),
+        "min_str",
+        "max_str",
+    )
 
 
 class SimpleDataProfiler:
@@ -149,28 +173,35 @@ class SimpleDataProfiler:
         sample = self.settings.get("sample_size")
         if sample:
             df = df.limit(int(sample))
-        return _column_stats(df, table, dtypes)
+        return _column_stats([(df, table, dtypes)])
 
     def profile_multiple_tables(
         self, tables: list[str], sf_dir: str, fecha: str | None = None,
         date_column: str | None = None,
     ) -> DataFrame:
         parts = []
+        sample = self.settings.get("sample_size")
+        # spread: the long-form explode multiplies rows x columns; an
+        # unsplittable single-partition scan would run that expansion
+        # on one core (see sources.spread). Each table takes a 1/N
+        # slice of the target parallelism so the fused union totals
+        # one wave of tasks instead of N waves of tiny ones.
+        per_table = max(
+            2, self.spark.sparkContext.defaultParallelism // max(1, len(tables))
+        )
         for t in tables:
-            # spread: the multi-countDistinct agg expands rows several-
-            # fold; an unsplittable single-partition scan would run
-            # that expansion on one core (see sources.spread).
-            df = spread(load_table(self.spark, sf_dir, t))
+            df = spread(load_table(self.spark, sf_dir, t), per_table)
             if fecha and date_column and date_column in df.columns:
                 df = df.filter(F.col(date_column).cast("date") == F.lit(fecha))
+            if sample:
+                df = df.limit(int(sample))
             dtypes = {
                 c: k for c, k in TABLE_DTYPES[t].items() if k != "array"
             }
-            parts.append(self.profile_table(df, t, dtypes))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            parts.append((df, t, dtypes))
+        # all tables fuse into two jobs total — plan size and job count
+        # are independent of how many tables are profiled
+        return _column_stats(parts)
 
     def with_run_metadata(self, df: DataFrame, environment: str = "dev") -> DataFrame:
         """Stamp run metadata (reference: profiling_example.py:20-21)."""
@@ -225,17 +256,21 @@ def _oracle_table_profile(table: str) -> str:
     for c, kind in dtypes.items():
         numeric = kind in NUMERIC_KINDS
         if numeric:
-            min_num = f"CAST(MIN({c}) AS DOUBLE)"
-            max_num = f"CAST(MAX({c}) AS DOUBLE)"
+            # numeric stats run over the double-widened cell value
+            # (long-form dval), so every product/sum below widens to
+            # DOUBLE before the decimal cast on both engines
+            d = f"CAST({c} AS DOUBLE)"
+            min_num = f"MIN({d})"
+            max_num = f"MAX({d})"
             avg = (
                 f"CASE WHEN COUNT({c}) > 0 THEN "
-                f"CAST(SUM(CAST({c} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}) END"
+                f"CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}) END"
             )
             stddev = (
                 f"CASE WHEN COUNT({c}) > 1 THEN sqrt(greatest("
-                f"(CAST(SUM(CAST({c}*{c} AS DECIMAL(30,8))) AS DOUBLE)"
-                f" - CAST(SUM(CAST({c} AS DECIMAL(22,6))) AS DOUBLE)"
-                f" * CAST(SUM(CAST({c} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}))"
+                f"(CAST(SUM(CAST({d}*{d} AS DECIMAL(30,8))) AS DOUBLE)"
+                f" - CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE)"
+                f" * CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}))"
                 f" / (COUNT({c}) - 1), 0.0)) END"
             )
             min_str = max_str = "CAST(NULL AS VARCHAR)"

@@ -424,6 +424,250 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF with a REAL k-means coarse quantizer (Lloyd's algorithm)
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+KM_ITERS = 2
+KM_PROBE = 2
+
+
+def _kmeans_centroids(vecs: DataFrame, k: int, iters: int):
+    """Fit k centroids with Lloyd's algorithm, fully deterministic.
+
+    Distributed shape: each iteration is one Arrow pass over the
+    vectors (assignment = int64 numpy matmul against the k current
+    centroids) emitting per-partition partial sums, a (k x dim)-row
+    shuffle-agg, and a centroid collect that is metadata-sized (k x dim
+    int64s — the same driver-side centroid sync every distributed
+    k-means, including MLlib's, performs per iteration). The vectors
+    themselves never leave the executors.
+
+    Determinism: seeds are the k evenly-strided vec_ids; distances and
+    sums are exact int64; new centroids are floor(sum / count); ties
+    break to the smallest centroid id (numpy argmin's first-minimum ==
+    the oracle's ORDER BY l2, cid). The DuckDB oracle replays the same
+    iterations unrolled as SQL CTEs, bit-for-bit.
+
+    Returns (cids, C): sorted cluster ids and the matching int64
+    centroid matrix. Clusters that lose all members disappear, in both
+    engines alike.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = vecs.count()
+    stride = n // k
+    seed_rows = (
+        vecs.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+        )
+        .selectExpr(f"CAST(vec_id DIV {stride} AS BIGINT) AS cid", "q")
+        .collect()
+    )
+    cent = {int(r["cid"]): np.array(r["q"], dtype=np.int64) for r in seed_rows}
+
+    for _ in range(iters):
+        cids = np.array(sorted(cent), dtype=np.int64)
+        C = np.stack([cent[int(c)] for c in cids])
+
+        def partials(batches, cids=cids, C=C):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["q"].tolist(), dtype=np.int64)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                lab = cids[d.argmin(axis=1)]
+                for c in np.unique(lab):
+                    sel = X[lab == c]
+                    yield pd.DataFrame(
+                        {
+                            "cid": int(c),
+                            "i": np.arange(X.shape[1], dtype=np.int64),
+                            "s": sel.sum(axis=0),
+                            "cnt": len(sel),
+                        }
+                    )
+
+        agg = (
+            vecs.select("q")
+            .mapInPandas(partials, schema="cid long, i long, s long, cnt long")
+            .groupBy("cid", "i")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        cent = {}
+        for r in agg:
+            cent.setdefault(int(r["cid"]), {})[int(r["i"])] = int(
+                np.floor(float(r["s"]) / float(r["cnt"]))
+            )
+        cent = {
+            c: np.array([dims[i] for i in sorted(dims)], dtype=np.int64)
+            for c, dims in cent.items()
+        }
+
+    cids = np.array(sorted(cent), dtype=np.int64)
+    return cids, np.stack([cent[int(c)] for c in cids])
+
+
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-trained coarse quantizer.
+
+    Unlike ``similarity_ann_ivf`` (which reuses the table's ``label``
+    column as the partitioning), this trains its own inverted file:
+    Lloyd's k-means (k=8, 2 iterations) over the quantized vectors,
+    then per-query probing of the 2 nearest centroids and an exact
+    cosine re-rank of only those clusters' members. At 100 TB the
+    final assignment is what you'd bucket the lake by.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = _quantized(spark, sf_dir)
+    cids, C = _kmeans_centroids(base, K_CLUSTERS, KM_ITERS)
+
+    def assign(batches, cids=cids, C=C):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[d.argmin(axis=1)],
+                }
+            )
+
+    members = base.select("vec_id", "q").mapInPandas(
+        assign, schema="vec_id bigint, cid bigint"
+    )
+    cents = spark.createDataFrame(
+        [(int(c), [int(x) for x in C[j]]) for j, c in enumerate(cids)],
+        schema="cid bigint, cv array<bigint>",
+    )
+
+    queries = base.filter((F.col("vec_id") % QUERY_MOD) == 0).selectExpr(
+        "vec_id AS query_id", "q AS qa", "nn AS na"
+    )
+    l2 = F.broadcast(queries).crossJoin(F.broadcast(cents)).selectExpr(
+        "query_id",
+        "qa",
+        "na",
+        "cid",
+        "aggregate(zip_with(qa, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS l2",
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("cid"))
+    probes = (
+        l2.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= KM_PROBE)
+        .select("query_id", "qa", "na", "cid")
+    )
+    scored = F.broadcast(probes).join(
+        members.join(base, "vec_id").selectExpr(
+            "vec_id AS neighbor_id", "q AS qb", "nn AS nb", "cid"
+        ),
+        "cid",
+    ).filter(F.col("query_id") != F.col("neighbor_id")).selectExpr(
+        "query_id",
+        "neighbor_id",
+        _cosine(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+            "na",
+            "nb",
+        )
+        + " AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _sql_lloyd_iteration(t: int, prev: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs (assign + recenter)."""
+    return f"""
+a{t} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+               (x, y) -> x + y) ASC,
+             c.cid ASC) AS rn
+    FROM qn q CROSS JOIN {prev} c)
+  WHERE rn = 1),
+c{t} AS (
+  SELECT cid, list(c ORDER BY i) AS cv FROM (
+    SELECT cid, i,
+           CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM (SELECT cid, unnest(qv) AS x, generate_subscripts(qv, 1) AS i
+          FROM a{t})
+    GROUP BY cid, i)
+  GROUP BY cid)"""
+
+
+_FINAL_C = f"c{KM_ITERS}"
+_FINAL_A = f"a{KM_ITERS + 1}"
+
+ORACLE_ANN_IVF_KMEANS = f"""
+WITH {_SQL_QUANTIZED},
+params AS (SELECT COUNT(*) // {K_CLUSTERS} AS stride FROM qn),
+c0 AS (
+  SELECT CAST(vec_id // p.stride AS BIGINT) AS cid, qv AS cv
+  FROM qn, params p
+  WHERE vec_id % p.stride = 0 AND vec_id // p.stride < {K_CLUSTERS}),
+{",".join(_sql_lloyd_iteration(t + 1, f"c{t}") for t in range(KM_ITERS))},
+{_FINAL_A} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+               (x, y) -> x + y) ASC,
+             c.cid ASC) AS rn
+    FROM qn q CROSS JOIN {_FINAL_C} c)
+  WHERE rn = 1),
+qrys AS (
+  SELECT vec_id AS query_id, qv AS qa, nn AS na
+  FROM qn WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(generate_series(1, {DIM}),
+               i -> (q.qa[i] - c.cv[i]) * (q.qa[i] - c.cv[i])),
+               (x, y) -> x + y) ASC,
+             c.cid ASC) AS pr
+    FROM qrys q CROSS JOIN {_FINAL_C} c)
+  WHERE pr <= {KM_PROBE}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {_cosine(
+             "list_reduce(list_transform(generate_series(1, len(q.qa)),"
+             " i -> q.qa[i] * b.qv[i]), (x, y) -> x + y)",
+             "q.na", "b.nn")} AS cosine
+  FROM probes p
+  JOIN qrys q ON q.query_id = p.query_id
+  JOIN {_FINAL_A} m ON m.cid = p.cid AND m.vec_id != q.query_id
+  JOIN qn b ON b.vec_id = m.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -433,5 +677,11 @@ SPECS: dict[str, QuerySpec] = {
         ),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ORACLE_ANN_LSH),
         QuerySpec("similarity_ann_ivf", similarity_ann_ivf, ORACLE_ANN_IVF),
+        QuerySpec(
+            "similarity_ann_ivf_kmeans", similarity_ann_ivf_kmeans,
+            ORACLE_ANN_IVF_KMEANS,
+            "IVF ANN over a Lloyd's-k-means inverted file (oracle "
+            "replays the unrolled iterations in SQL)",
+        ),
     )
 }

@@ -49,12 +49,11 @@ def test_profiler_distinct_pass_stays_hash_aggregated(spark):
     )
 
     plan = _plan(profile_core_tables(spark, SF))
-    # the Expand (multi-countDistinct) pass must hash-aggregate; string
-    # min/max lives in its own pass and may sort — but never adjacent
-    # to an Expand.
-    assert "Expand" in plan and "HashAggregate" in plan
-    expand_idx = plan.index("Expand")
-    assert "SortAggregate" not in plan[max(0, expand_idx - 600):expand_idx]
+    # long-form profiler invariants: the single countDistinct plans as
+    # a two-phase HASH aggregate with NO Expand of the input; sort
+    # aggregation exists only for the strings-only min/max pass.
+    assert "HashAggregate" in plan
+    assert "Expand" not in plan
 
 
 def test_no_cartesian_products_anywhere(spark):

@@ -56,3 +56,13 @@ def test_ann_recall_vs_bruteforce(spark):
     # probes 3 of 10 clusters -> 30% of the table scanned; recall above
     # that floor shows centroid probing correlates with cosine.
     assert ivf_recall >= 0.35, f"IVF recall@10 {ivf_recall:.2f}"
+
+    km = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["similarity_ann_ivf_kmeans"].spark(spark, SF).collect()
+    }
+    km_recall = len(bf & km) / len(bf)
+    # probes 2 of 8 trained clusters -> ~25% of the table scanned;
+    # recall above that floor shows the learned centroids correlate
+    # with cosine at least as well as the given labels do.
+    assert km_recall >= 0.25, f"kmeans-IVF recall@10 {km_recall:.2f}"
