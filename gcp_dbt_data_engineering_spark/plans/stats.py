@@ -1,0 +1,404 @@
+"""Statistical aggregates + classic decision-support query shapes.
+
+Completes the analytic surface around SURVEY.md §2.4/§2.5 with the
+query classes a warehouse replacement must still answer once the
+dbt-model layer (plans/models.py) is pointed at real marts:
+
+- **order-count distribution** (TPC-H Q13 shape): the left-outer
+  "count children per parent, then histogram the counts" double
+  aggregation — the canonical two-shuffle plan.
+- **market share** (Q8 shape): conditional share-of-total over a
+  multi-way star join.
+- **returned-items top customers** (Q10 shape): join + agg + top-k.
+- **moments**: mean / sample stddev / correlation computed from
+  exact decimal component sums (n, Σx, Σx², Σxy) so the result is a
+  deterministic function of exact inputs in BOTH engines — never the
+  engine's own streaming variance, whose partial-aggregation order is
+  nondeterministic under parallelism at any scale.
+- **exact interpolated quantiles**: distributed p25/p50/p90 via
+  row_number + count windows and explicit linear interpolation —
+  Spark's `percentile` and DuckDB's `quantile_cont` interpolate with
+  engine-specific float paths; writing the interpolation out makes the
+  math identical and keeps the plan a single per-group sort (no
+  driver-side collect, scales to any group size).
+- **deterministic hash sampling**: md5-prefix predicate — the
+  reproducible, cluster-stable alternative to `TABLESAMPLE`/`rand()`
+  for carving training/eval splits; both engines agree bit-for-bit on
+  md5 hex, so the sample is THE SAME SET everywhere, forever.
+
+Determinism: all money math uses the decimal-exact ``money_sum`` idiom
+(spec.py); derived doubles are produced by identical expression trees
+over exact inputs, so IEEE-754 evaluation matches bit-for-bit across
+engines.
+
+Scale posture: every spec is one or two shuffles on its natural keys;
+dims are broadcast; quantiles sort within groups only. No collects, no
+Python UDFs, no crossJoins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .spec import QuerySpec, money_sum, sql_money_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of orders-per-customer, including the
+# zero-order customers a plain inner join would drop. Two aggregations:
+# shuffle 1 on c_custkey (left join + count), shuffle 2 on the count.
+# At 100 TB the left join is the expensive step — it shuffles on the
+# join key only; the second agg input is |customers| rows.
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        cust.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: per order-year, the revenue share sold to ASIA
+# customers by suppliers from CHINA. share = conditional decimal sum /
+# total decimal sum → one double division over exact inputs.
+# ---------------------------------------------------------------------------
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    cust_asia = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    china = F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            money_sum(china, "china_revenue"),
+            money_sum(rev, "total_revenue"),
+        )
+        .select(
+            "o_year",
+            "china_revenue",
+            "total_revenue",
+            (F.col("china_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       {sql_money_sum("CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0.0 END",
+                      "china_revenue")},
+       {sql_money_sum("rev", "total_revenue")},
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0.0 END
+                AS DECIMAL(22,6))) AS DOUBLE)
+         / CAST(SUM(CAST(rev AS DECIMAL(22,6))) AS DOUBLE) AS mkt_share
+FROM base
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top 20 customers by revenue lost to returns.
+# join on the fact keys, agg on customer, global top-k with total-order
+# tiebreak. The final top-k is orderBy+limit — Spark runs TakeOrdered
+# per partition then merges k·partitions rows on the driver: no full
+# sort at any scale.
+# ---------------------------------------------------------------------------
+
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(money_sum(rev, "lost_revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_TOP = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "lost_revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Moments from exact components. l_quantity is an integral double ≤ 50
+# and l_extendedprice a 2-decimal double < ~2e5 — both exact in
+# DECIMAL(12,2). Each factor is cast to that exact decimal BEFORE the
+# multiply, so x², y², x·y are exact decimal products (≤ 4 fractional
+# digits) and the component sums are exact integers-scaled-by-10⁴ in
+# both engines. (Multiplying in double first and casting the product
+# fails: y² ≈ 5e9 needs > 15 significant digits at scale 6, and the
+# two engines round that double→decimal cast differently.) The final
+# mean/stddev/corr are identical closed-form double expressions over
+# exact inputs. Engine-native STDDEV/CORR would NOT hash-match
+# (parallel partial-agg order changes the float result run to run).
+# ---------------------------------------------------------------------------
+
+def lineitem_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    comp = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    return comp.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n).alias("mean_qty"),
+        F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+               / (n * (n - 1))).alias("stddev_qty"),
+        ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
+         ).alias("corr_qty_price"),
+    )
+
+
+ORACLE_MOMENTS = """
+WITH comp AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / CAST(n AS DOUBLE) AS mean_qty,
+       SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_qty,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+FROM comp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles with explicit linear interpolation.
+# Per group: rn = row_number ordered by (value, unique key), n = count.
+# For quantile q: h = (n-1)·q, lo = floor(h)+1, hi = lo+1 capped at n,
+# frac = h - floor(h); result = v_lo + frac·(v_hi - v_lo). Only rows at
+# rank lo/hi for some q survive the filter, so the final agg touches
+# ≤ 6 rows per group. The sort is per-group (window), never global.
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.50, 0.90)
+
+
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = od.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nm1 = (F.col("n") - 1).cast("double")
+    cols = [F.col("o_orderpriority"), F.max("n").alias("n_orders")]
+    keep = F.lit(False)
+    aggs = []
+    for q in _QUANTILES:
+        h = nm1 * F.lit(q)
+        lo = F.floor(h) + 1
+        hi = F.least(lo + 1, F.col("n"))
+        frac = h - F.floor(h)
+        keep = keep | (F.col("rn") == lo) | (F.col("rn") == hi)
+        tag = str(int(q * 100))
+        aggs += [
+            (F.max(F.when(F.col("rn") == lo, F.col("v")))
+             + F.max(F.when(F.col("rn") == lo, frac))
+             * (F.max(F.when(F.col("rn") == hi, F.col("v")))
+                - F.max(F.when(F.col("rn") == lo, F.col("v"))))
+             ).alias(f"p{tag}_price"),
+        ]
+    return (
+        ranked.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(F.max("n").cast("bigint").alias("n_orders"), *aggs)
+    )
+
+
+def _sql_quantiles() -> str:
+    exprs = []
+    for q in _QUANTILES:
+        tag = str(int(q * 100))
+        h = f"(CAST(n - 1 AS DOUBLE) * {q})"
+        lo = f"(FLOOR({h}) + 1)"
+        hi = f"LEAST({lo} + 1, n)"
+        frac = f"({h} - FLOOR({h}))"
+        exprs.append(
+            f"MAX(CASE WHEN rn = {lo} THEN v END)"
+            f" + MAX(CASE WHEN rn = {lo} THEN {frac} END)"
+            f" * (MAX(CASE WHEN rn = {hi} THEN v END)"
+            f"    - MAX(CASE WHEN rn = {lo} THEN v END)) AS p{tag}_price"
+        )
+    conds = " OR ".join(
+        f"rn = (FLOOR(CAST(n - 1 AS DOUBLE) * {q}) + 1)"
+        f" OR rn = LEAST(FLOOR(CAST(n - 1 AS DOUBLE) * {q}) + 2, n)"
+        for q in _QUANTILES
+    )
+    return f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       {", ".join(exprs)}
+FROM ranked
+WHERE {conds}
+GROUP BY o_orderpriority
+"""
+
+
+ORACLE_QUANTILES = _sql_quantiles()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sample: md5 hex prefix '0' ⇒ a stable 1/16 subset.
+# Unlike TABLESAMPLE / rand(seed), the membership is a pure function of
+# the key — the same rows are sampled on any cluster, any partitioning,
+# any engine, forever (training/eval splits, reproducible debugging).
+# The predicate is embarrassingly parallel; no shuffle added.
+# ---------------------------------------------------------------------------
+
+def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    sampled = od.filter(
+        F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        money_sum(F.col("o_totalprice"), "sample_revenue"),
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       {sql_money_sum("o_totalprice", "sample_revenue")}
+FROM orders
+WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+GROUP BY o_orderstatus
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in [
+        QuerySpec("customer_order_distribution", customer_order_distribution,
+                  ORACLE_ORDER_DISTRIBUTION,
+                  "orders-per-customer histogram incl. zero (Q13 shape)"),
+        QuerySpec("nation_market_share", nation_market_share,
+                  ORACLE_MARKET_SHARE,
+                  "yearly CHINA share of ASIA revenue (Q8 shape)"),
+        QuerySpec("returned_items_top_customers", returned_items_top_customers,
+                  ORACLE_RETURNED_TOP,
+                  "top-20 customers by returned revenue (Q10 shape)"),
+        QuerySpec("lineitem_stats_moments", lineitem_stats_moments,
+                  ORACLE_MOMENTS,
+                  "mean/stddev/corr from exact decimal component sums"),
+        QuerySpec("orders_price_quantiles", orders_price_quantiles,
+                  ORACLE_QUANTILES,
+                  "exact interpolated p25/p50/p90 per priority, distributed"),
+        QuerySpec("orders_hash_sample", orders_hash_sample,
+                  ORACLE_HASH_SAMPLE,
+                  "md5-prefix deterministic 1/16 sample + sample stats"),
+    ]
+}
