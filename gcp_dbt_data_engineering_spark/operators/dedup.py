@@ -483,9 +483,108 @@ WHERE CAST(dot AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate documents into clusters — the step that
+    turns a pair list (dedup #2/#3) into an actual dedup decision
+    (keep one canonical doc per component).
+
+    Connected components by iterative min-label propagation over the
+    exact-Jaccard >= 0.8 edge set: every node starts labeled with its
+    own doc_id; each round every node takes the minimum label in its
+    neighborhood; at fixpoint label == min doc_id of the component.
+
+    Scale posture: rounds = graph diameter, and near-dup components
+    are small and dense (diameter 2-4), so this converges in a few
+    rounds of one shuffle join each. ``localCheckpoint`` after every
+    round truncates plan lineage (without it the plan doubles per
+    iteration and the driver dies long before the executors notice).
+    For adversarial chain-shaped graphs switch to the alternating
+    large-star/small-star algorithm (O(log n) rounds, same join
+    primitive). The convergence count per round is the one driver
+    action an iterative algorithm genuinely needs.
+
+    Output: one row per component (singletons included) with its
+    canonical keep id (= component_id, the min doc_id), member count,
+    and max member id.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("label").alias("old"),
+                F.least("label", "nlabel").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("label") < F.col("old")).count()
+        labels = merged.select("doc_id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+#: min-reachable-label via recursive closure — tractable because test
+#: components are tiny; the Spark side is the scalable path.
+ORACLE_CLUSTER_COMPONENTS = f"""
+WITH RECURSIVE {_sql_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY node)
+SELECT component_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+FROM comp GROUP BY component_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "dedup_cluster_components",
+            dedup_cluster_components,
+            ORACLE_CLUSTER_COMPONENTS,
+        ),
         QuerySpec("dedup_exact", dedup_exact, ORACLE_DEDUP_EXACT),
         QuerySpec(
             "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD

@@ -567,29 +567,39 @@ def run_sql_tests(
     (``tests/dq_sql_notes.md:13-47``): each test is a full SELECT
     returning one count, with ``{table_name}`` / ``{fecha}``
     placeholders, an ``expected_result``, and a ``severity``. The SQL
-    is screened by the keyword scanner before execution; results are
-    rows (S7 pattern: local dicts → DataFrame with explicit schema).
+    is screened by the keyword scanner before execution.
+
+    The reference runs each test as its own warehouse query; here all
+    tests compile into ONE lazy plan (each test's count becomes a
+    single-row branch, unioned), so N tests execute as one Spark job
+    with N parallel sub-plans instead of N serialized actions — the
+    same single-pass rewrite the check compiler applies (SURVEY.md §4).
     """
+    from functools import reduce
+
     from ..security import scan_sql
     from ..sources import register_all
 
     register_all(spark, sf_dir)
-    rows = []
+    branches = []
     for t in sql_tests:
         sql = scan_sql(t["sql"]).format(
             table_name=table_name or "", fecha=fecha or ""
         )
-        actual = int(spark.sql(sql).collect()[0][0])
+        count_df = spark.sql(sql)
+        actual = F.col(count_df.columns[0]).cast("long")
         expected = int(t.get("expected_result", 0))
-        rows.append(
-            {
-                "test_name": t["test_name"],
-                "description": t.get("description", ""),
-                "actual": actual,
-                "expected_result": expected,
-                "status": "PASS" if actual == expected else "FAIL",
-                "severity": t.get("severity", "ERROR"),
-            }
+        branches.append(
+            count_df.select(
+                F.lit(t["test_name"]).alias("test_name"),
+                F.lit(t.get("description", "")).alias("description"),
+                actual.alias("actual"),
+                F.lit(expected).cast("long").alias("expected_result"),
+                F.when(actual == expected, "PASS")
+                .otherwise("FAIL")
+                .alias("status"),
+                F.lit(t.get("severity", "ERROR")).alias("severity"),
+            )
         )
     schema = T.StructType(
         [
@@ -601,7 +611,9 @@ def run_sql_tests(
             T.StructField("severity", T.StringType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    if not branches:
+        return spark.createDataFrame([], schema)
+    return reduce(DataFrame.unionAll, branches)
 
 
 #: the reference's two inline-SQL shapes (NOT EXISTS referential check,

@@ -92,16 +92,31 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; normalizes the events nanosecond timestamp."""
+    """Load one table; normalizes the events nanosecond timestamp.
+
+    Memoized per (session, path): ``spark.read.parquet`` does a
+    driver-side footer/schema read (~0.1-0.2 s each) on every call,
+    which dominated plan-build time for multi-table specs. DataFrame
+    plans are immutable, so reusing one per session is free; the cache
+    dies with the session object.
+    """
     tune(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros with integer division, then NTZ timestamp.
-        # Session TZ is UTC (session.RUNTIME_CONF) so LTZ→NTZ is lossless.
-        df = df.withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
-        )
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_table_cache", {}
+    )
+    path = table_path(sf_dir, name)
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanos → micros with integer division, then NTZ timestamp.
+            # Session TZ is UTC (session.RUNTIME_CONF) so LTZ→NTZ is
+            # lossless.
+            df = df.withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+            )
+        cache[path] = df
     return df
 
 
