@@ -380,9 +380,81 @@ FROM counts
 ORACLE_SENTIMENT = _oracle_sentiment()
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF characteristic terms (per-doc top-k)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    tf = in-doc term count; idf = ln(N / df) with df counted over
+    distinct (doc, term); rank by (score desc, term asc) — the score
+    is a deterministic function of (tf, df, N), so identical integer
+    inputs give bit-identical doubles in both engines and the ranking
+    is total.
+
+    Scale posture: two shuffles (term counts by (doc,term), document
+    frequency by term) + one window partitioned by doc_id. The corpus
+    size N rides along as a broadcast single-row cross join — no
+    driver round-trip, so the whole thing is still one lazy plan.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.selectExpr(
+        "doc_id", f"explode({th.words('text', 'spark')}) AS term"
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH words AS (
+  SELECT doc_id, unnest({th.words('text', 'duck')}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term))
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "text_tfidf_top_terms", text_tfidf_top_terms, ORACLE_TFIDF
+        ),
         QuerySpec(
             "text_sentiment_lexicon", text_sentiment_lexicon, ORACLE_SENTIMENT
         ),

@@ -347,9 +347,57 @@ GROUP BY band
 """
 
 
+# ---------------------------------------------------------------------------
+# cohort retention: users bucketed by first-activity week, then
+# distinct-user counts per (cohort week, weeks-since-first). Two
+# shuffles — per-user MIN (first activity) and the cohort-cell
+# distinct count; the user⋈first-activity join is co-partitioned with
+# the preceding aggregate so AQE keeps it local. The classic
+# product-analytics matrix, and a shape the reference's daily-fecha
+# slicing cannot express without a self-join.
+# ---------------------------------------------------------------------------
+
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_d"))
+            .cast("date")
+            .cast("string")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS first_d FROM ev GROUP BY user_id)
+SELECT CAST(CAST(date_trunc('week', first_d) AS DATE) AS VARCHAR)
+         AS cohort_week,
+       CAST(floor(date_diff('day', first_d, d) / 7.0) AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT ev.user_id) AS active_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("events_weekly_retention", events_weekly_retention,
+                  ORACLE_RETENTION,
+                  "cohort retention matrix: first-week x week-offset"),
         QuerySpec("customer_orders_running", customer_orders_running,
                   ORACLE_RUNNING,
                   "running sum + row_number + lag with explicit ROWS frame"),
