@@ -89,3 +89,54 @@ def test_polyhash_parity_random_strings(spark, s):
     ).fetchone()[0]
     assert spark_h == duck_h
     assert 0 <= spark_h < th.P
+
+
+def test_q6_whole_predicate_reaches_scan(spark):
+    """Q6 shape: every conjunct (date range, discount band, quantity
+    cap) must appear in the parquet PushedFilters — the scan IS the
+    query at 100 TB."""
+    from gcp_dbt_data_engineering_spark.plans.tpch_shapes import (
+        forecast_revenue_delta,
+    )
+
+    plan = _plan(forecast_revenue_delta(spark, SF))
+    pushed = plan.split("PushedFilters", 1)[1][:600]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    assert "HashAggregate" in plan
+
+
+def test_q7_dims_broadcast_no_sort_merge(spark):
+    from gcp_dbt_data_engineering_spark.plans.tpch_shapes import (
+        nation_trade_volume,
+    )
+
+    plan = _plan(nation_trade_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_splits_to_both_scans(spark):
+    """Catalyst must derive the per-side residues of the OR-of-ANDs
+    (quantity bands -> lineitem scan, brand/size bands -> part scan)
+    and push both; without that the filter only runs post-join."""
+    from gcp_dbt_data_engineering_spark.plans.tpch_shapes import (
+        disjunctive_brand_revenue,
+    )
+
+    plan = _plan(disjunctive_brand_revenue(spark, SF))
+    segs = plan.split("PushedFilters")
+    assert any("l_quantity" in s[:600] and "Or(" in s[:600] for s in segs[1:])
+    assert any("p_brand" in s[:600] and "Or(" in s[:600] for s in segs[1:])
+
+
+def test_q22_anti_join_with_pruned_build_side(spark):
+    from gcp_dbt_data_engineering_spark.plans.tpch_shapes import (
+        idle_customer_balance,
+    )
+
+    plan = _plan(idle_customer_balance(spark, SF))
+    assert "LeftAnti" in plan
+    # the recency filter prunes orders BEFORE the anti-join build
+    segs = plan.split("PushedFilters")
+    assert any("o_orderdate" in s[:400] for s in segs[1:])
