@@ -76,12 +76,21 @@ def get_spark(
     shuffle data each (or let AQE coalesce from a high initial number).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cpus = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    # Local-mode shuffle sizing: the test/bench scale factors carry tens
+    # of MB per shuffle, so partition count is pure per-task overhead —
+    # cores/4 (min 8) measures strictly faster than 1/core on every
+    # query class at sf0.1, including the CPU-heavy corpus operators
+    # (scans still split by file/row-group, not this knob). On a real
+    # cluster size shuffle partitions to ~128-256 MB of shuffle data
+    # each — at 100 TB that is O(10^5-10^6) partitions, set explicitly
+    # or via AQE's initialPartitionNum and coalesced at runtime.
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or (32 if cpus == "*" else int(cpus))),
+            str(shuffle_partitions or max(8, n_cpus // 4)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
