@@ -33,6 +33,7 @@ def _all_specs() -> dict[str, QuerySpec]:
         "gcp_dbt_data_engineering_spark.plans.windows",
         "gcp_dbt_data_engineering_spark.plans.stats",
         "gcp_dbt_data_engineering_spark.plans.tpch_shapes",
+        "gcp_dbt_data_engineering_spark.plans.layout",
         "gcp_dbt_data_engineering_spark.streaming.events",
     ):
         try:

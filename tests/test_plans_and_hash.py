@@ -140,3 +140,29 @@ def test_q22_anti_join_with_pruned_build_side(spark):
     # the recency filter prunes orders BEFORE the anti-join build
     segs = plan.split("PushedFilters")
     assert any("o_orderdate" in s[:400] for s in segs[1:])
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Bucketed layout: the fact-fact sort-merge join must consume the
+    bucket distribution directly — a shuffle on either join key means
+    the layout metadata was lost."""
+    from gcp_dbt_data_engineering_spark.plans.layout import (
+        bucketed_orders_revenue,
+    )
+
+    plan = _plan(bucketed_orders_revenue(spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_fecha_slice_is_partition_pruned(spark):
+    """The daily-slice predicate must land in PartitionFilters (pruned
+    at planning time), not in the data filter."""
+    from gcp_dbt_data_engineering_spark.plans.layout import (
+        events_fecha_partitioned_slice,
+    )
+
+    plan = _plan(events_fecha_partitioned_slice(spark, SF))
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "fecha" in seg and "2024-01-15" in seg
