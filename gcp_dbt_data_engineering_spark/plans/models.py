@@ -23,6 +23,10 @@ per model ``spark.sql(rendered)`` and materialize:
   BigQuery MERGE by partition): only partitions present in the new run
   are replaced, so a daily run rewrites one ``fecha`` partition of a
   100 TB table, not the table.
+- ``merge`` → keyed upsert (dbt's incremental ``unique_key``
+  strategy): batch rows replace same-key rows, everything else
+  survives; anti-join + union + atomic snapshot swap (the seam where
+  Delta/Iceberg MERGE INTO plugs in).
 
 Models are *data* (name → SQL text), so the engine can load them from a
 directory of ``.sql`` files exactly like dbt's ``models/`` tree.
@@ -121,6 +125,36 @@ class ModelGraph:
                     writer.parquet(path)
                 else:
                     writer.parquet(path)
+                df = spark.read.parquet(path)
+                df.createOrReplaceTempView(name)
+            elif mat == "merge":
+                # dbt's incremental unique_key strategy: rows in this
+                # batch REPLACE existing rows with the same key, all
+                # other existing rows survive. Without a transactional
+                # table format the upsert is anti-join + union into a
+                # staged snapshot, then an atomic directory swap (you
+                # cannot overwrite a parquet dir Spark is lazily
+                # reading from). On Delta/Iceberg this branch becomes
+                # a real MERGE INTO with file-level pruning on the
+                # key — this seam is where that engine plugs in.
+                import shutil
+
+                path = f"{self.warehouse_dir}/{name}"
+                key = cfg.get("unique_key")
+                if not key:
+                    raise ValueError(f"merge model {name} needs unique_key")
+                keys = [k.strip() for k in key.split(",")]
+                merged = df
+                if os.path.exists(path):
+                    existing = spark.read.parquet(path)
+                    survivors = existing.join(
+                        df.select(*keys).distinct(), on=keys, how="left_anti"
+                    )
+                    merged = survivors.unionByName(df)
+                staging = f"{path}__staging"
+                merged.write.mode("overwrite").parquet(staging)
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(staging, path)
                 df = spark.read.parquet(path)
                 df.createOrReplaceTempView(name)
             else:
@@ -395,6 +429,85 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Merge (unique_key upsert) demo: per-customer order summary built in
+# three keyed batches. Later batches REPLACE a customer's row; the
+# final table must equal "latest batch wins per customer" computed in
+# one shot — the invariant dbt's incremental unique_key strategy
+# promises. Batches split on o_orderdate so which batch last touched a
+# customer is deterministic.
+# ---------------------------------------------------------------------------
+
+MERGE_MODEL: dict[str, str] = {
+    "customer_order_state": """
+{{ config(materialized='merge', unique_key='o_custkey') }}
+select o_custkey,
+       count(*) as n_orders,
+       cast(max(o_orderdate) as date) as last_order,
+       cast(sum(cast(o_totalprice as decimal(22,6))) as double)
+         as total_spend
+from orders_batch
+group by o_custkey
+""",
+}
+
+#: [lo, hi) order-date batches; each run upserts the customers active
+#: in that window. The last batch re-runs the final window — replaying
+#: a batch must be a no-op (same keys, same aggregates).
+MERGE_BATCHES = (
+    ("1995-01-01", "1998-01-01"),
+    ("1998-01-01", "2000-01-01"),
+    ("2000-01-01", "2002-01-01"),
+    ("2000-01-01", "2002-01-01"),
+)
+
+
+def model_merge_customer_state(
+    spark: SparkSession, sf_dir: str,
+    warehouse_dir: str = "/root/repo/.artifacts/warehouse_merge",
+) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(warehouse_dir, ignore_errors=True)
+    orders = register_all(spark, sf_dir, tables=("orders",))["orders"]
+    graph = ModelGraph(MERGE_MODEL, warehouse_dir=warehouse_dir)
+    for lo, hi in MERGE_BATCHES:
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).createOrReplaceTempView("orders_batch")
+        graph.run(spark)
+    return spark.read.parquet(f"{warehouse_dir}/customer_order_state").select(
+        "o_custkey",
+        "n_orders",
+        F.col("last_order").cast("string").alias("last_order"),
+        "total_spend",
+    )
+
+
+#: latest-batch-wins per customer, computed in one pass: each customer's
+#: surviving row comes from the last window in which they had orders.
+ORACLE_MERGE = """
+WITH batched AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 2
+              WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1
+              ELSE 0 END AS b,
+         o_orderdate, o_totalprice
+  FROM orders),
+last_b AS (SELECT o_custkey, MAX(b) AS b FROM batched GROUP BY o_custkey)
+SELECT t.o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(CAST(MAX(t.o_orderdate) AS DATE) AS VARCHAR) AS last_order,
+       CAST(SUM(CAST(t.o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
+         AS total_spend
+FROM batched t JOIN last_b USING (o_custkey, b)
+GROUP BY t.o_custkey
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dbt_example_models": QuerySpec(
         "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
@@ -413,5 +526,10 @@ SPECS: dict[str, QuerySpec] = {
         "model_incremental_daily_revenue", model_incremental_daily_revenue,
         ORACLE_INCREMENTAL,
         "incremental partition-overwrite materialization in 4 sliced runs",
+    ),
+    "model_merge_customer_state": QuerySpec(
+        "model_merge_customer_state", model_merge_customer_state,
+        ORACLE_MERGE,
+        "merge (unique_key upsert) materialization in 4 keyed batches",
     ),
 }

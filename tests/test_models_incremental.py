@@ -54,3 +54,38 @@ def test_overlapping_rerun_is_idempotent(spark):
     ).createOrReplaceTempView("events_batch")
     ModelGraph(INCREMENTAL_MODEL, warehouse_dir=WH).run(spark)
     assert spark.read.parquet(f"{WH}/daily_event_revenue").count() == n1
+
+
+def test_merge_replay_is_idempotent(spark):
+    """Re-running the same keyed batch must not change the table."""
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        MERGE_MODEL,
+        ModelGraph,
+    )
+    from gcp_dbt_data_engineering_spark.sources import register_all
+    from pyspark.sql import functions as F
+    import shutil
+
+    wh = "/root/repo/.artifacts/warehouse_merge_test"
+    shutil.rmtree(wh, ignore_errors=True)
+    orders = register_all(spark, SF, tables=("orders",))["orders"]
+    graph = ModelGraph(MERGE_MODEL, warehouse_dir=wh)
+
+    def run_batch(lo, hi):
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).createOrReplaceTempView("orders_batch")
+        graph.run(spark)
+        return sorted(
+            map(tuple, spark.read.parquet(f"{wh}/customer_order_state").collect())
+        )
+
+    base = run_batch("1995-01-01", "1998-01-01")
+    upserted = run_batch("1998-01-01", "2002-01-01")
+    replayed = run_batch("1998-01-01", "2002-01-01")
+    assert upserted == replayed
+    # keys never shrink: every customer from the base batch survives
+    base_keys = {r[0] for r in base}
+    assert base_keys <= {r[0] for r in upserted}
+    shutil.rmtree(wh, ignore_errors=True)
