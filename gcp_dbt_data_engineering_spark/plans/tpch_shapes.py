@@ -469,6 +469,288 @@ WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM pairs m
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 shape: important parts by inventory value for a nation group —
+# grouped aggregate compared against a global-scalar fraction of the
+# same aggregate. The schema has no partsupp, so "inventory value" is
+# the discounted revenue of lineitems shipped by the nations'
+# suppliers. The global total is recomputed from the base rows with
+# the exact-decimal idiom (NOT by summing the per-part doubles, which
+# would be order-dependent), so the 0.002× threshold is bit-identical
+# in both engines. Plan: one shuffle on l_partkey for the per-part
+# agg; the scalar total is a single-row broadcast; supplier/nation
+# hops broadcast. At 100 TB the fact scans twice — acceptable because
+# both passes are scan→partial-agg with no wide intermediate.
+# ---------------------------------------------------------------------------
+
+_Q11_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q11_NATIONS)
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    filtered = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = filtered.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        money_sum(value, "part_value")
+    )
+    total = filtered.agg(money_sum(value, "total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.002 * F.col("total_value"))
+        .select("partkey", "part_value")
+    )
+
+
+ORACLE_IMPORTANT_PART = f"""
+WITH filtered AS (
+  SELECT l_partkey, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN {str(tuple(_Q11_NATIONS))}
+)
+SELECT l_partkey AS partkey,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "part_value")}
+FROM filtered
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(22,6))) AS DOUBLE)
+     > 0.002 * (SELECT {sql_money_sum(
+         "l_extendedprice * (1 - l_discount)", "t")} FROM filtered)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: shipping lateness bands × order-priority classes —
+# fact⋈fact equi-join with conditional aggregation (CASE inside SUM).
+# The schema has no l_shipmode/commitdate, so the band is derived from
+# datediff(ship, order): the Q12 pattern of "group by a derived class,
+# count by a CASE over a dim attribute" is preserved exactly. One
+# shuffle on the derived band key (3 groups); the priority CASE
+# collapses map-side.
+# ---------------------------------------------------------------------------
+
+def lateness_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast(_TS))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag > 120, "very_late")
+        .when(lag > 60, "late")
+        .otherwise("on_time")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("lateness"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_LATENESS_PRIORITY = """
+SELECT CASE
+         WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 120 THEN 'very_late'
+         WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 60 THEN 'late'
+         ELSE 'on_time'
+       END AS lateness,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per part attribute group, with a
+# NOT-IN exclusion subquery (suppliers with negative balance play the
+# "complaints" role). The exclusion is a broadcast anti-join on the
+# tiny supplier-exclusion set; the distinct count shuffles once on the
+# (brand, type, size) group key after the pair-distinct pass.
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+def supplier_part_attribute_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_SUPPLIER_PART_ATTR = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN {str(_Q16_SIZES)}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers who shipped "excess" volume — two aggregates of
+# the same relation at the same granularity but different filters
+# (year slice vs lifetime), folded into ONE pass with conditional
+# aggregation, then a distinct-key semi-join up to the supplier dim.
+# Compared to the textbook nested-subquery form this is the
+# single-scan plan Catalyst cannot always reach on its own.
+# ---------------------------------------------------------------------------
+
+def excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast(_TS)) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast(_TS)
+    )
+    qty = F.col("l_quantity").cast("decimal(22,6)")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0).cast("decimal(22,6)")))
+            .cast("double")
+            .alias("qty_96"),
+            F.sum(qty).cast("double").alias("qty_all"),
+        )
+    )
+    excess_keys = (
+        shipped.filter(
+            (F.col("qty_96") > 0.5 * F.col("qty_all")) & (F.col("qty_96") > 0)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            excess_keys, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+ORACLE_EXCESS_SHIPPER = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01'
+                            THEN l_quantity ELSE 0 END
+                       AS DECIMAL(22,6))) AS DOUBLE) AS qty_96,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS qty_all
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                    WHERE qty_96 > 0.5 * qty_all AND qty_96 > 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who kept multi-supplier orders waiting — the
+# classic EXISTS/NOT-EXISTS pair over sibling lineitems, rewritten as
+# ONE grouped pass per order: distinct-supplier count ≥ 2 (EXISTS a
+# different supplier) and exactly one late supplier (NOT EXISTS a
+# *different* late one); since that late supplier is unique,
+# MAX(CASE WHEN late THEN suppkey END) recovers it without a
+# join-back. One shuffle on l_orderkey, then a dimension-sized
+# groupBy(s_name). "Late" = shipped >60 days after order date.
+# ---------------------------------------------------------------------------
+
+def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nlate"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("ns") >= 2) & (F.col("nlate") == 1))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        per_order.join(
+            F.broadcast(supplier), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_WAITING_ORDERS = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS nlate,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE ns >= 2 AND nlate = 1
+GROUP BY s_name
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -499,5 +781,20 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("min_balance_supplier_per_part",
                   min_balance_supplier_per_part, ORACLE_MIN_BAL_SUPPLIER,
                   "per-group MIN probe with ties kept (Q2 shape)"),
+        QuerySpec("important_part_value", important_part_value,
+                  ORACLE_IMPORTANT_PART,
+                  "grouped agg vs global-scalar fraction threshold (Q11 shape)"),
+        QuerySpec("lateness_priority_counts", lateness_priority_counts,
+                  ORACLE_LATENESS_PRIORITY,
+                  "derived-band groups + CASE-conditional counts (Q12 shape)"),
+        QuerySpec("supplier_part_attribute_counts",
+                  supplier_part_attribute_counts, ORACLE_SUPPLIER_PART_ATTR,
+                  "distinct-count per attrs + NOT IN anti-join (Q16 shape)"),
+        QuerySpec("excess_shipper_suppliers", excess_shipper_suppliers,
+                  ORACLE_EXCESS_SHIPPER,
+                  "dual-filter agg in one pass + semi-join (Q20 shape)"),
+        QuerySpec("waiting_orders_by_supplier", waiting_orders_by_supplier,
+                  ORACLE_WAITING_ORDERS,
+                  "EXISTS/NOT-EXISTS siblings as one grouped pass (Q21 shape)"),
     ]
 }
