@@ -1,0 +1,480 @@
+"""Training-data pipeline operators: contamination checks, stratified
+sampling, domain mixing, PII redaction, and sequence packing.
+
+North-star [EXT] surface (SURVEY.md §2, "operations a large-scale
+training-data pipeline would need") built on the same portable-hash
+toolkit as the dedup family (``texthash.py``) so every operator has a
+bit-identical DuckDB oracle. The reference's own sampling hook is the
+profiler's ``sample_size`` setting (`tests/profiling_example.py:54`)
+and its per-partition batch discipline (`tests/example_templates.yaml:58`);
+these operators generalize that to corpus curation.
+
+Scale posture (100 TB):
+
+- Every sampling decision is a pure per-row hash predicate — no
+  shuffle, no ``df.sample`` RNG (which is neither reproducible across
+  engines nor stable under repartitioning). Rates arrive as broadcast
+  single-row/dimension-sized joins.
+- Contamination keys the join on 8-byte shingle hashes with the
+  benchmark side broadcast (benchmarks are MBs, corpora are TBs).
+- Chunked packing is one window scan per source partition; greedy
+  packing is ``applyInPandas`` per source — state never leaves one
+  group, so it scales by adding sources/shards, and each group is
+  sequential by construction (the packing order IS the semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..plans.spec import QuerySpec
+from . import texthash as th
+
+# ---------------------------------------------------------------------------
+# 1. benchmark-contamination check — n-gram overlap vs a benchmark set
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 5
+BENCH_SOURCES = ("src0", "src1")
+
+
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram overlap rate against the benchmark sources.
+
+    The decontamination primitive: distinct n-gram hashes per doc,
+    semi-join against the (broadcast) benchmark hash set, hit-count /
+    total. Docs shorter than ``CONTAM_N`` words have no shingles and
+    drop out (same in the oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = (
+        docs.selectExpr(
+            "doc_id",
+            "source",
+            f"{th.shingle_hashes('text', CONTAM_N, 'spark')} AS hs",
+        )
+        .select("doc_id", "source", F.explode("hs").alias("h"))
+        .distinct()
+        .persist()
+    )
+    bench = (
+        sh.filter(F.col("source").isin(*BENCH_SOURCES)).select("h").distinct()
+    )
+    cand = sh.filter(~F.col("source").isin(*BENCH_SOURCES))
+    sz = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        cand.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        sz.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("k"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("k"), F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def _sql_in(vals: Iterable[str]) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, h
+  FROM (SELECT doc_id, source,
+               unnest({th.shingle_hashes('text', CONTAM_N, 'duck')}) AS h
+        FROM documents)
+),
+bench AS (SELECT DISTINCT h FROM sh
+          WHERE source IN {_sql_in(BENCH_SOURCES)}),
+cand AS (SELECT * FROM sh WHERE source NOT IN {_sql_in(BENCH_SOURCES)}),
+sz AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM cand GROUP BY doc_id),
+hits AS (SELECT doc_id, COUNT(*) AS k FROM cand
+         WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+SELECT sz.doc_id, n_ngrams,
+       COALESCE(k, 0) AS n_contaminated,
+       CAST(COALESCE(k, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         AS contamination_rate
+FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. stratified sampling — per-language hash-deterministic rates
+# ---------------------------------------------------------------------------
+
+#: basis-point sampling rate per language stratum
+STRATA_BP = {"en": 5000, "es": 2500, "de": 2500, "fr": 1000, "zh": 1000}
+
+
+def _bucket(expr: str, dialect: str, salt: str = "") -> str:
+    """Deterministic 0..9999 bucket from a key expression (portable).
+
+    The raw polyhash of short keys ('strat123') stays in a narrow
+    band — too few fold steps wrap the modulus — so an affine rehash
+    ``(a*h + b) % P`` scatters it before the bucket reduction (same
+    trick as the MinHash permutations; max intermediate ~1e18 < 2^63).
+    """
+    keyed = (
+        f"concat('{salt}', CAST({expr} AS STRING))"
+        if dialect == "spark"
+        else f"concat('{salt}', CAST({expr} AS VARCHAR))"
+    )
+    a, b = th.perm_coeffs(7)
+    return f"(({a} * ({th.polyhash(keyed, dialect)}) + {b}) % {th.P}) % 10000"
+
+
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample; per-stratum acceptance stats.
+
+    ``df.sample``/``sampleBy`` are seed-dependent AND
+    partitioning-dependent; a hash predicate on the stable key is the
+    reproducible idiom (same doc set on every run, every cluster
+    layout, and in the oracle engine).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.create_map(
+        *[F.lit(x) for kv in STRATA_BP.items() for x in kv]
+    )
+    sampled = docs.withColumn(
+        "bucket", F.expr(_bucket("doc_id", "spark", "strat"))
+    ).filter(F.col("bucket") < rate[F.col("lang")])
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+_SQL_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_BP.items())
+    + " ELSE 0 END"
+)
+
+ORACLE_STRATIFIED = f"""
+SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+FROM documents
+WHERE {_bucket('doc_id', 'duck', 'strat')} < {_SQL_RATE_CASE}
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. domain mixing — hit target language weights from skewed counts
+# ---------------------------------------------------------------------------
+
+#: target mixture weights (basis points, sum 10000) and output budget
+MIX_WEIGHTS_BP = {"en": 3000, "es": 2000, "de": 2000, "fr": 1500, "zh": 1500}
+MIX_BUDGET = 200
+
+
+def mix_domains_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus toward target per-language weights.
+
+    Two-pass: count per stratum, derive acceptance rate
+    ``min(1, want/have)``, then the same hash-bucket predicate as the
+    stratified sampler (independent salt). Returns per-language
+    take/have/want so the mixing error is visible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    have = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("have"))
+    want = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS_BP.items() for x in kv]
+    )[F.col("lang")] * F.lit(MIX_BUDGET) / F.lit(10000.0)
+    rates = have.select(
+        "lang",
+        "have",
+        F.floor(
+            F.least(F.lit(1.0), want / F.col("have").cast("double")) * 10000
+        ).alias("thresh_bp"),
+        want.alias("want"),
+    )
+    taken = (
+        docs.withColumn("bucket", F.expr(_bucket("doc_id", "spark", "mix")))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("thresh_bp"))
+    )
+    return taken.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_taken"),
+        F.first("have").alias("n_have"),
+        F.first("want").alias("n_want"),
+    )
+
+
+_SQL_WANT_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS_BP.items())
+    + f" ELSE 0 END * {MIX_BUDGET} / 10000.0"
+)
+
+ORACLE_MIX_DOMAINS = f"""
+WITH rates AS (
+  SELECT lang, COUNT(*) AS have,
+         FLOOR(LEAST(1.0, ({_SQL_WANT_CASE})
+                          / CAST(COUNT(*) AS DOUBLE)) * 10000) AS thresh_bp,
+         ({_SQL_WANT_CASE}) AS want
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, COUNT(*) AS n_taken,
+       MIN(have) AS n_have, MIN(want) AS n_want
+FROM documents d JOIN rates USING (lang)
+WHERE {_bucket('doc_id', 'duck', 'mix')} < thresh_bp
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. PII redaction — regex scrub with per-segment audit counts
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_LONG_ID_RE = "[0-9]{4,}"
+
+
+def pii_redact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails then long numeric IDs; audit counts per segment.
+
+    The corpus tables carry no PII, so the operator demonstrates the
+    scrub on a deterministic contact-note column derived from
+    ``customer`` (same construction in the oracle). Redaction order
+    matters — emails first, or the ID pass would eat the digits inside
+    the address — and the counts come from ``regexp_extract_all`` on
+    the same intermediate the replacement saw.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    notes = F.concat(
+        F.lit("contact "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@corp.example ref "),
+        (F.col("c_custkey") * 7919).cast("string"),
+        F.lit(" thanks"),
+    )
+    with_notes = cust.withColumn("notes", notes)
+    no_email = F.regexp_replace(F.col("notes"), _EMAIL_RE, "<EMAIL>")
+    step1 = with_notes.select(
+        "c_mktsegment",
+        F.size(F.expr(f"regexp_extract_all(notes, '{_EMAIL_RE}', 0)")).alias(
+            "n_emails"
+        ),
+        no_email.alias("t1"),
+    )
+    return (
+        step1.select(
+            "c_mktsegment",
+            "n_emails",
+            F.size(
+                F.expr(f"regexp_extract_all(t1, '{_LONG_ID_RE}', 0)")
+            ).alias("n_ids"),
+            F.regexp_replace(F.col("t1"), _LONG_ID_RE, "<ID>").alias("clean"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_ids").alias("ids_redacted"),
+            F.countDistinct("clean").alias("n_distinct_clean"),
+        )
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH noted AS (
+  SELECT c_mktsegment,
+         'contact ' || lower(replace(c_name, '#', '.'))
+           || '@corp.example ref ' || CAST(c_custkey * 7919 AS VARCHAR)
+           || ' thanks' AS notes
+  FROM customer
+),
+step1 AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(notes, '{_EMAIL_RE}')) AS n_emails,
+         regexp_replace(notes, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM noted
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       SUM(n_emails) AS emails_redacted,
+       SUM(len(regexp_extract_all(t1, '{_LONG_ID_RE}'))) AS ids_redacted,
+       COUNT(DISTINCT regexp_replace(t1, '{_LONG_ID_RE}', '<ID>', 'g'))
+         AS n_distinct_clean
+FROM step1
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. sequence packing — concat-and-chunk (window) + greedy (applyInPandas)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256
+
+
+def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(th.words("text", "spark"))).alias("n_tokens"),
+    )
+
+
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: fixed token boundaries per source.
+
+    The GPT-style packing strategy — concatenate the stream in stable
+    (doc_id) order and split every ``PACK_BUDGET`` tokens; a document
+    belongs to the chunk where it starts. One window scan per source;
+    no state, no UDF.
+    """
+    toks = _with_tokens(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("chunk_id", F.floor(F.col("start") / PACK_BUDGET))
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+        )
+    )
+
+
+ORACLE_PACK_CHUNKED = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len({th.words('text', 'duck')}) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT source,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start,
+         n_tokens
+  FROM toks
+)
+SELECT source, CAST(FLOOR(start / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+FROM placed
+GROUP BY source, FLOOR(start / {PACK_BUDGET})
+"""
+
+
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-document packing: new bin when the doc won't fit.
+
+    Stateful scan per source — the (b)-tier custom-operator pattern
+    (Pandas-backed ``applyInPandas``) since a running
+    fill-with-reset is not a window function. A document larger than
+    the budget gets a bin of its own. State stays inside one group;
+    the oracle replays the same scan as a DuckDB recursive CTE.
+    """
+    toks = _with_tokens(spark, sf_dir)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, fill, bin_id = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > PACK_BUDGET:
+                bin_id += 1
+                fill = 0
+            fill += t
+            bins.append(bin_id)
+        pdf = pdf.assign(bin_id=bins)
+        return (
+            pdf.groupby(["source", "bin_id"], as_index=False)
+            .agg(n_docs=("doc_id", "size"), bin_tokens=("n_tokens", "sum"))
+        )
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "source string, bin_id long, n_docs long, bin_tokens long"
+    )
+
+
+ORACLE_PACK_GREEDY = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         len({th.words('text', 'duck')}) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, rn, n_tokens, 0 AS bin_id, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n_tokens,
+         CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > {PACK_BUDGET}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > {PACK_BUDGET}
+              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM walk w JOIN toks t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+FROM walk
+GROUP BY source, bin_id
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    s.name: s
+    for s in [
+        QuerySpec(
+            "contamination_ngram_check",
+            contamination_ngram_check,
+            ORACLE_CONTAMINATION,
+            "benchmark decontamination: 5-gram overlap vs broadcast set",
+        ),
+        QuerySpec(
+            "sample_stratified_by_lang",
+            sample_stratified_by_lang,
+            ORACLE_STRATIFIED,
+            "hash-deterministic stratified sampling, per-stratum rates",
+        ),
+        QuerySpec(
+            "mix_domains_weighted",
+            mix_domains_weighted,
+            ORACLE_MIX_DOMAINS,
+            "two-pass domain mixing toward target weights",
+        ),
+        QuerySpec(
+            "pii_redact_audit",
+            pii_redact_audit,
+            ORACLE_PII_REDACT,
+            "ordered regex scrub (emails→ids) with audit counts",
+        ),
+        QuerySpec(
+            "pack_sequences_chunked",
+            pack_sequences_chunked,
+            ORACLE_PACK_CHUNKED,
+            "concat-and-chunk sequence packing via window scan",
+        ),
+        QuerySpec(
+            "pack_sequences_greedy",
+            pack_sequences_greedy,
+            ORACLE_PACK_GREEDY,
+            "greedy whole-doc packing via applyInPandas; recursive-CTE oracle",
+        ),
+    ]
+}
