@@ -258,6 +258,179 @@ def run_user_totals_stream(
 
 
 # ---------------------------------------------------------------------------
+# stream-stream interval join: view → purchase attribution pairs
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW = "INTERVAL 6 HOUR"  # users are sparse in time; 30min yields ~20 pairs at sf0.01
+
+
+def _view_purchase_plan(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared plan: purchases joined to same-user views ≤6 h prior.
+
+    In batch this is a range join (equi on user_id + time-band
+    post-filter); in streaming the same condition is the event-time
+    constraint that lets Spark bound both join states against the
+    watermarks. Counting pairs per view-day keeps the result compact
+    and engine-stable (dates, longs, exact-decimal money).
+    """
+    j = views.join(
+        purchases,
+        (views["v_user"] == purchases["p_user"])
+        & (purchases["buy_ts"] >= views["view_ts"])
+        & (
+            purchases["buy_ts"]
+            < views["view_ts"] + F.expr(ATTRIBUTION_WINDOW)
+        ),
+    )
+    return (
+        j.groupBy(F.col("view_ts").cast("date").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("v_user").alias("n_users"),
+            money_sum(F.col("value"), "attributed_value"),
+        )
+        .select(
+            F.col("view_day").cast("string").alias("view_day"),
+            "n_pairs",
+            "n_users",
+            "attributed_value",
+        )
+    )
+
+
+def _split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("buy_ts"),
+        "value",
+    )
+    return views, purchases
+
+
+def events_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to same-user views within 6 hours."""
+    events = load_table(spark, sf_dir, "events")
+    return _view_purchase_plan(*_split_views_purchases(events))
+
+
+ORACLE_VIEW_PURCHASE = f"""
+SELECT CAST(CAST(view_ts AS DATE) AS VARCHAR) AS view_day,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT v_user) AS n_users,
+       {sql_money_sum("value", "attributed_value")}
+FROM (SELECT user_id AS v_user, ts AS view_ts FROM events
+      WHERE event_type = 'view') v
+JOIN (SELECT user_id AS p_user, ts AS buy_ts, value FROM events
+      WHERE event_type = 'purchase') p
+  ON v_user = p_user
+ AND buy_ts >= view_ts
+ AND buy_ts < view_ts + {ATTRIBUTION_WINDOW}
+GROUP BY CAST(view_ts AS DATE)
+"""
+
+
+def run_view_purchase_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "vp_stream"
+) -> DataFrame:
+    """The attribution join as a stream-stream inner join.
+
+    Both sides carry a 2-hour watermark; the join's time-band
+    condition (`buy_ts` within [view_ts, view_ts+6h)) is the
+    event-time constraint Spark uses to expire view-side state once
+    the purchase watermark passes view_ts+6h — bounded state at
+    any corpus size. The aggregate downstream of a stream-stream
+    join must run in append mode, so pair rows land in the sink and
+    the test aggregates them (production would use a second
+    watermarked windowed agg stage).
+    """
+    stream = _event_stream(spark, sf_dir)
+    views, purchases = _split_views_purchases(stream)
+    j = views.withWatermark("view_ts", WATERMARK).join(
+        purchases.withWatermark("buy_ts", WATERMARK),
+        (views["v_user"] == purchases["p_user"])
+        & (purchases["buy_ts"] >= views["view_ts"])
+        & (
+            purchases["buy_ts"]
+            < views["view_ts"] + F.expr(ATTRIBUTION_WINDOW)
+        ),
+    )
+    query = (
+        j.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# watermarked dedup: dropDuplicates bounded by event-time state
+# ---------------------------------------------------------------------------
+
+DEDUP_KEYS = ["user_id", "event_type", "minute"]
+
+
+def _with_minute(events: DataFrame) -> DataFrame:
+    return events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+
+
+def events_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse events to one per (user, type, minute); count per type.
+
+    The batch twin of streaming ``dropDuplicates``: the canonical
+    at-least-once-delivery cleanup a pipeline runs before counting.
+    """
+    events = _with_minute(load_table(spark, sf_dir, "events"))
+    return (
+        events.dropDuplicates(DEDUP_KEYS)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_MINUTE_DEDUP = """
+SELECT event_type, COUNT(*) AS n_unique,
+       COUNT(DISTINCT user_id) AS n_users
+FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def run_minute_dedup_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_stream"
+) -> DataFrame:
+    """Streaming dropDuplicates with watermark-bounded state.
+
+    ``withWatermark`` + ``dropDuplicates`` on the event-time-derived
+    key: Spark keeps one state entry per key only until the watermark
+    passes the key's minute — the standard exactly-once projection of
+    an at-least-once event feed, with O(watermark-width) state.
+    """
+    stream = _with_minute(_event_stream(spark, sf_dir))
+    deduped = stream.withWatermark("minute", WATERMARK).dropDuplicates(
+        DEDUP_KEYS
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
 # streaming DQ: the batch DQ engine applied per micro-batch
 # ---------------------------------------------------------------------------
 
@@ -316,5 +489,17 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_HOURLY_WINDOWS,
         ),
         QuerySpec("events_sessionize", events_sessionize, ORACLE_SESSIONIZE),
+        QuerySpec(
+            "events_view_purchase_join",
+            events_view_purchase_join,
+            ORACLE_VIEW_PURCHASE,
+            "6-hour view→purchase attribution; stream-stream join twin",
+        ),
+        QuerySpec(
+            "events_minute_dedup",
+            events_minute_dedup,
+            ORACLE_MINUTE_DEDUP,
+            "per-minute event dedup; watermarked dropDuplicates twin",
+        ),
     )
 }

@@ -90,3 +90,55 @@ def test_sessionize_invariants(spark):
     for r in rows:
         assert 1 <= r.n_sessions <= r.n_events
         assert r.max_session_events <= r.n_events
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join emits exactly the batch pair set."""
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        _split_views_purchases,
+        _view_purchase_plan,
+        run_view_purchase_stream,
+    )
+
+    pairs = run_view_purchase_stream(spark, SF, query_name="t_vp")
+    from pyspark.sql import functions as F
+
+    stream_days = {
+        (str(r.view_day), r.n_pairs)
+        for r in pairs.groupBy(F.col("view_ts").cast("date").alias("view_day"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    batch = _view_purchase_plan(
+        *_split_views_purchases(load_table(spark, SF, "events"))
+    )
+    batch_days = {(str(r.view_day), r.n_pairs) for r in batch.collect()}
+    assert stream_days == batch_days
+    assert sum(n for _, n in batch_days) > 100
+
+
+def test_watermark_dedup_equals_batch(spark):
+    """Watermarked dropDuplicates == batch dropDuplicates key set."""
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        DEDUP_KEYS,
+        _with_minute,
+        run_minute_dedup_stream,
+    )
+
+    stream_keys = {
+        (r.user_id, r.event_type, r.minute)
+        for r in run_minute_dedup_stream(spark, SF, query_name="t_dd")
+        .select(*DEDUP_KEYS)
+        .collect()
+    }
+    batch_keys = {
+        (r.user_id, r.event_type, r.minute)
+        for r in _with_minute(load_table(spark, SF, "events"))
+        .dropDuplicates(DEDUP_KEYS)
+        .select(*DEDUP_KEYS)
+        .collect()
+    }
+    assert stream_keys == batch_keys
+    assert len(batch_keys) > 5000
