@@ -169,12 +169,50 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ORC lake scan (the second columnar format, same query semantics)
+# ---------------------------------------------------------------------------
+
+def orders_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order stats off an ORC copy of the table.
+
+    Materializes orders as ORC once per sf (splittable columnar
+    layout, predicate pushdown and column pruning just like parquet)
+    and answers from it; the oracle answers from the raw parquet,
+    proving the format swap changes nothing semantically.
+    """
+    from ..sources import load_source, write_sink
+
+    path = f"{ART}/orders_orc_{_sf_tag(sf_dir).replace('.', '_')}"
+    if not _have(path):
+        write_sink(load_table(spark, sf_dir, "orders"), path, fmt="orc")
+    od = load_source(spark, path, fmt="orc").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    return od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+ORACLE_ORC_SCAN = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice", "total_price")}
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
         QuerySpec("bucketed_orders_revenue", bucketed_orders_revenue,
                   ORACLE_BUCKETED_REVENUE,
                   "fact-fact join with zero exchanges via bucketed layout"),
+        QuerySpec("orders_orc_scan", orders_orc_scan, ORACLE_ORC_SCAN,
+                  "ORC columnar roundtrip: same semantics, second format"),
         QuerySpec("events_fecha_partitioned_slice",
                   events_fecha_partitioned_slice, ORACLE_FECHA_SLICE,
                   "partition-pruned daily slice over hive layout"),

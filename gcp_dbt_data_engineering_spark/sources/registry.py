@@ -128,11 +128,12 @@ def load_source(
     **options: str,
 ) -> DataFrame:
     """Format-dispatching reader (S1 generalized): parquet (columnar,
-    splittable — the default and the only sane 100 TB choice), csv and
+    splittable — the default and the only sane 100 TB choice), orc
+    (the other columnar lake format, built into Spark), csv and
     json (ingest-edge formats; header/inference defaulted on, but pass
     ``schema`` in production — inference scans the data twice).
     """
-    if fmt not in ("parquet", "csv", "json"):
+    if fmt not in ("parquet", "csv", "json", "orc"):
         raise ValueError(f"unsupported source format: {fmt!r}")
     tune(spark)
     reader = spark.read
@@ -144,6 +145,8 @@ def load_source(
         return reader.options(**opts).csv(path)
     if fmt == "json":
         return reader.options(**options).json(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
     return reader.options(**options).parquet(path)
 
 
@@ -159,7 +162,7 @@ def write_sink(
     makes the reference's daily ``fecha`` slices partition-pruned
     reads instead of full scans (SURVEY.md §1.1/§4).
     """
-    if fmt not in ("parquet", "csv", "json"):
+    if fmt not in ("parquet", "csv", "json", "orc"):
         raise ValueError(f"unsupported sink format: {fmt!r}")
     writer = df.write.mode(mode)
     if partition_by:
@@ -168,6 +171,8 @@ def write_sink(
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 

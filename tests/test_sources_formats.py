@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 ART = "/root/repo/.artifacts/sources_test"
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_roundtrip_formats(spark, fmt):
     path = f"{ART}/nation_{fmt}"
     shutil.rmtree(path, ignore_errors=True)
@@ -32,10 +32,11 @@ def test_roundtrip_formats(spark, fmt):
 
 
 def test_unsupported_format_rejected(spark):
+    # avro needs the external spark-avro package — gated, not assumed
     with pytest.raises(ValueError):
         load_source(spark, ART, fmt="avro")
     with pytest.raises(ValueError):
-        write_sink(load_table(spark, SF, "nation"), ART, fmt="orc")
+        write_sink(load_table(spark, SF, "nation"), ART, fmt="avro")
 
 
 def test_fecha_partitioned_write_prunes(spark):
