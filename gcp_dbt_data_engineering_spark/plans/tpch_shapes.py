@@ -698,12 +698,16 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
 # ---------------------------------------------------------------------------
 # Q21 shape: suppliers who kept multi-supplier orders waiting — the
 # classic EXISTS/NOT-EXISTS pair over sibling lineitems, rewritten as
-# ONE grouped pass per order: distinct-supplier count ≥ 2 (EXISTS a
+# a grouped cascade: distinct-supplier count ≥ 2 (EXISTS a
 # different supplier) and exactly one late supplier (NOT EXISTS a
 # *different* late one); since that late supplier is unique,
 # MAX(CASE WHEN late THEN suppkey END) recovers it without a
-# join-back. One shuffle on l_orderkey, then a dimension-sized
-# groupBy(s_name). "Late" = shipped >60 days after order date.
+# join-back. Two-stage aggregate — (order, supp) first, then order —
+# instead of two countDistinct+max in one pass, which would plan an
+# Expand (3× the shuffle rows); measured 1.4s → 0.94s at sf0.1, and
+# at 100 TB the Expand triples the first shuffle's volume. Then a
+# dimension-sized groupBy(s_name). "Late" = shipped >60 days after
+# order date.
 # ---------------------------------------------------------------------------
 
 def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,13 +716,19 @@ def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    per_order = (
+    pair = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("any_late"))
+    )
+    per_order = (
+        pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("ns"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nlate"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("ns"),
+            F.sum("any_late").alias("nlate"),
+            F.max(
+                F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
         )
         .filter((F.col("ns") >= 2) & (F.col("nlate") == 1))
     )
