@@ -157,6 +157,75 @@ class ModelGraph:
                 os.rename(staging, path)
                 df = spark.read.parquet(path)
                 df.createOrReplaceTempView(name)
+            elif mat == "snapshot":
+                # dbt snapshot, timestamp strategy (SCD2): the
+                # reference declares snapshots/ (dbt_project.yml:19)
+                # but ships none — this supplies the materialization.
+                # A source row whose updated_at is newer than the open
+                # version's closes it (valid_to = new updated_at) and
+                # opens a new version; replaying a batch is a no-op
+                # (equal updated_at is not newer). Same staged-swap
+                # write as merge; on Delta/Iceberg this becomes
+                # MERGE INTO with a key-pruned file scan.
+                import shutil
+
+                from pyspark.sql import functions as SF
+
+                path = f"{self.warehouse_dir}/{name}"
+                key = cfg.get("unique_key")
+                updated = cfg.get("updated_at")
+                if not key or not updated:
+                    raise ValueError(
+                        f"snapshot model {name} needs unique_key + updated_at"
+                    )
+                src = df.withColumn(
+                    "valid_from", SF.col(updated)
+                ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))
+                if os.path.exists(path):
+                    snap = spark.read.parquet(path)
+                    is_open = SF.col("valid_to").isNull()
+                    closed = snap.filter(~is_open)
+                    opened = snap.filter(is_open)
+                    newer = src.select(
+                        SF.col(key).alias("__k"),
+                        SF.col(updated).alias("__new_upd"),
+                    )
+                    joined = opened.join(
+                        newer, opened[key] == SF.col("__k"), "left"
+                    )
+                    still_open = joined.filter(
+                        SF.col("__new_upd").isNull()
+                        | (SF.col("__new_upd") <= SF.col(updated))
+                    ).select(*snap.columns)
+                    now_closed = joined.filter(
+                        SF.col("__new_upd") > SF.col(updated)
+                    ).withColumn("valid_to", SF.col("__new_upd")).select(
+                        *snap.columns
+                    )
+                    # new versions: keys that closed a row or are new
+                    prior_upd = opened.select(
+                        SF.col(key).alias("__pk"),
+                        SF.col(updated).alias("__prior_upd"),
+                    )
+                    fresh = (
+                        src.join(prior_upd, src[key] == SF.col("__pk"), "left")
+                        .filter(
+                            SF.col("__prior_upd").isNull()
+                            | (SF.col(updated) > SF.col("__prior_upd"))
+                        )
+                        .select(*src.columns)
+                    )
+                    merged = closed.unionByName(still_open).unionByName(
+                        now_closed
+                    ).unionByName(fresh)
+                else:
+                    merged = src
+                staging = f"{path}__staging"
+                merged.write.mode("overwrite").parquet(staging)
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(staging, path)
+                df = spark.read.parquet(path)
+                df.createOrReplaceTempView(name)
             else:
                 raise ValueError(f"unknown materialization {mat!r} for {name}")
             out[name] = df
