@@ -171,7 +171,8 @@ SELECT asset_id, media_type, byte_len,
             WHEN 'audio' THEN 0 ELSE 320 END AS width,
        CASE media_type WHEN 'image' THEN 64 + (byte_len * 31 + first_b) % 353
             WHEN 'audio' THEN 0 ELSE 240 END AS height,
-       CASE media_type WHEN 'audio' THEN 1 ELSE 3 END AS channels,
+       CAST(CASE media_type WHEN 'audio' THEN 1 ELSE 3 END AS BIGINT)
+         AS channels,
        CASE media_type WHEN 'audio'
             THEN 8000 + ((byte_len + first_b) % 5) * 1000
             ELSE 0 END AS sample_rate,

@@ -62,8 +62,12 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.explode("hs").alias("h"))
         .distinct()
-        .persist()
     )
+    # No persist: the returned DF is lazy, so a persist here would leak
+    # cached blocks into the caller's session (bench/correctness runs
+    # execute dozens of specs on one session). The shingle subtree is
+    # recomputed per branch — scan+explode+hash, shuffle-free, and the
+    # distinct's shuffle files are reused across branches anyway.
     bench = (
         sh.filter(F.col("source").isin(*BENCH_SOURCES)).select("h").distinct()
     )
@@ -166,7 +170,8 @@ _SQL_RATE_CASE = (
 )
 
 ORACLE_STRATIFIED = f"""
-SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE {_bucket('doc_id', 'duck', 'strat')} < {_SQL_RATE_CASE}
 GROUP BY lang
@@ -307,8 +312,9 @@ step1 AS (
 )
 SELECT c_mktsegment,
        COUNT(*) AS n_rows,
-       SUM(n_emails) AS emails_redacted,
-       SUM(len(regexp_extract_all(t1, '{_LONG_ID_RE}'))) AS ids_redacted,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(SUM(len(regexp_extract_all(t1, '{_LONG_ID_RE}'))) AS BIGINT)
+         AS ids_redacted,
        COUNT(DISTINCT regexp_replace(t1, '{_LONG_ID_RE}', '<ID>', 'g'))
          AS n_distinct_clean
 FROM step1
@@ -376,7 +382,7 @@ placed AS (
   FROM toks
 )
 SELECT source, CAST(FLOOR(start / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
 FROM placed
 GROUP BY source, FLOOR(start / {PACK_BUDGET})
 """
@@ -431,7 +437,8 @@ walk AS (
               THEN t.n_tokens ELSE w.fill + t.n_tokens END
   FROM walk w JOIN toks t ON t.source = w.source AND t.rn = w.rn + 1
 )
-SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
 FROM walk
 GROUP BY source, bin_id
 """

@@ -235,7 +235,7 @@ def profile_histogram(
     bucket = F.least(
         F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
         F.lit(buckets - 1),
-    ).cast("int")
+    ).cast("bigint")
     return (
         df.filter(F.col(column).isNotNull())
         .groupBy(bucket.alias("bucket"))

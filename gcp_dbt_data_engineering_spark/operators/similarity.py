@@ -141,7 +141,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs)
-SELECT query_id, neighbor_id, rank, cosine
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -285,7 +285,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, rank, cosine
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -419,7 +419,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, rank, cosine
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -663,7 +663,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, rank, cosine
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
 

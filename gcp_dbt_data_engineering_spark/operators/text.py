@@ -110,8 +110,8 @@ WITH per_doc AS (
   FROM documents)
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_words) AS total_words,
-       SUM(n_bpe) AS total_bpe_tokens,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
        CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          AS avg_words_per_doc
 FROM per_doc
@@ -257,7 +257,8 @@ scored AS (
   SELECT doc_id, n_words, avg_word_len, stop_ratio, digit_ratio,
          {_SCORE} AS score
   FROM feats)
-SELECT doc_id, n_words, avg_word_len, stop_ratio, digit_ratio, score,
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, avg_word_len,
+       stop_ratio, digit_ratio, score,
        {_TIER} AS tier
 FROM scored
 """
@@ -369,7 +370,8 @@ WITH w AS (
   SELECT doc_id, {th.words('text', 'duck')} AS ws FROM documents),
 counts AS (
   SELECT doc_id, {pos} AS n_pos, {neg} AS n_neg FROM w)
-SELECT doc_id, n_pos, n_neg,
+SELECT doc_id, CAST(n_pos AS INTEGER) AS n_pos,
+       CAST(n_neg AS INTEGER) AS n_neg,
        CAST(n_pos - n_neg AS DOUBLE) / CAST(n_pos + n_neg + 1 AS DOUBLE)
          AS sentiment_score,
        {_POLARITY} AS polarity
@@ -441,7 +443,7 @@ scored AS (
          tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df)
            AS tfidf
   FROM tf JOIN dfreq USING (term))
-SELECT doc_id, term, tf, df, tfidf, rnk
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, term ASC) AS rnk
       FROM scored)

@@ -178,6 +178,23 @@ class ModelGraph:
                     raise ValueError(
                         f"snapshot model {name} needs unique_key + updated_at"
                     )
+                # dbt snapshot semantics assume one row per unique_key
+                # per batch; a batch carrying several versions of a key
+                # would open multiple valid_to-NULL rows and
+                # double-close the prior version on the next run. Keep
+                # only the latest updated_at per key (window, one
+                # shuffle on the key — same key the joins below shuffle
+                # on anyway).
+                from pyspark.sql.window import Window as _W
+
+                _rn = SF.row_number().over(
+                    _W.partitionBy(key).orderBy(SF.col(updated).desc())
+                )
+                df = (
+                    df.withColumn("__rn", _rn)
+                    .filter(SF.col("__rn") == 1)
+                    .drop("__rn")
+                )
                 src = df.withColumn(
                     "valid_from", SF.col(updated)
                 ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))

@@ -145,7 +145,7 @@ per_sess AS (
   FROM sess GROUP BY 1, 2)
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n) AS n_events,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        MAX(n) AS max_session_events,
        CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          AS avg_session_events
@@ -192,12 +192,24 @@ def run_hourly_stream(
 # ---------------------------------------------------------------------------
 
 def _event_stream(spark: SparkSession, sf_dir: str):
-    """readStream over the events parquet with the ts projection."""
+    """readStream over the events parquet with the ts projection.
+
+    SINGLE-MICRO-BATCH ASSUMPTION: the fixture is one parquet file, so
+    an availableNow trigger processes everything in one micro-batch and
+    the watermark never drops a row — which is what makes the
+    stream==batch equality tests exact (test_streaming.py). If the
+    fixture were split into multiple files, out-of-order rows beyond
+    the 2h watermark could be dropped between micro-batches and the
+    equality would become flaky. maxFilesPerTrigger pins the
+    one-micro-batch behavior explicitly rather than relying on the
+    file count.
+    """
     tune(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1000000")
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
