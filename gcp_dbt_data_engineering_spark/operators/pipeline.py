@@ -444,9 +444,74 @@ GROUP BY source, bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. sliding-window chunking — overlapping fixed windows (RAG/context
+#    chunking: window W, stride S, last chunk may be short)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 128
+CHUNK_S = 96
+
+
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows per document (W=128, S=96).
+
+    The retrieval/context-extension chunker: chunk *k* covers tokens
+    ``[k*S, k*S + W)``; chunks start while tokens remain, so the tail
+    chunk may be short and consecutive chunks overlap by ``W - S``.
+    Pure per-row ``sequence`` + ``explode`` — no shuffle at all until
+    a consumer aggregates; at 100 TB this is a map-only stage whose
+    fan-out (≈ n_tokens/S rows per doc) is bounded per task by the
+    input split size.
+    """
+    toks = _with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    n_chunks = f"CAST(FLOOR((n_tokens + {CHUNK_S - 1}) / {CHUNK_S}.0) AS INT)"
+    return (
+        toks.selectExpr(
+            "doc_id",
+            "source",
+            "n_tokens",
+            f"explode(sequence(0, {n_chunks} - 1)) AS chunk_id",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(chunk_id AS BIGINT) AS chunk_id",
+            f"CAST(chunk_id * {CHUNK_S} AS BIGINT) AS start_token",
+            f"CAST(LEAST({CHUNK_W}, n_tokens - chunk_id * {CHUNK_S})"
+            " AS BIGINT) AS chunk_tokens",
+        )
+    )
+
+
+ORACLE_CHUNK_SLIDING = f"""
+WITH toks AS (
+  SELECT doc_id, source, len({th.words('text', 'duck')}) AS n_tokens
+  FROM documents),
+fan AS (
+  SELECT doc_id, source, n_tokens,
+         unnest(generate_series(0,
+           CAST(FLOOR((n_tokens + {CHUNK_S - 1}) / {CHUNK_S}.0) AS INT) - 1))
+           AS chunk_id
+  FROM toks WHERE n_tokens > 0)
+SELECT doc_id, source,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_S} AS BIGINT) AS start_token,
+       CAST(LEAST({CHUNK_W}, n_tokens - chunk_id * {CHUNK_S}) AS BIGINT)
+         AS chunk_tokens
+FROM fan
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec(
+            "chunk_sliding_window",
+            chunk_sliding_window,
+            ORACLE_CHUNK_SLIDING,
+            "overlapping W/S token windows per doc (RAG chunking)",
+        ),
         QuerySpec(
             "contamination_ngram_check",
             contamination_ngram_check,

@@ -668,9 +668,101 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (vector compression for the ANN scale path)
+# ---------------------------------------------------------------------------
+
+Q8 = 127
+
+
+def _q8_expr(x: str) -> str:
+    """int8 code for element ``x`` given per-vector ``scale`` in scope.
+
+    floor(v + 0.5) instead of round(): Spark and DuckDB disagree on
+    round-half behavior for doubles; floor is unambiguous. Same text in
+    both dialects.
+    """
+    return (
+        f"CASE WHEN scale > 0.0 THEN"
+        f" FLOOR(CAST({x} AS DOUBLE) / scale * {Q8}.0 + 0.5)"
+        f" ELSE 0.0 END"
+    )
+
+
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max-abs int8 quantization + reconstruction error.
+
+    The compression step of a scale ANN deployment: 4x smaller
+    vectors, dot products in int8. Emits per-vector scale and the L2
+    reconstruction error so drift is auditable. All math is a fixed
+    left-fold of double ops over the same element order in both
+    engines — bit-identical results.
+
+    Scale posture: pure projection, no shuffle; at 100 TB this is the
+    map stage you run once and write next to the raw vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.selectExpr(
+        "vec_id",
+        "label",
+        "embedding",
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS scale",
+    )
+    # (d * d), not pow(d, 2.0): pow goes through libm, whose last-ulp
+    # behavior differs between the JVM and DuckDB; multiplication is
+    # IEEE-exact in both.
+    _delta = (
+        f"(CAST(element_at(embedding, i) AS DOUBLE)"
+        f" - ({_q8_expr('element_at(embedding, i)')}) * scale / {Q8}.0)"
+    )
+    err_term = f"({_delta} * {_delta})"
+    return scaled.selectExpr(
+        "vec_id",
+        "label",
+        "scale",
+        "CAST(aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE),"
+        f" (a, i) -> a + {err_term}) AS DOUBLE) AS sq_err",
+        f"CAST(aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a +"
+        f" CAST(ABS({_q8_expr('x')}) AS BIGINT)) AS BIGINT) AS l1_code_mass",
+    ).selectExpr(
+        "vec_id", "label", "scale",
+        "sqrt(sq_err) AS recon_l2_err",
+        "l1_code_mass",
+    )
+
+
+ORACLE_QUANTIZE_INT8 = f"""
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (a, x) -> greatest(a, x)) AS scale
+  FROM embeddings)
+SELECT vec_id, label, scale,
+       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(generate_series(1, len(embedding)),
+           i -> (CAST(embedding[i] AS DOUBLE)
+                 - ({_q8_expr('embedding[i]')}) * scale / {Q8}.0)
+                * (CAST(embedding[i] AS DOUBLE)
+                   - ({_q8_expr('embedding[i]')}) * scale / {Q8}.0))),
+         (a, x) -> a + x)) AS recon_l2_err,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(embedding,
+           x -> CAST(ABS({_q8_expr('x')}) AS BIGINT))),
+         (a, x) -> a + x) AS BIGINT) AS l1_code_mass
+FROM scaled
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "embeddings_quantize_int8", embeddings_quantize_int8,
+            ORACLE_QUANTIZE_INT8,
+            "max-abs int8 vector quantization + reconstruction error",
+        ),
         QuerySpec(
             "similarity_topk_cosine", similarity_topk_cosine,
             ORACLE_TOPK_COSINE,

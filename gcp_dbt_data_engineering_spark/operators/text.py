@@ -451,9 +451,155 @@ WHERE rnk <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition filters (dup-token and top-n-gram mass)
+# ---------------------------------------------------------------------------
+
+#: pass thresholds (Gopher-flavored, adapted to the synthetic corpus)
+GOPHER_MIN_WORDS = 40
+GOPHER_MIN_DISTINCT_RATIO = 0.20
+GOPHER_MAX_TOP_WORD_FRAC = 0.20
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.15
+GOPHER_MEAN_LEN_LO = 2.0
+GOPHER_MEAN_LEN_HI = 10.0
+
+_GOPHER_PASS = (
+    f"n_words >= {GOPHER_MIN_WORDS}"
+    f" AND distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO}"
+    f" AND top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}"
+    f" AND top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM_FRAC}"
+    f" AND mean_word_len >= {GOPHER_MEAN_LEN_LO}"
+    f" AND mean_word_len <= {GOPHER_MEAN_LEN_HI}"
+)
+
+
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher/C4 family of rules).
+
+    Per document: distinct-token ratio, mass of the most frequent
+    token and of the most frequent bigram, mean token length, and the
+    combined pass verdict. These are the published repetition filters
+    (duplicate-line/ngram fraction) adapted to the corpus; together
+    with ``text_quality_score`` they form the full heuristic gate a
+    pretraining pipeline runs before model-based scoring.
+
+    Scale posture: three aggregations, all keyed on ``doc_id`` — the
+    explode fan-out (ngrams-per-doc) shuffles once and reduces
+    immediately to one row per doc; no cross-document state. Ratios
+    are single int/int double divisions — bit-stable in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.selectExpr(
+        "doc_id", f"{th.words('text', 'spark')} AS ws"
+    )
+    base = per.selectExpr(
+        "doc_id",
+        "size(ws) AS n_words",
+        "size(array_distinct(ws)) AS n_distinct",
+        "aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))"
+        " AS total_chars",
+    )
+    tok = per.select("doc_id", F.explode("ws").alias("w"))
+    topw = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_word_n"))
+    )
+    big = per.selectExpr(
+        "doc_id",
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),"
+        " i -> concat(ws[i - 1], ' ', ws[i])) ELSE array() END AS bs",
+    ).select("doc_id", F.explode("bs").alias("b"))
+    topb = (
+        big.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    return (
+        base.join(topw, "doc_id", "left")
+        .join(topb, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "CASE WHEN n_words > 0 THEN CAST(n_distinct AS DOUBLE)"
+            " / CAST(n_words AS DOUBLE) ELSE 0.0 END AS distinct_ratio",
+            "CASE WHEN n_words > 0 THEN"
+            " CAST(COALESCE(top_word_n, 0) AS DOUBLE)"
+            " / CAST(n_words AS DOUBLE) ELSE 0.0 END AS top_word_frac",
+            "CASE WHEN n_words >= 2 THEN"
+            " CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)"
+            " / CAST(n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac",
+            "CASE WHEN n_words > 0 THEN CAST(total_chars AS DOUBLE)"
+            " / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len",
+        )
+        .selectExpr(
+            "doc_id", "n_words", "distinct_ratio", "top_word_frac",
+            "top_bigram_frac", "mean_word_len",
+            f"({_GOPHER_PASS}) AS quality_pass",
+        )
+    )
+
+
+ORACLE_GOPHER = f"""
+WITH per AS (
+  SELECT doc_id, {th.words('text', 'duck')} AS ws FROM documents),
+base AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                     (a, w) -> a + w) AS total_chars
+  FROM per),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM per),
+topw AS (
+  SELECT doc_id, MAX(n) AS top_word_n
+  FROM (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w)
+  GROUP BY doc_id),
+big AS (
+  SELECT doc_id, unnest(bs) AS b
+  FROM (SELECT doc_id,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(generate_series(2, len(ws)),
+                                i -> ws[i - 1] || ' ' || ws[i])
+               ELSE [] END AS bs
+        FROM per)),
+topb AS (
+  SELECT doc_id, MAX(n) AS top_bigram_n
+  FROM (SELECT doc_id, b, COUNT(*) AS n FROM big GROUP BY doc_id, b)
+  GROUP BY doc_id),
+feats AS (
+  SELECT base.doc_id,
+         CAST(n_words AS INTEGER) AS n_words,
+         CASE WHEN n_words > 0 THEN CAST(n_distinct AS DOUBLE)
+              / CAST(n_words AS DOUBLE) ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN n_words > 0 THEN
+              CAST(COALESCE(top_word_n, 0) AS DOUBLE)
+              / CAST(n_words AS DOUBLE) ELSE 0.0 END AS top_word_frac,
+         CASE WHEN n_words >= 2 THEN
+              CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)
+              / CAST(n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN n_words > 0 THEN CAST(total_chars AS DOUBLE)
+              / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM base
+  LEFT JOIN topw ON base.doc_id = topw.doc_id
+  LEFT JOIN topb ON base.doc_id = topb.doc_id)
+SELECT doc_id, n_words, distinct_ratio, top_word_frac, top_bigram_frac,
+       mean_word_len, ({_GOPHER_PASS}) AS quality_pass
+FROM feats
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "text_gopher_repetition", text_gopher_repetition, ORACLE_GOPHER,
+            "Gopher/C4 repetition filters: dup-token + top-ngram mass",
+        ),
         QuerySpec(
             "text_tfidf_top_terms", text_tfidf_top_terms, ORACLE_TFIDF
         ),

@@ -559,9 +559,108 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC-style snapshot diff: reconcile two keyed snapshots (full-outer
+# join → added / removed / changed / same). The data-reconciliation
+# primitive behind dbt snapshot auditing and cross-environment table
+# diffs; the only full-outer-join shape in the §2 surface.
+# ---------------------------------------------------------------------------
+
+CDC_A = ("1995-01-01", "1998-01-01")  # snapshot A window [lo, hi)
+CDC_B = ("1996-01-01", "2000-01-01")  # snapshot B window [lo, hi)
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer diff of two order-window snapshots.
+
+    Each snapshot is the per-customer (n_orders, total_spend) state
+    over its date window; the diff classifies every key as
+    added/removed/changed/same and carries both sides' metrics. The
+    windows overlap so all four classes occur.
+
+    Scale posture: two partial aggregates then one full-outer
+    shuffle-hash join on the key — at 100 TB both sides are
+    pre-aggregated (one row per key) before the join, so the shuffle
+    carries keys not facts. No broadcast: both sides are key-cardinality.
+    """
+    orders = _t(spark, sf_dir, "orders")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum(F.col("o_totalprice"), "spend"),
+            )
+        )
+    a = snap(*CDC_A).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("a_orders"),
+        F.col("spend").alias("a_spend"),
+    )
+    b = snap(*CDC_B).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("b_orders"),
+        F.col("spend").alias("b_spend"),
+    )
+    status = (
+        F.when(F.col("a_orders").isNull(), "added")
+        .when(F.col("b_orders").isNull(), "removed")
+        .when(
+            (F.col("a_orders") != F.col("b_orders"))
+            | (F.col("a_spend") != F.col("b_spend")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return (
+        a.join(b, "k", "full_outer")
+        .select(
+            F.col("k").alias("o_custkey"),
+            status.alias("diff_status"),
+            "a_orders",
+            "a_spend",
+            "b_orders",
+            "b_spend",
+        )
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH a AS (
+  SELECT o_custkey AS k, COUNT(*) AS a_orders,
+         {sql_money_sum("o_totalprice", "a_spend")}
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{CDC_A[0]}'
+    AND o_orderdate <  TIMESTAMP '{CDC_A[1]}'
+  GROUP BY o_custkey),
+b AS (
+  SELECT o_custkey AS k, COUNT(*) AS b_orders,
+         {sql_money_sum("o_totalprice", "b_spend")}
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{CDC_B[0]}'
+    AND o_orderdate <  TIMESTAMP '{CDC_B[1]}'
+  GROUP BY o_custkey)
+SELECT COALESCE(a.k, b.k) AS o_custkey,
+       CASE WHEN a_orders IS NULL THEN 'added'
+            WHEN b_orders IS NULL THEN 'removed'
+            WHEN a_orders != b_orders OR a_spend != b_spend THEN 'changed'
+            ELSE 'same' END AS diff_status,
+       a_orders, a_spend, b_orders, b_spend
+FROM a FULL OUTER JOIN b ON a.k = b.k
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
+                  ORACLE_SNAPSHOT_DIFF,
+                  "CDC snapshot reconciliation via full-outer join"),
         QuerySpec("events_type_value_salted", events_type_value_salted,
                   ORACLE_SALTED,
                   "salted two-stage agg over skewed keys == plain agg"),
