@@ -51,9 +51,12 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. Docs shorter than ``CONTAM_N`` words have no shingles and
     drop out (same in the oracle).
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # spread before the shingle fold: the fixture parquet is one scan
+    # split, and the 5-gram polyhash is the CPU of this operator.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = (
         docs.selectExpr(
             "doc_id",
@@ -63,29 +66,33 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode("hs").alias("h"))
         .distinct()
     )
-    # No persist: the returned DF is lazy, so a persist here would leak
-    # cached blocks into the caller's session (bench/correctness runs
-    # execute dozens of specs on one session). The shingle subtree is
-    # recomputed per branch — scan+explode+hash, shuffle-free, and the
-    # distinct's shuffle files are reused across branches anyway.
-    bench = (
-        sh.filter(F.col("source").isin(*BENCH_SOURCES)).select("h").distinct()
-    )
-    cand = sh.filter(~F.col("source").isin(*BENCH_SOURCES))
-    sz = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        cand.join(F.broadcast(bench), "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
+    # Single-pass shape: referencing `sh` from separate bench/candidate
+    # branches makes Spark recompute the shingle fold once PER BRANCH
+    # (filter pushdown specializes each branch's scan, so no exchange
+    # reuse — measured 3x the operator's CPU), and a persist() would
+    # leak cached blocks into the caller's session. Instead flag each
+    # hash's bench membership with one window over h — shingles are
+    # computed exactly once, no cache, no broadcast build. At 100 TB
+    # with a small benchmark set, stage `sh` to a table once and use
+    # the broadcast semi-join variant instead; the window-by-h shuffle
+    # here is the right trade only while the corpus side dominates.
+    in_bench = F.max(
+        F.when(F.col("source").isin(*BENCH_SOURCES), 1).otherwise(0)
+    ).over(Window.partitionBy("h"))
     return (
-        sz.join(hits, "doc_id", "left")
+        sh.withColumn("b", in_bench)
+        .filter(~F.col("source").isin(*BENCH_SOURCES))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("b").alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_ngrams",
-            F.coalesce(F.col("k"), F.lit(0)).alias("n_contaminated"),
+            "n_contaminated",
             (
-                F.coalesce(F.col("k"), F.lit(0)).cast("double")
+                F.col("n_contaminated").cast("double")
                 / F.col("n_ngrams").cast("double")
             ).alias("contamination_rate"),
         )

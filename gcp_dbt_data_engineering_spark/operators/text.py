@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
-from ..sources import load_table
+from ..sources import load_table, spread
 from . import texthash as th
 
 #: BPE-ish token pattern: word, integer, or single non-alnum mark.
@@ -488,7 +488,10 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately to one row per doc; no cross-document state. Ratios
     are single int/int double divisions — bit-stable in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the fixture parquet is one row group -> one scan split;
+    # without the round-robin repartition every downstream ngram fold
+    # runs on a single core (12x wall-clock on local[32]).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     per = docs.selectExpr(
         "doc_id", f"{th.words('text', 'spark')} AS ws"
     )
@@ -506,10 +509,14 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("n").alias("top_word_n"))
     )
+    # zip_with over two slices, NOT transform(sequence, i -> ws[i]):
+    # a non-literal array subscript falls off the codegen fast path and
+    # costs ~12x on long token arrays.
     big = per.selectExpr(
         "doc_id",
-        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),"
-        " i -> concat(ws[i - 1], ' ', ws[i])) ELSE array() END AS bs",
+        "CASE WHEN size(ws) >= 2 THEN zip_with("
+        "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> concat(a, ' ', b)) ELSE array() END AS bs",
     ).select("doc_id", F.explode("bs").alias("b"))
     topb = (
         big.groupBy("doc_id", "b")

