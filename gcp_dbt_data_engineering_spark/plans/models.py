@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import register_all
 from .spec import QuerySpec
@@ -119,12 +120,19 @@ class ModelGraph:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", "dynamic"
                 )
-                writer = df.write.mode("overwrite").partitionBy(part)
-                if os.path.exists(path):
-                    # dynamic mode: only partitions present in df are replaced
-                    writer.parquet(path)
-                else:
-                    writer.parquet(path)
+                # repartition by the partition column first: otherwise
+                # every shuffle partition writes a sliver into every
+                # output partition (30 dirs x 8 files here) and commit
+                # overhead dominates; one task per partition writes one
+                # file. Same rule at cluster scale, plus a range/hash
+                # split within hot partitions if one day >> executors.
+                writer = (
+                    df.repartition(F.col(part))
+                    .write.mode("overwrite")
+                    .partitionBy(part)
+                )
+                # dynamic mode: only partitions present in df are replaced
+                writer.parquet(path)
                 df = spark.read.parquet(path)
                 df.createOrReplaceTempView(name)
             elif mat == "merge":

@@ -379,9 +379,59 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# unpivot / melt — the relational wide→long operator (Spark df.unpivot,
+# DuckDB UNPIVOT). The profiler melts via explode-of-structs for plan-
+# size reasons; this spec covers the *operator* itself so a user
+# migrating UNPIVOT queries has a checked equivalent.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_COLS = ("o_totalprice_sum", "o_order_count", "o_max_price")
+
+
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status metric matrix melted to (status, metric, value) rows.
+
+    One aggregate then ``df.unpivot`` — wide→long with the metric name
+    as data. Unpivot is a zero-shuffle projection (Expand node); at any
+    scale it costs one pass over the already-aggregated frame.
+    """
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            money_sum(F.col("o_totalprice"), "o_totalprice_sum"),
+            F.count(F.lit(1)).cast("double").alias("o_order_count"),
+            F.max("o_totalprice").cast("double").alias("o_max_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=list(_UNPIVOT_COLS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORACLE_UNPIVOT = f"""
+UNPIVOT (
+  SELECT o_orderstatus,
+         {sql_money_sum("o_totalprice", "o_totalprice_sum")},
+         CAST(COUNT(*) AS DOUBLE) AS o_order_count,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS o_max_price
+  FROM orders
+  GROUP BY o_orderstatus
+) ON {", ".join(_UNPIVOT_COLS)}
+INTO NAME metric VALUE value
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("orders_unpivot_metrics", orders_unpivot_metrics,
+                  ORACLE_UNPIVOT,
+                  "wide->long unpivot of a per-status metric matrix"),
         QuerySpec("customer_order_distribution", customer_order_distribution,
                   ORACLE_ORDER_DISTRIBUTION,
                   "orders-per-customer histogram incl. zero (Q13 shape)"),
