@@ -768,7 +768,104 @@ def dq_events_daily_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DQEngine(spark).run(EVENTS_DQ_CONFIG, sf_dir=sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# DQ monitoring: trailing z-score anomaly detection over a daily metric
+# (the reference's threshold checks are static per-run; a monitoring
+# deployment also needs "is today abnormal vs the trailing window").
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 7  # trailing days, inclusive of the current day
+ANOM_Z = 2.0
+
+
+def dq_daily_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume with trailing-window z-score + anomaly flag.
+
+    Mean/stddev from exact integer component sums (n, Σx, Σx²) over a
+    ROWS frame — never the engine's streaming variance, whose partial
+    merge order is nondeterministic (plans/stats.py moments idiom).
+    One shuffle (day rollup), one ordered window.
+
+    Scale posture: the window runs over one row PER DAY — thousands of
+    rows regardless of corpus size; the heavy lifting is the daily
+    rollup, a plain keyed aggregate. Σx² over BIGINT day-counts bounds
+    at ~9e18/(7·day_count²): safe below ~1.1e9 events/day; above that,
+    switch the component sums to DECIMAL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = (
+        f"(PARTITION BY 1 ORDER BY d"
+        f" ROWS BETWEEN {ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)"
+    )
+    scored = daily.selectExpr(
+        "CAST(d AS STRING) AS day",
+        "x AS n_events",
+        f"COUNT(*) OVER {w} AS wn",
+        f"SUM(x) OVER {w} AS wsum",
+        f"SUM(x * x) OVER {w} AS wsumsq",
+    ).selectExpr(
+        "day",
+        "n_events",
+        "CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) AS w_mean",
+        "CASE WHEN wn > 1 THEN sqrt(greatest("
+        " (CAST(wsumsq AS DOUBLE) - CAST(wsum AS DOUBLE)"
+        "  * CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE))"
+        " / CAST(wn - 1 AS DOUBLE), 0.0)) ELSE 0.0 END AS w_std",
+    ).selectExpr(
+        "day",
+        "n_events",
+        "w_mean",
+        "w_std",
+        "CASE WHEN w_std > 0.0 THEN"
+        " (CAST(n_events AS DOUBLE) - w_mean) / w_std"
+        " ELSE 0.0 END AS z",
+        f"(w_std > 0.0 AND abs((CAST(n_events AS DOUBLE) - w_mean)"
+        f" / w_std) > {ANOM_Z}) AS is_anomaly",
+    )
+    return scored
+
+
+ORACLE_DAILY_ANOMALY = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+  FROM events GROUP BY 1),
+win AS (
+  SELECT CAST(d AS VARCHAR) AS day, x AS n_events,
+         COUNT(*) OVER w AS wn,
+         CAST(SUM(x) OVER w AS BIGINT) AS wsum,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS wsumsq
+  FROM daily
+  WINDOW w AS (ORDER BY d
+               ROWS BETWEEN {ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT day, n_events,
+         CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) AS w_mean,
+         CASE WHEN wn > 1 THEN sqrt(greatest(
+           (CAST(wsumsq AS DOUBLE) - CAST(wsum AS DOUBLE)
+            * CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE))
+           / CAST(wn - 1 AS DOUBLE), 0.0)) ELSE 0.0 END AS w_std
+  FROM win)
+SELECT day, n_events, w_mean, w_std,
+       CASE WHEN w_std > 0.0 THEN
+         (CAST(n_events AS DOUBLE) - w_mean) / w_std
+       ELSE 0.0 END AS z,
+       (w_std > 0.0 AND abs((CAST(n_events AS DOUBLE) - w_mean)
+        / w_std) > {ANOM_Z}) AS is_anomaly
+FROM scored
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_daily_anomaly_events": QuerySpec(
+        "dq_daily_anomaly_events",
+        dq_daily_anomaly_events,
+        ORACLE_DAILY_ANOMALY,
+        "trailing z-score anomaly flag over daily event volume",
+    ),
     "dq_customer_suite": QuerySpec(
         "dq_customer_suite",
         dq_customer_suite,

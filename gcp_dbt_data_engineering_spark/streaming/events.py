@@ -155,6 +155,69 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# native session_window operator (same sessions, Spark's built-in)
+# ---------------------------------------------------------------------------
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's built-in ``session_window``.
+
+    The native operator merges events whose timestamps fall STRICTLY
+    within ``gap`` of the session's rolling end (an event exactly
+    ``gap`` later starts a NEW session), so the oracle's
+    gaps-and-islands rule is ``ts - prev_ts >= gap`` — note the ``>=``
+    vs the custom ``events_sessionize`` spec's ``>``. Keeping both
+    specs pins both boundary conventions.
+
+    In batch this plans as one hash partition on user_id + sort (same
+    as the islands form); in streaming the same groupBy works with
+    a watermark and merging session state — the reason to prefer the
+    native operator at scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_sess = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+        F.expr("CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)").alias(
+            "avg_session_events"
+        ),
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= {SESSION_GAP}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n
+  FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX(n) AS max_session_events,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_session_events
+FROM per_sess
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming path (same plan, readStream -> writeStream)
 # ---------------------------------------------------------------------------
 
@@ -501,6 +564,12 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_HOURLY_WINDOWS,
         ),
         QuerySpec("events_sessionize", events_sessionize, ORACLE_SESSIONIZE),
+        QuerySpec(
+            "events_session_window_native",
+            events_session_window_native,
+            ORACLE_SESSION_WINDOW,
+            "built-in session_window == gaps-and-islands (>= boundary)",
+        ),
         QuerySpec(
             "events_view_purchase_join",
             events_view_purchase_join,
