@@ -146,6 +146,95 @@ def _column_stats(parts: list[tuple[DataFrame, str, dict[str, str]]]) -> DataFra
     )
 
 
+def _profile_sql(parts: list[tuple[str, str, dict[str, str]]]) -> str:
+    """One SQL statement for the whole multi-table profile.
+
+    Exact mirror of ``_column_stats`` (same melt structs, same
+    aggregate expressions, same min/max-string side pass and broadcast
+    join) — but as one statement so Catalyst analyzes the tree ONCE.
+    ``parts`` is a list of (view_name, table_label, dtypes).
+    """
+
+    def cell_struct(c: str, kind: str) -> str:
+        numeric = kind in NUMERIC_KINDS
+        dval = f"CAST({c} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        if kind == "date":
+            sval = f"CAST(CAST({c} AS DATE) AS STRING)"
+        elif kind == "string":
+            sval = c
+        else:
+            sval = "CAST(NULL AS STRING)"
+        return (
+            f"named_struct('column_name', '{c}', 'dtype', '{kind}',"
+            f" 'dval', {dval}, 'sval', {sval},"
+            f" 'kval', CAST({c} AS STRING),"
+            f" 'isnull', CAST(({c} IS NULL) AS BIGINT))"
+        )
+
+    long_sel, str_sel = [], []
+    for view, table, dtypes in parts:
+        cells = ",\n      ".join(cell_struct(c, k) for c, k in dtypes.items())
+        long_sel.append(
+            f"SELECT '{table}' AS table_name, r.* FROM"
+            f" (SELECT explode(array(\n      {cells})) AS r FROM {view})"
+        )
+        scells = ",\n      ".join(
+            f"named_struct('column_name', '{c}', 'sval',"
+            + (f" CAST(CAST({c} AS DATE) AS STRING))" if k == "date" else f" {c})")
+            for c, k in dtypes.items()
+            if k in ("string", "date")
+        )
+        if scells:
+            str_sel.append(
+                f"SELECT '{table}' AS table_name, r.* FROM"
+                f" (SELECT explode(array(\n      {scells})) AS r FROM {view})"
+            )
+    long_all = "\nUNION ALL\n".join(long_sel)
+    numeric_in = ", ".join(f"'{k}'" for k in sorted(NUMERIC_KINDS))
+    n = "(total_count - null_count)"
+    var = f"((__sumsq - __sum * __sum / {n}) / ({n} - 1))"
+    b_cte, b_join, b_cols = "", "", (
+        "CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str"
+    )
+    if str_sel:
+        str_all = "\nUNION ALL\n".join(str_sel)
+        b_cte = f""",
+str_all AS (
+{str_all}),
+b AS (
+  SELECT table_name, column_name,
+         MIN(sval) AS min_str, MAX(sval) AS max_str
+  FROM str_all GROUP BY table_name, column_name)"""
+        b_join = (" LEFT JOIN b ON a.table_name = b.table_name"
+                  " AND a.column_name = b.column_name")
+        b_cols = "min_str, max_str"
+    return f"""
+WITH long_all AS (
+{long_all}),
+a AS (
+  SELECT table_name, column_name, dtype,
+         COUNT(*) AS total_count,
+         SUM(isnull) AS null_count,
+         COUNT(DISTINCT kval) AS distinct_count,
+         MIN(dval) AS min_num, MAX(dval) AS max_num,
+         CAST(SUM(CAST(dval AS DECIMAL(22,6))) AS DOUBLE) AS __sum,
+         CAST(SUM(CAST(dval * dval AS DECIMAL(30,8))) AS DOUBLE) AS __sumsq
+  FROM long_all GROUP BY table_name, column_name, dtype){b_cte}
+SELECT {"/*+ BROADCAST(b) */" if str_sel else ""} a.table_name,
+       a.column_name, dtype,
+       CAST(total_count AS BIGINT) AS total_count,
+       CAST(null_count AS BIGINT) AS null_count,
+       CAST(distinct_count AS BIGINT) AS distinct_count,
+       min_num, max_num,
+       CASE WHEN dtype IN ({numeric_in}) AND {n} > 0
+            THEN __sum / {n} END AS avg_num,
+       CASE WHEN dtype IN ({numeric_in}) AND {n} > 1
+            THEN sqrt(greatest({var}, 0.0)) END AS stddev_num,
+       {b_cols}
+FROM a{b_join}
+"""
+
+
 class SimpleDataProfiler:
     """Spark-native realization of the reference's profiler contract
     (``tests/profiling_example.py:11-17,36-57``)."""
@@ -195,13 +284,18 @@ class SimpleDataProfiler:
                 df = df.filter(F.col(date_column).cast("date") == F.lit(fecha))
             if sample:
                 df = df.limit(int(sample))
+            view = f"__prof_{t}"
+            df.createOrReplaceTempView(view)
             dtypes = {
                 c: k for c, k in TABLE_DTYPES[t].items() if k != "array"
             }
-            parts.append((df, t, dtypes))
-        # all tables fuse into two jobs total — plan size and job count
-        # are independent of how many tables are profiled
-        return _column_stats(parts)
+            parts.append((view, t, dtypes))
+        # All tables fuse into two jobs AND one analyzer pass: the whole
+        # melt + aggregate + join is generated as a single SQL statement.
+        # The previous DSL chain (~20 Dataset steps over a growing tree)
+        # cost ~1.5 s of eager per-step Catalyst analysis per run —
+        # measured to dominate this operator's wall-clock at sf0.1.
+        return self.spark.sql(_profile_sql(parts))
 
     def with_run_metadata(self, df: DataFrame, environment: str = "dev") -> DataFrame:
         """Stamp run metadata (reference: profiling_example.py:20-21)."""
