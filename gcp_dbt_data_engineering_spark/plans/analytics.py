@@ -655,9 +655,70 @@ FROM a FULL OUTER JOIN b ON a.k = b.k
 """
 
 
+# ---------------------------------------------------------------------------
+# Python UDTF: dynamic JSON explode (the user-defined TABLE function
+# surface — §2.8 noted the reference has none; this covers the API).
+# ---------------------------------------------------------------------------
+
+
+def events_props_udtf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode ``events.props`` JSON into key/value rows via a Python
+    UDTF, then aggregate per key.
+
+    The UDTF is the escape hatch for genuinely dynamic row generation
+    (unknown JSON schemas, parsers) — a row-multiplying transform SQL
+    can't express statically. Everything statically known should stay
+    with ``from_json``/``get_json_object`` (events_json_k_stats); this
+    spec covers the API with an Arrow-batched implementation so the
+    Python boundary is vectorized, and pushes the aggregate back into
+    the JVM.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, k string, v string", useArrow=True)
+    class PropsExplode:
+        def eval(self, event_id, props):  # noqa: ANN001
+            import json
+
+            if props is not None:
+                for k, v in sorted(json.loads(props).items()):
+                    yield event_id, k, str(v)
+
+    spark.udtf.register("props_explode", PropsExplode)
+    # spread: the per-row Python eval is the cost; a single-split scan
+    # would serialize it on one core (and one Python worker).
+    spread(_t(spark, sf_dir, "events")).createOrReplaceTempView(
+        "__events_udtf_src"
+    )
+    return spark.sql("""
+        SELECT p.k,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT p.v) AS n_values,
+               CAST(SUM(TRY_CAST(p.v AS BIGINT)) AS BIGINT) AS v_sum
+        FROM __events_udtf_src e,
+             LATERAL props_explode(e.event_id, e.props) p
+        GROUP BY p.k
+    """)
+
+
+ORACLE_PROPS_UDTF = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS k,
+         json_extract_string(props,
+           '$.' || unnest(json_keys(props))) AS v
+  FROM events)
+SELECT k, COUNT(*) AS n_events, COUNT(DISTINCT v) AS n_values,
+       CAST(SUM(TRY_CAST(v AS BIGINT)) AS BIGINT) AS v_sum
+FROM kv GROUP BY k
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("events_props_udtf_stats", events_props_udtf_stats,
+                  ORACLE_PROPS_UDTF,
+                  "Python UDTF JSON explode + JVM-side aggregate"),
         QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
                   ORACLE_SNAPSHOT_DIFF,
                   "CDC snapshot reconciliation via full-outer join"),

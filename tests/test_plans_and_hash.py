@@ -91,6 +91,31 @@ def test_polyhash_parity_random_strings(spark, s):
     assert 0 <= spark_h < th.P
 
 
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    s=_TEXT,
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_shingle_hashes_parity_random_strings(spark, s, n):
+    """The two-level shingle hash (word-hash fold via nested zip_with
+    on the Spark side, indexed lambda on the DuckDB side) must agree
+    on arbitrary text and shingle widths — it underpins every dedup /
+    contamination / clustering oracle."""
+    lit = "'" + s.replace("'", "''") + "'"
+    sh = spark.sql(
+        f"SELECT {th.shingle_hashes(lit, n, 'spark')} AS hs"
+    ).collect()[0][0]
+    dh = duckdb.sql(
+        f"SELECT {th.shingle_hashes(lit, n, 'duck')} AS hs"
+    ).fetchone()[0]
+    assert list(sh or []) == list(dh or [])
+    assert all(0 <= h < th.P for h in (sh or []))
+
+
 def test_q6_whole_predicate_reaches_scan(spark):
     """Q6 shape: every conjunct (date range, discount band, quantity
     cap) must appear in the parquet PushedFilters — the scan IS the
