@@ -88,9 +88,16 @@ FORMAT_REGEX_RULES = {
 
 
 class _Check:
-    """One compiled single-pass check: metadata + violation condition."""
+    """One compiled single-pass check: metadata + violation condition.
 
-    def __init__(self, cond: Column | None, skipped: bool = False, **meta: Any):
+    ``cond`` is Spark-SQL TEXT, not a Column: the whole engine compiles
+    config -> SQL strings end-to-end so one selectExpr carries the
+    single-pass aggregate (a Column-object build costs a Py4J
+    round-trip per operator — measured ~0.85 s/run of socket chatter
+    on an 11-check suite).
+    """
+
+    def __init__(self, cond: str | None, skipped: bool = False, **meta: Any):
         self.cond = cond
         self.skipped = skipped
         self.meta = meta
@@ -104,13 +111,14 @@ def _string_kind(dtype: str) -> str:
     return "other"
 
 
-def _completeness_cond(col: str, kind: str) -> Column:
-    c = F.col(col)
+def _completeness_cond(col: str, kind: str) -> str:
     if kind == "string":
-        return c.isNull() | (c == "")
+        return f"({col} IS NULL OR {col} = '')"
     if kind == "float":
-        return c.isNull() | F.isnan(c)
-    return c.isNull()
+        # isnan guarded by dtype — the reference applies it blindly and
+        # throws on non-numerics (dq_sql_notes.md:83, SURVEY §7 risks)
+        return f"({col} IS NULL OR isnan({col}))"
+    return f"({col} IS NULL)"
 
 
 def _severity_for(columns: list[str], critical: set[str]) -> str:
@@ -154,30 +162,31 @@ def compile_checks(
             # the reference's numeric_11 rut check) cast first, exactly
             # as the oracle does (bigint→string is identical text in
             # both engines).
+            rx = FORMAT_REGEX_RULES[rule].replace("\\", "\\\\")
             checks.append(
                 _Check(
-                    ~F.col(col).cast("string").rlike(FORMAT_REGEX_RULES[rule]),
+                    f"(NOT CAST({col} AS STRING) RLIKE '{rx}')",
                     **meta,
                 )
             )
         elif rule == "positive":
-            checks.append(_Check(F.col(col) <= 0, **meta))
+            checks.append(_Check(f"({col} <= 0)", **meta))
         elif rule == "not_empty":
-            checks.append(_Check(F.col(col).isNull() | (F.col(col) == ""), **meta))
+            checks.append(_Check(f"({col} IS NULL OR {col} = '')", **meta))
         else:
             checks.append(_Check(None, skipped=True, **meta))
 
     for col, bounds in tests.get("range", {}).items():
-        ok = F.col(col).isNotNull()
+        ok = f"{col} IS NOT NULL"
         if bounds.get("min") is not None:
-            ok = ok & (F.col(col) >= F.lit(float(bounds["min"])))
+            ok += f" AND {col} >= CAST({float(bounds['min'])!r} AS DOUBLE)"
         if bounds.get("max") is not None:
-            ok = ok & (F.col(col) <= F.lit(float(bounds["max"])))
+            ok += f" AND {col} <= CAST({float(bounds['max'])!r} AS DOUBLE)"
         # NOT(ok): NULL column → ok is false → violation counts, matching
         # the reference (~condition over isNotNull conjunction).
         checks.append(
             _Check(
-                ~ok,
+                f"(NOT ({ok}))",
                 test_name=f"range_{col}",
                 test_category="range",
                 column_name=col,
@@ -195,7 +204,7 @@ def compile_checks(
         cond = custom.get("sql_condition", custom.get("sql", ""))
         checks.append(
             _Check(
-                ~F.expr(cond),
+                f"(NOT ({cond}))",
                 test_name=f"custom_{custom['test_name']}",
                 test_category="custom",
                 sql_condition=cond,
@@ -213,6 +222,17 @@ def compile_checks(
         for combo in tests.get("uniqueness", [])
     ]
     return checks, uniq
+
+
+def _sql_lit(v: Any, typ: str) -> str:
+    """Typed SQL literal (same text Spark and the oracle compiler use)."""
+    if v is None:
+        return f"CAST(NULL AS {typ.upper()})"
+    if typ == "string":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "double":
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    return f"CAST({v} AS {typ.upper()})"
 
 
 class DQEngine:
@@ -246,63 +266,71 @@ class DQEngine:
 
         dtypes = dict(df.dtypes)
         checks, uniq = compile_checks(config, dtypes)
-        test_date = F.lit(fecha if fecha else "ALL")
 
-        # ---- single pass: one agg row with count(*) + one counter/check
-        aggs = [F.count(F.lit(1)).alias("__total")]
+        # ---- single pass: one agg row with count(*) + one counter/check,
+        # the whole thing one selectExpr (conds are SQL text)
+        aggs = ["COUNT(1) AS __total"]
         for i, ch in enumerate(checks):
             if ch.skipped:
                 continue
-            aggs.append(F.count(F.when(ch.cond, F.lit(1))).alias(f"__c{i}"))
-        base = df.agg(*aggs)
-
-        def meta_lit(ch: _Check, key: str) -> Column:
-            v = ch.meta.get(key)
-            typ = dict(RESULT_FIELDS)[key]
-            return F.lit(v).cast(typ)
-
-        def result_struct(ch: _Check, failed: Column) -> Column:
-            total = F.col("__total")
-            status = (
-                F.lit("SKIPPED")
-                if ch.skipped
-                else F.when(failed == 0, "PASS").otherwise("FAIL")
+            aggs.append(
+                f"COUNT(CASE WHEN {ch.cond} THEN 1 END) AS __c{i}"
             )
-            rate = (
-                F.lit(0.0)
-                if ch.skipped
-                else F.when(
-                    total > 0, failed.cast("double") / total.cast("double")
-                ).otherwise(F.lit(0.0))
-            )
-            return F.struct(
-                test_date.alias("test_date"),
-                meta_lit(ch, "test_name").alias("test_name"),
-                meta_lit(ch, "test_category").alias("test_category"),
-                status.alias("status"),
-                failed.cast("bigint").alias("failed_records"),
-                total.cast("bigint").alias("total_records"),
-                rate.alias("failure_rate"),
-                meta_lit(ch, "column_name").alias("column_name"),
-                meta_lit(ch, "rule").alias("rule"),
-                meta_lit(ch, "key_columns").alias("key_columns"),
-                meta_lit(ch, "sql_condition").alias("sql_condition"),
-                meta_lit(ch, "min_value").alias("min_value"),
-                meta_lit(ch, "max_value").alias("max_value"),
-                meta_lit(ch, "severity").alias("severity"),
+        base = df.selectExpr(*aggs)
+
+        # Result rows are generated as SQL TEXT, not Column objects:
+        # every F.lit/.cast/.alias is a Py4J round-trip, and the ~300
+        # calls this projection needs cost ~0.85 s/run in socket
+        # chatter alone (profiled). String building is free; Spark
+        # parses + analyzes the one selectExpr once.
+        fields = dict(RESULT_FIELDS)
+        date_sql = _sql_lit(fecha if fecha else "ALL", "string")
+
+        def meta_sql(ch: _Check, key: str) -> str:
+            return _sql_lit(ch.meta.get(key), fields[key])
+
+        def result_struct_sql(ch: _Check, failed: str) -> str:
+            if ch.skipped:
+                status = "'SKIPPED'"
+                rate = "CAST(0.0 AS DOUBLE)"
+            else:
+                status = (
+                    f"CASE WHEN {failed} = 0 THEN 'PASS' ELSE 'FAIL' END"
+                )
+                rate = (
+                    f"CASE WHEN __total > 0 THEN CAST({failed} AS DOUBLE)"
+                    " / CAST(__total AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+                )
+            return (
+                "named_struct("
+                f"'test_date', {date_sql},"
+                f" 'test_name', {meta_sql(ch, 'test_name')},"
+                f" 'test_category', {meta_sql(ch, 'test_category')},"
+                f" 'status', {status},"
+                f" 'failed_records', CAST({failed} AS BIGINT),"
+                " 'total_records', CAST(__total AS BIGINT),"
+                f" 'failure_rate', {rate},"
+                f" 'column_name', {meta_sql(ch, 'column_name')},"
+                f" 'rule', {meta_sql(ch, 'rule')},"
+                f" 'key_columns', {meta_sql(ch, 'key_columns')},"
+                f" 'sql_condition', {meta_sql(ch, 'sql_condition')},"
+                f" 'min_value', {meta_sql(ch, 'min_value')},"
+                f" 'max_value', {meta_sql(ch, 'max_value')},"
+                f" 'severity', {meta_sql(ch, 'severity')})"
             )
 
         structs = [
-            result_struct(
-                ch,
-                F.lit(0).cast("bigint") if ch.skipped else F.col(f"__c{i}"),
+            result_struct_sql(
+                ch, "CAST(0 AS BIGINT)" if ch.skipped else f"__c{i}"
             )
             for i, ch in enumerate(checks)
         ]
         parts: list[DataFrame] = []
         if structs:
             parts.append(
-                base.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+                base.selectExpr(
+                    f"explode(array({', '.join(structs)})) AS r"
+                ).select("r.*")
             )
 
         # ---- uniqueness: one shuffle per key combo; failed_records is the
@@ -324,7 +352,7 @@ class DQEngine:
             )
             parts.append(
                 dup_groups.crossJoin(total_row)
-                .select(result_struct(uch, F.col("__dups")).alias("r"))
+                .selectExpr(result_struct_sql(uch, "__dups") + " AS r")
                 .select("r.*")
             )
 
