@@ -217,6 +217,36 @@ GROUP BY user_id
 """
 
 
+def run_session_window_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "session_stream"
+) -> DataFrame:
+    """Native ``session_window`` as a Structured Stream.
+
+    The reason to prefer the built-in over the gaps-and-islands window
+    at scale: merging session state works incrementally under a
+    watermark, which the analytic-window formulation cannot do in a
+    stream. Same per-session plan as the batch
+    ``events_session_window_native`` spec, available-now trigger into a
+    memory sink; complete mode keeps all sessions observable for the
+    batch-equality test.
+    """
+    stream = _event_stream(spark, sf_dir)
+    per_sess = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    query = (
+        per_sess.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming path (same plan, readStream -> writeStream)
 # ---------------------------------------------------------------------------

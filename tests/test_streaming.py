@@ -36,6 +36,39 @@ def test_stream_equals_batch(spark):
     assert len(batch) > 100
 
 
+def test_session_window_stream_equals_batch(spark):
+    """Streaming native session_window == the batch session_window
+    spec (per-user session count / event totals)."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        events_session_window_native,
+        run_session_window_stream,
+    )
+
+    batch = {
+        (r.user_id, r.n_sessions, r.n_events, r.max_session_events)
+        for r in events_session_window_native(spark, SF).collect()
+    }
+    per_sess = run_session_window_stream(
+        spark, SF, query_name="t_sess_stream"
+    )
+    agg = (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+    )
+    stream = {
+        (r.user_id, r.n_sessions, r.n_events, r.max_session_events)
+        for r in agg.collect()
+    }
+    assert stream == batch
+    assert len(batch) > 100
+
+
 def test_stateful_user_totals_equals_batch(spark):
     """applyInPandasWithState running totals == batch groupBy."""
     from pyspark.sql import functions as F
