@@ -600,9 +600,86 @@ FROM feats
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram log-probability (perplexity-proxy quality from the corpus's
+# own unigram LM — the cheap stand-in for KenLM-style model scoring)
+# ---------------------------------------------------------------------------
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram log-probability per document.
+
+    Vocabulary = the corpus itself (one count pass); each document is
+    scored by mean ln(count(w)/N) over its tokens. Low scores flag
+    rare-token-heavy (noisy) documents — the usual pre-filter before
+    real LM scoring.
+
+    Determinism: a float SUM's partial-aggregation order is
+    nondeterministic under parallelism, so each per-token ln() is cast
+    to DECIMAL(28,12) BEFORE summing — rounding per term is
+    deterministic, the decimal sum is exact and order-free, and the
+    final divide is one double op (spec.py rules).
+
+    Scale posture: one vocab aggregate (shuffle on token), one
+    fact-to-vocab join (shuffle on token; at 100 TB the vocab side is
+    Zipf-heavy — AQE skew-join or a broadcast of the top-K head plus a
+    join for the tail), one per-doc rollup.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.selectExpr(
+        "doc_id", f"explode({th.words('text', 'spark')}) AS w"
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = tok.count()  # scalar N: one count job, reused as a literal
+    scored = (
+        tok.join(vocab, "w")
+        .selectExpr(
+            "doc_id",
+            f"CAST(ln(CAST(n_w AS DOUBLE) / CAST({total} AS DOUBLE))"
+            " AS DECIMAL(28,12)) AS lp",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("lp_sum"),
+        )
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CAST(lp_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_logprob",
+    )
+
+
+def _oracle_unigram(total_expr: str = "(SELECT COUNT(*) FROM tok)") -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({th.words('text', 'duck')}) AS w FROM documents),
+vocab AS (
+  SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+scored AS (
+  SELECT doc_id,
+         CAST(ln(CAST(n_w AS DOUBLE)
+                 / CAST({total_expr} AS DOUBLE))
+              AS DECIMAL(28,12)) AS lp
+  FROM tok JOIN vocab USING (w))
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(lp) AS DECIMAL(38,12)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+ORACLE_UNIGRAM = _oracle_unigram()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "text_unigram_logprob", text_unigram_logprob, ORACLE_UNIGRAM,
+            "mean unigram ln-prob per doc (perplexity-proxy quality)",
+        ),
         QuerySpec(
             "text_gopher_repetition", text_gopher_repetition, ORACLE_GOPHER,
             "Gopher/C4 repetition filters: dup-token + top-ngram mass",
