@@ -241,9 +241,149 @@ FROM vids, LATERAL (
 """
 
 
+# ---------------------------------------------------------------------------
+# resize plan (fit-into-box math over decoded dims; the resample
+# kernel itself is part of the stubbed codec seam)
+# ---------------------------------------------------------------------------
+
+RESIZE_BOX = 224  # fit into BOX x BOX preserving aspect ratio
+
+_RESIZE_SCHEMA = (
+    "asset_id bigint, width bigint, height bigint,"
+    " out_w bigint, out_h bigint, scale_num bigint"
+)
+
+
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image resize plan: fit into RESIZE_BOX², preserve aspect.
+
+    The geometry every image pipeline computes before the resample
+    kernel runs: scale = BOX/max(w,h) (never upscale), output dims =
+    floor(dim*scale). Integer arithmetic only (scale as a rational
+    BOX/longest) so both engines agree exactly; the pixel resample
+    itself belongs to the stubbed codec seam (decode_image).
+    """
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "image":
+                    continue
+                b = bytes(payload)
+                meta = fake_meta(mt, len(b), b[0] if b else 0)
+                w, h = meta["width"], meta["height"]
+                longest = max(w, h)
+                if longest <= RESIZE_BOX:  # never upscale
+                    ow, oh, num = w, h, longest
+                else:
+                    ow = w * RESIZE_BOX // longest
+                    oh = h * RESIZE_BOX // longest
+                    num = RESIZE_BOX
+                rows.append(
+                    {"asset_id": aid, "width": w, "height": h,
+                     "out_w": ow, "out_h": oh, "scale_num": num}
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height",
+                         "out_w", "out_h", "scale_num"],
+            )
+
+    return _assets(spark, sf_dir).mapInPandas(plan, schema=_RESIZE_SCHEMA)
+
+
+ORACLE_RESIZE_PLAN = f"""
+WITH {_SQL_ASSETS},
+imgs AS (
+  SELECT asset_id,
+         64 + (byte_len * 7 + first_b) % 577 AS width,
+         64 + (byte_len * 31 + first_b) % 353 AS height
+  FROM assets WHERE media_type = 'image')
+SELECT asset_id, width, height,
+       CASE WHEN greatest(width, height) <= {RESIZE_BOX} THEN width
+            ELSE width * {RESIZE_BOX} // greatest(width, height) END AS out_w,
+       CASE WHEN greatest(width, height) <= {RESIZE_BOX} THEN height
+            ELSE height * {RESIZE_BOX} // greatest(width, height) END AS out_h,
+       CASE WHEN greatest(width, height) <= {RESIZE_BOX}
+            THEN greatest(width, height) ELSE {RESIZE_BOX} END AS scale_num
+FROM imgs
+"""
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (real numpy over Arrow batches: byte histogram)
+# ---------------------------------------------------------------------------
+
+FEAT_DIM = 8
+
+_FEAT_SCHEMA = "asset_id bigint, n_bytes bigint, feat array<double>"
+
+
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset feature vector: normalized byte-residue histogram.
+
+    The feature-extract seam done for real (not stubbed): numpy over
+    Arrow batches inside ``mapInPandas`` — ``frombuffer % FEAT_DIM``,
+    one bincount per payload, normalized to fractions. This is the
+    batch shape a real embedding model would use (payload bytes in,
+    fixed-dim float vector out); the oracle replays the histogram in
+    SQL off the same bytes.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(b.size)
+                if n == 0:  # oracle's WHERE length(text) > 0
+                    continue
+                counts = np.bincount(b % FEAT_DIM, minlength=FEAT_DIM)
+                vec = [float(c) / float(n) for c in counts]
+                rows.append(
+                    {"asset_id": aid, "n_bytes": n, "feat": vec}
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "n_bytes", "feat"])
+
+    return _assets(spark, sf_dir).mapInPandas(feats, schema=_FEAT_SCHEMA)
+
+
+def _oracle_byte_features() -> str:
+    dims = ", ".join(
+        "CAST(len(list_filter(string_split(text, ''),"
+        f" c -> ord(c) % {FEAT_DIM} = {j})) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE)"
+        for j in range(FEAT_DIM)
+    )
+    return f"""
+SELECT doc_id AS asset_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       [{dims}] AS feat
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+ORACLE_BYTE_FEATURES = _oracle_byte_features()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "multimodal_resize_plan", multimodal_resize_plan,
+            ORACLE_RESIZE_PLAN,
+            "fit-into-box resize geometry per decoded image",
+        ),
+        QuerySpec(
+            "multimodal_byte_features", multimodal_byte_features,
+            ORACLE_BYTE_FEATURES,
+            "numpy byte-histogram feature vectors over Arrow batches",
+        ),
         QuerySpec("multimodal_meta", multimodal_meta, ORACLE_MULTIMODAL_META),
         QuerySpec(
             "multimodal_frame_sample",

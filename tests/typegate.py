@@ -34,6 +34,10 @@ DUCK_TO_SPARK = {
     "TIMESTAMP": "timestamp_ntz",  # parquet NTZ convention in testdata
     "TIMESTAMP WITH TIME ZONE": "timestamp",
     "BLOB": "binary",
+    "DOUBLE[]": "array<double>",
+    "FLOAT[]": "array<float>",
+    "BIGINT[]": "array<bigint>",
+    "VARCHAR[]": "array<string>",
 }
 
 
