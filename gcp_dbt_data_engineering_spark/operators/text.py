@@ -86,7 +86,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     usual cheap proxy for tokenizer cost when budgeting a training
     mix. One projection + one hash aggregate on ``source``.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     per_doc = docs.selectExpr(
         "source",
         f"size({th.words('text', 'spark')}) AS n_words",
@@ -142,7 +142,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     'en' — the deliverable is the deterministic classifier plumbing
     (reproduced exactly by the oracle), not label accuracy.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     feats = docs.selectExpr(
         "doc_id",
         "lang",
@@ -229,7 +229,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; deterministic double arithmetic.
     """
     feats = _quality_feats("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.selectExpr(
             "doc_id", *[f"{e} AS {name}" for name, e in feats.items()]
@@ -348,7 +348,7 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer inputs so the double division is deterministic.
     """
     pos, neg = _polarity_counts("ws", "spark")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.selectExpr("doc_id", f"{th.words('text', 'spark')} AS ws")
         .selectExpr("doc_id", f"{pos} AS n_pos", f"{neg} AS n_neg")
@@ -405,7 +405,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.selectExpr(
         "doc_id", f"explode({th.words('text', 'spark')}) AS term"
     )
