@@ -357,6 +357,79 @@ GROUP BY band
 # slicing cannot express without a self-join.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# rollup cascade — continuous-aggregate / hypertable-rollup shape:
+# hour -> day -> month, each grain AGGREGATED FROM THE PREVIOUS ONE
+# (never re-scanning the fact table), exact decimal sums carried
+# through every level and cast to double only at the edge.
+# ---------------------------------------------------------------------------
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month event rollups, each derived from the finer grain.
+
+    The continuous-aggregate discipline: the fact table is scanned
+    once (hourly grain); day sums hour, month sums day. At 100 TB the
+    coarser grains cost shuffles over aggregate row counts (thousands),
+    not facts — and the hourly relation is the one you'd materialize
+    and incrementally refresh. Counts and DECIMAL sums are exactly
+    re-aggregable (doubles would drift with re-summation order —
+    spec.py rules), so every level is bit-identical to a direct
+    aggregation of the facts.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("dec"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("b")).alias("b"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("dec").alias("dec"))
+    )
+    month = (
+        day.groupBy(F.date_trunc("month", F.col("b")).alias("b"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("dec").alias("dec"))
+    )
+
+    def lvl(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", "yyyy-MM-dd HH:mm").alias("bucket"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("dec").cast("double").alias("total_value"),
+        )
+
+    return lvl(hour, "hour").unionByName(lvl(day, "day")).unionByName(
+        lvl(month, "month")
+    )
+
+
+ORACLE_ROLLUP_CASCADE = """
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(22,6))) AS dec
+  FROM events GROUP BY 1),
+day AS (
+  SELECT date_trunc('day', b) AS b,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(dec) AS dec
+  FROM hour GROUP BY 1),
+month AS (
+  SELECT date_trunc('month', b) AS b,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(dec) AS dec
+  FROM day GROUP BY 1)
+SELECT 'hour' AS grain, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+       n_events, CAST(dec AS DOUBLE) AS total_value FROM hour
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d %H:%M'), n_events,
+       CAST(dec AS DOUBLE) FROM day
+UNION ALL
+SELECT 'month', strftime(b, '%Y-%m-%d %H:%M'), n_events,
+       CAST(dec AS DOUBLE) FROM month
+"""
+
+
 def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("d")
@@ -395,6 +468,10 @@ GROUP BY 1, 2
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("events_rollup_cascade", events_rollup_cascade,
+                  ORACLE_ROLLUP_CASCADE,
+                  "hour->day->month continuous-aggregate cascade, "
+                  "exact decimal re-aggregation"),
         QuerySpec("events_weekly_retention", events_weekly_retention,
                   ORACLE_RETENTION,
                   "cohort retention matrix: first-week x week-offset"),
