@@ -365,45 +365,46 @@ GROUP BY band
 # ---------------------------------------------------------------------------
 
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour/day/month event rollups, each derived from the finer grain.
+    """Hour/day/month event rollups derived from one hourly aggregate.
 
-    The continuous-aggregate discipline: the fact table is scanned
-    once (hourly grain); day sums hour, month sums day. At 100 TB the
-    coarser grains cost shuffles over aggregate row counts (thousands),
-    not facts — and the hourly relation is the one you'd materialize
-    and incrementally refresh. Counts and DECIMAL sums are exactly
-    re-aggregable (doubles would drift with re-summation order —
-    spec.py rules), so every level is bit-identical to a direct
+    The continuous-aggregate discipline: the fact table is aggregated
+    ONCE at hourly grain; day and month come from GROUPING SETS over
+    that hourly relation (Expand ×3 of ~hours rows — trivial), so a
+    single fact scan is guaranteed *structurally*. A union of
+    hour/day-of-hour/month-of-day branches leaves scan dedup to
+    physical exchange reuse, which is best-effort (measured: one
+    branch re-scanned). At 100 TB the hourly relation is what you
+    materialize and incrementally refresh. Counts and DECIMAL sums are
+    exactly re-aggregable (doubles would drift with re-summation
+    order — spec.py rules), so every level is bit-identical to direct
     aggregation of the facts.
     """
     ev = _t(spark, sf_dir, "events")
     hour = (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b"))
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(22,6)")).alias("dec"),
         )
-    )
-    day = (
-        hour.groupBy(F.date_trunc("day", F.col("b")).alias("b"))
-        .agg(F.sum("n_events").alias("n_events"), F.sum("dec").alias("dec"))
-    )
-    month = (
-        day.groupBy(F.date_trunc("month", F.col("b")).alias("b"))
-        .agg(F.sum("n_events").alias("n_events"), F.sum("dec").alias("dec"))
-    )
-
-    def lvl(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            F.date_format("b", "yyyy-MM-dd HH:mm").alias("bucket"),
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.col("dec").cast("double").alias("total_value"),
+        .selectExpr(
+            "h",
+            "date_trunc('day', h) AS d",
+            "date_trunc('month', h) AS m",
+            "n_events",
+            "dec",
         )
-
-    return lvl(hour, "hour").unionByName(lvl(day, "day")).unionByName(
-        lvl(month, "month")
     )
+    view = "__cascade_hour"
+    hour.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT CASE grouping_id(h, d, m) WHEN 3 THEN 'hour'
+                    WHEN 5 THEN 'day' ELSE 'month' END AS grain,
+               date_format(coalesce(h, d, m), 'yyyy-MM-dd HH:mm') AS bucket,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(dec) AS DOUBLE) AS total_value
+        FROM {view}
+        GROUP BY GROUPING SETS ((h), (d), (m))
+    """)
 
 
 ORACLE_ROLLUP_CASCADE = """
