@@ -116,6 +116,36 @@ def test_shingle_hashes_parity_random_strings(spark, s, n):
     assert all(0 <= h < th.P for h in (sh or []))
 
 
+def test_rollup_cascade_scans_facts_once(spark):
+    """The continuous-aggregate cascade must aggregate the fact table
+    exactly once; coarser grains come from GROUPING SETS over the
+    hourly relation (structural guarantee, not exchange-reuse luck)."""
+    from gcp_dbt_data_engineering_spark.plans.windows import (
+        events_rollup_cascade,
+    )
+
+    df = events_rollup_cascade(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints final + initial plan: 1 scan each
+    assert plan.count("FileScan parquet") <= 2
+    assert "Expand" in plan  # the grouping-sets pass over hourly rows
+
+
+def test_snapshot_diff_preaggregates_before_full_outer(spark):
+    """CDC diff: both sides must reduce to one row per key BEFORE the
+    full-outer join — the shuffle carries keys, not facts."""
+    from gcp_dbt_data_engineering_spark.plans.analytics import (
+        orders_snapshot_diff,
+    )
+
+    plan = _plan(orders_snapshot_diff(spark, SF))
+    assert "FullOuter" in plan
+    # partial+final aggregate per side = at least 4 HashAggregates
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_q6_whole_predicate_reaches_scan(spark):
     """Q6 shape: every conjunct (date range, discount band, quantity
     cap) must appear in the parquet PushedFilters — the scan IS the
