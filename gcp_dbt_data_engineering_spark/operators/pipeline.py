@@ -103,6 +103,95 @@ def _sql_in(vals: Iterable[str]) -> str:
     return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
 
 
+# ---------------------------------------------------------------------------
+# 1b. external-benchmark decontamination — broadcast phrase set
+# ---------------------------------------------------------------------------
+
+#: the "benchmark suite": external eval phrases (fixed, version them in
+#: production). 5-gram phrases so each contributes exactly one shingle.
+BENCH_PHRASES = (
+    "key agg row scan slow",
+    "value table part a row",
+    "the line sort table window",
+    "merge batch part value fast",
+    "spark a a the line",
+    "fast table value part hash",
+)
+
+
+def contamination_external_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus overlap against an EXTERNAL benchmark phrase set.
+
+    The production decontamination shape (vs the in-corpus variant
+    ``contamination_ngram_check``): the benchmark suite is tiny and
+    external, so its shingle hashes become a broadcast literal set and
+    the corpus side never shuffles — one scan, map-side semi-filter,
+    one per-source rollup. Per source: documents hit, total hits, hit
+    rate. At 100 TB this plan is scan-bound, which is the point.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    phrases = spark.createDataFrame(
+        [(p,) for p in BENCH_PHRASES], "phrase string"
+    )
+    bench = [
+        r.h
+        for r in phrases.selectExpr(
+            f"explode({th.shingle_hashes('phrase', CONTAM_N, 'spark')}) AS h"
+        ).collect()
+    ]
+    hits_expr = (
+        f"size(array_intersect({th.shingle_hashes('text', CONTAM_N, 'spark')},"
+        f" array({', '.join(f'CAST({h} AS BIGINT)' for h in sorted(bench))})))"
+    )
+    return (
+        docs.selectExpr("source", f"{hits_expr} AS k")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("k") > 0).cast("bigint")).alias("docs_contaminated"),
+            F.sum("k").alias("ngram_hits"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_contaminated",
+            "ngram_hits",
+            (
+                F.col("docs_contaminated").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("doc_hit_rate"),
+        )
+    )
+
+
+def _oracle_external_bench() -> str:
+    phr = ", ".join(f"('{p}')" for p in BENCH_PHRASES)
+    return f"""
+WITH phrases(phrase) AS (VALUES {phr}),
+bench AS (
+  SELECT DISTINCT unnest({th.shingle_hashes('phrase', CONTAM_N, 'duck')}) AS h
+  FROM phrases),
+benchlist AS (SELECT list(h) AS bh FROM bench),
+per_doc AS (
+  SELECT source,
+         len(list_intersect(
+           {th.shingle_hashes('text', CONTAM_N, 'duck')}, bh)) AS k
+  FROM documents, benchlist)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_contaminated,
+       CAST(SUM(k) AS BIGINT) AS ngram_hits,
+       CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS doc_hit_rate
+FROM per_doc
+GROUP BY source
+"""
+
+
+ORACLE_EXTERNAL_BENCH = _oracle_external_bench()
+
+
 ORACLE_CONTAMINATION = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, source, h
@@ -524,6 +613,13 @@ SPECS: dict[str, QuerySpec] = {
             contamination_ngram_check,
             ORACLE_CONTAMINATION,
             "benchmark decontamination: 5-gram overlap vs broadcast set",
+        ),
+        QuerySpec(
+            "contamination_external_bench",
+            contamination_external_bench,
+            ORACLE_EXTERNAL_BENCH,
+            "decontamination vs external phrase set: broadcast literal, "
+            "scan-bound",
         ),
         QuerySpec(
             "sample_stratified_by_lang",
