@@ -275,6 +275,54 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# 2b. train/val/test split — hash-deterministic 3-way assignment
+# ---------------------------------------------------------------------------
+
+#: basis-point split boundaries: [0,9000) train, [9000,9500) val, rest test
+SPLIT_TRAIN_BP = 9000
+SPLIT_VAL_BP = 9500
+
+_SPLIT_CASE = (
+    f"CASE WHEN bucket < {SPLIT_TRAIN_BP} THEN 'train'"
+    f" WHEN bucket < {SPLIT_VAL_BP} THEN 'val' ELSE 'test' END"
+)
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split with per-(lang, split) accounting.
+
+    The same hash-bucket predicate as the stratified sampler
+    (independent salt): assignment is a pure function of doc_id, so
+    the split is identical on every run, every cluster layout, and in
+    the oracle engine — the property that keeps eval sets from
+    leaking into training when the corpus is re-processed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", F.expr(_bucket("doc_id", "spark", "split")))
+        .selectExpr("lang", "n_chars", f"{_SPLIT_CASE} AS split")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+ORACLE_SPLIT = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         {_bucket('doc_id', 'duck', 'split')} AS bucket
+  FROM documents)
+SELECT lang, {_SPLIT_CASE} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM assigned
+GROUP BY lang, {_SPLIT_CASE}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3. domain mixing — hit target language weights from skewed counts
 # ---------------------------------------------------------------------------
 
@@ -620,6 +668,12 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_EXTERNAL_BENCH,
             "decontamination vs external phrase set: broadcast literal, "
             "scan-bound",
+        ),
+        QuerySpec(
+            "split_train_val_test",
+            split_train_val_test,
+            ORACLE_SPLIT,
+            "hash-deterministic 90/5/5 split, per-(lang,split) accounting",
         ),
         QuerySpec(
             "sample_stratified_by_lang",

@@ -560,6 +560,73 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# salted skew JOIN: hot-key fact-to-dim join with the dim replicated
+# per salt (the companion to events_type_value_salted's salted AGG —
+# together they cover both halves of the skew playbook).
+# ---------------------------------------------------------------------------
+
+JOIN_SALT = 8
+
+#: inline event-type dimension (weights the "join side" carries)
+TYPE_DIM = {
+    "view": 1, "click": 3, "signup": 5, "purchase": 20, "error": -10,
+}
+
+
+def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join: 5 hot keys, dim replicated per salt.
+
+    ``event_type`` has 5 values over the whole fact table — a plain
+    shuffle join puts each key's entire volume on one reducer. Salting:
+    facts get a deterministic salt (event_id % JOIN_SALT), the dim is
+    exploded JOIN_SALT times, and the join key becomes (type, salt), so
+    each hot key spreads over JOIN_SALT reducers. The oracle is the
+    UNSALTED join — results must be identical. (For a dim this small
+    you would broadcast instead; salting is the pattern for when the
+    replicated side is too big to broadcast but far smaller than the
+    skewed fact side.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(t, w) for t, w in sorted(TYPE_DIM.items())],
+        "event_type string, weight int",
+    )
+    salted_dim = dim.selectExpr(
+        "event_type", "weight",
+        f"explode(sequence(0, {JOIN_SALT - 1})) AS salt",
+    )
+    facts = ev.withColumn(
+        "salt", (F.col("event_id") % JOIN_SALT).cast("int")
+    )
+    joined = facts.join(salted_dim, ["event_type", "salt"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.first("weight").alias("weight"),
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(22,6)")
+            ).cast("double").alias("weighted_value"),
+        )
+    )
+
+
+def _oracle_salted_join() -> str:
+    dim = ", ".join(f"('{t}', {w})" for t, w in sorted(TYPE_DIM.items()))
+    return f"""
+WITH dim(event_type, weight) AS (VALUES {dim})
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(MIN(weight) AS INTEGER) AS weight,
+       {sql_money_sum("value * weight", "weighted_value")}
+FROM events JOIN dim USING (event_type)
+GROUP BY event_type
+"""
+
+
+ORACLE_SALTED_JOIN = _oracle_salted_join()
+
+
+# ---------------------------------------------------------------------------
 # CDC-style snapshot diff: reconcile two keyed snapshots (full-outer
 # join → added / removed / changed / same). The data-reconciliation
 # primitive behind dbt snapshot auditing and cross-environment table
@@ -719,6 +786,9 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("events_props_udtf_stats", events_props_udtf_stats,
                   ORACLE_PROPS_UDTF,
                   "Python UDTF JSON explode + JVM-side aggregate"),
+        QuerySpec("events_salted_dim_join", events_salted_dim_join,
+                  ORACLE_SALTED_JOIN,
+                  "skew-safe salted fact-to-dim join == unsalted oracle"),
         QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
                   ORACLE_SNAPSHOT_DIFF,
                   "CDC snapshot reconciliation via full-outer join"),

@@ -426,9 +426,57 @@ INTO NAME metric VALUE value
 """
 
 
+# ---------------------------------------------------------------------------
+# ntile deciles — the tiling window family (ntile/percent_rank), with a
+# unique-key tiebreak so both engines tile identically.
+# ---------------------------------------------------------------------------
+
+def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority price deciles: row counts + bounds + revenue.
+
+    ``ntile`` assigns by row position, so ties in the order column make
+    tiling ambiguous — the ORDER BY carries the unique ``o_orderkey``
+    tiebreak (spec.py determinism rules). One shuffle + one sort per
+    priority partition, then a hash aggregate on (priority, decile).
+    """
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+            money_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+ORACLE_DECILES = f"""
+WITH tiled AS (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo_price,
+       MAX(o_totalprice) AS hi_price,
+       {sql_money_sum("o_totalprice", "revenue")}
+FROM tiled
+GROUP BY o_orderpriority, decile
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("orders_decile_stats", orders_decile_stats,
+                  ORACLE_DECILES,
+                  "ntile(10) price deciles per priority, unique tiebreak"),
         QuerySpec("orders_unpivot_metrics", orders_unpivot_metrics,
                   ORACLE_UNPIVOT,
                   "wide->long unpivot of a per-status metric matrix"),
