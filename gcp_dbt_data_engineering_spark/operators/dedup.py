@@ -563,6 +563,117 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup similarity graph (iterative numeric op)
+# ---------------------------------------------------------------------------
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+PR_SCALE = 10**12  # contributions quantized to integer "picoranks"
+
+
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank on the Jaccard near-dup graph.
+
+    Ranks which documents sit at the center of duplication clusters
+    (high-rank docs are the canonical copies worth keeping). Classic
+    power iteration, with cross-engine determinism engineered in:
+    each edge contribution ``r/deg`` is quantized with
+    ``FLOOR(x * 1e12)`` to an integer BEFORE summing, so the
+    per-destination sum is exact and partial-order-free, and every
+    remaining op is a fixed double sequence. (A raw double SUM's
+    merge order is nondeterministic; a DECIMAL cast rounds, and
+    Spark/DuckDB disagree on rounding mode at the last digit — FLOOR
+    has no midpoints.) Dangling mass is not redistributed (standard
+    simplified PR; documented contract).
+
+    Scale posture: per iteration one join on src + one aggregate on
+    dst — two shuffles over the EDGE list; lineage truncated per round
+    via localCheckpoint like the connected-components operator. At
+    1e9+ docs switch the picorank sums to DECIMAL (int64 bounds).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = 0.15 / float(n)
+    ranks = docs.select("doc_id", F.lit(1.0 / float(n)).alias("r"))
+    edeg = edges.join(deg, "src").localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = (
+            edeg.join(ranks, edeg.src == ranks.doc_id)
+            .selectExpr(
+                "dst",
+                f"CAST(FLOOR(r / CAST(deg AS DOUBLE) * {PR_SCALE})"
+                " AS BIGINT) AS c",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            .selectExpr(
+                "doc_id",
+                f"{base!r} + {PR_DAMP} * (CAST(COALESCE(cs, 0) AS DOUBLE)"
+                f" / {float(PR_SCALE)!r}) AS r",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "doc_id", F.col("r").alias("pagerank")
+    )
+
+
+def _sql_jaccard_pairs_cte() -> str:
+    """CTE chain ending in ``jp`` = the ngram-Jaccard pair list."""
+    return f"""{_sql_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jp AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz x ON doc_a = x.doc_id
+  JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T})"""
+
+
+def _oracle_pagerank() -> str:
+    n_expr = "(SELECT COUNT(*) FROM documents)"
+    body = f"""
+pairs AS (
+  SELECT doc_a, doc_b FROM jp),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+r0 AS (
+  SELECT doc_id, 1.0 / CAST({n_expr} AS DOUBLE) AS r FROM documents)"""
+    for k in range(PR_ITERS):
+        body += f""",
+c{k} AS (
+  SELECT dst, CAST(SUM(CAST(FLOOR(r / CAST(deg AS DOUBLE) * {PR_SCALE})
+                            AS BIGINT)) AS BIGINT) AS cs
+  FROM edeg JOIN r{k} ON edeg.src = r{k}.doc_id
+  GROUP BY dst),
+r{k + 1} AS (
+  SELECT d.doc_id,
+         0.15 / CAST({n_expr} AS DOUBLE)
+           + {PR_DAMP} * (CAST(COALESCE(cs, 0) AS DOUBLE)
+                          / {float(PR_SCALE)!r}) AS r
+  FROM documents d LEFT JOIN c{k} ON d.doc_id = c{k}.dst)"""
+    return (
+        "WITH "
+        + _sql_jaccard_pairs_cte()
+        + ","
+        + body
+        + f"\nSELECT doc_id, r AS pagerank FROM r{PR_ITERS}"
+    )
+
+
 #: min-reachable-label via recursive closure — tractable because test
 #: components are tiny; the Spark side is the scalable path.
 ORACLE_CLUSTER_COMPONENTS = f"""
@@ -596,6 +707,12 @@ SPECS: dict[str, QuerySpec] = {
             "dedup_cluster_components",
             dedup_cluster_components,
             ORACLE_CLUSTER_COMPONENTS,
+        ),
+        QuerySpec(
+            "dedup_graph_pagerank",
+            dedup_graph_pagerank,
+            _oracle_pagerank(),
+            "3-iter PageRank on the near-dup graph; quantized exact sums",
         ),
         QuerySpec("dedup_exact", dedup_exact, ORACLE_DEDUP_EXACT),
         QuerySpec(
