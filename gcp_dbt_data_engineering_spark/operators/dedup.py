@@ -502,6 +502,29 @@ WHERE CAST(dot AS DOUBLE)
 CC_MAX_ITERS = 20
 
 
+
+def _jaccard_pair_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized near-dup pair list (doc_a, doc_b) per (session, corpus).
+
+    Shared by the clustering and PageRank operators; persisted once
+    with the same bounded-cache discipline as :func:`_shingle_rows`
+    (the pair list is the tiny materialized edge table a production
+    pipeline would stage before any graph pass).
+    """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_pair_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is None:
+        hit = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        cache[sf_dir] = hit
+    return hit
+
+
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicate documents into clusters — the step that
     turns a pair list (dedup #2/#3) into an actual dedup decision
@@ -526,7 +549,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical keep id (= component_id, the min doc_id), member count,
     and max member id.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pair_list(spark, sf_dir)
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
@@ -592,7 +615,7 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     via localCheckpoint like the connected-components operator. At
     1e9+ docs switch the picorank sums to DECIMAL (int64 bounds).
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pair_list(spark, sf_dir)
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

@@ -60,13 +60,16 @@ class Model:
     def refs(self) -> list[str]:
         return _REF_RE.findall(self.raw_sql)
 
-    def render(self, defaults: dict) -> tuple[str, dict]:
+    def render(self, defaults: dict, resolve=None) -> tuple[str, dict]:
+        """Render config + refs. ``resolve(name)`` maps a ref to its
+        relation text — the seam where ephemeral models inline."""
         cfg = dict(defaults)
         m = _CONFIG_RE.search(self.raw_sql)
         if m:
             cfg.update(dict(_KWARG_RE.findall(m.group(1))))
         sql = _CONFIG_RE.sub("", self.raw_sql)
-        sql = _REF_RE.sub(lambda mm: mm.group(1), sql)
+        fn = resolve or (lambda n: n)
+        sql = _REF_RE.sub(lambda mm: fn(mm.group(1)), sql)
         return sql.strip(), cfg
 
 
@@ -99,12 +102,27 @@ class ModelGraph:
         return list(ts.static_order())
 
     def run(self, spark: SparkSession) -> dict[str, DataFrame]:
-        """Materialize every model in dependency order; returns name→DF."""
+        """Materialize every model in dependency order; returns name→DF.
+
+        Ephemeral models (dbt's 4th materialization) are never
+        executed or registered: their rendered SQL inlines as a
+        parenthesized subquery wherever downstream models ref() them
+        (topo order guarantees the text exists before any consumer
+        renders). They do not appear in the returned dict.
+        """
         out: dict[str, DataFrame] = {}
+        ephemeral: dict[str, str] = {}
+
+        def resolve(n: str) -> str:
+            return f"({ephemeral[n]})" if n in ephemeral else n
+
         for name in self.topo_order():
-            sql, cfg = self.models[name].render(self.defaults)
-            df = spark.sql(sql)
+            sql, cfg = self.models[name].render(self.defaults, resolve)
             mat = cfg.get("materialized", "view")
+            if mat == "ephemeral":
+                ephemeral[name] = sql
+                continue
+            df = spark.sql(sql)
             if mat == "view":
                 df.createOrReplaceTempView(name)
             elif mat == "table":
