@@ -27,6 +27,11 @@ per model ``spark.sql(rendered)`` and materialize:
   strategy): batch rows replace same-key rows, everything else
   survives; anti-join + union + atomic snapshot swap (the seam where
   Delta/Iceberg MERGE INTO plugs in).
+- ``snapshot`` → SCD2 (dbt snapshot, timestamp strategy): newer
+  ``updated_at`` closes the open version and opens a new one; source
+  batches dedup to latest-per-key; replay is a no-op.
+- ``ephemeral`` → never materialized: the rendered SQL inlines as a
+  subquery wherever downstream models ``ref()`` it.
 
 Models are *data* (name → SQL text), so the engine can load them from a
 directory of ``.sql`` files exactly like dbt's ``models/`` tree.

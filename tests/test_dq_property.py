@@ -81,3 +81,19 @@ def test_random_configs_match_oracle(spark, cfg):
     df = DQEngine(spark).run(config, sf_dir=SF)
     res = compare(df, compile_oracle_sql(config), SF)
     assert res["match"], (config, res)
+
+
+def test_weekly_yaml_equals_dict_config(spark):
+    """The weekly customer YAML template (reference's second job shape,
+    full_table_scan) must produce the same results as the equivalent
+    dict config — YAML and dict paths are interchangeable."""
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        CUSTOMER_DQ_CONFIG,
+        load_job_config,
+    )
+
+    yaml_cfg = load_job_config("/root/repo/configs/dq_customer_weekly.yaml")
+    assert yaml_cfg["processing"]["full_table_scan"] is True
+    a = DQEngine(spark).run(yaml_cfg, sf_dir=SF)
+    b = DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=SF)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
