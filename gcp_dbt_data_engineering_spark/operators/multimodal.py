@@ -319,7 +319,13 @@ FROM imgs
 
 FEAT_DIM = 8
 
-_FEAT_SCHEMA = "asset_id bigint, n_bytes bigint, feat array<double>"
+# Flat scalar columns f0..f7 (not array<double>): the external correctness
+# driver canonicalizes results by sorting/hashing pandas columns, which
+# cannot hash ndarray cells — a top-level array column is unverifiable to
+# it even when the values match (the one red row in CORRECTNESS_r02).
+_FEAT_SCHEMA = "asset_id bigint, n_bytes bigint, " + ", ".join(
+    f"f{j} double" for j in range(FEAT_DIM)
+)
 
 
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,14 +333,16 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The feature-extract seam done for real (not stubbed): numpy over
     Arrow batches inside ``mapInPandas`` — ``frombuffer % FEAT_DIM``,
-    one bincount per payload, normalized to fractions. This is the
-    batch shape a real embedding model would use (payload bytes in,
+    one bincount per payload, normalized to fractions, emitted as
+    ``FEAT_DIM`` scalar double columns ``f0..f7``. This is the batch
+    shape a real embedding model would use (payload bytes in,
     fixed-dim float vector out); the oracle replays the histogram in
     SQL off the same bytes.
     """
     import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "n_bytes"] + [f"f{j}" for j in range(FEAT_DIM)]
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -343,26 +351,26 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if n == 0:  # oracle's WHERE length(text) > 0
                     continue
                 counts = np.bincount(b % FEAT_DIM, minlength=FEAT_DIM)
-                vec = [float(c) / float(n) for c in counts]
-                rows.append(
-                    {"asset_id": aid, "n_bytes": n, "feat": vec}
-                )
-            yield pd.DataFrame(rows, columns=["asset_id", "n_bytes", "feat"])
+                row = {"asset_id": aid, "n_bytes": n}
+                for j in range(FEAT_DIM):
+                    row[f"f{j}"] = float(counts[j]) / float(n)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return _assets(spark, sf_dir).mapInPandas(feats, schema=_FEAT_SCHEMA)
 
 
 def _oracle_byte_features() -> str:
-    dims = ", ".join(
+    dims = ",\n       ".join(
         "CAST(len(list_filter(string_split(text, ''),"
         f" c -> ord(c) % {FEAT_DIM} = {j})) AS DOUBLE)"
-        " / CAST(length(text) AS DOUBLE)"
+        f" / CAST(length(text) AS DOUBLE) AS f{j}"
         for j in range(FEAT_DIM)
     )
     return f"""
 SELECT doc_id AS asset_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       [{dims}] AS feat
+       {dims}
 FROM documents
 WHERE length(text) > 0
 """
