@@ -170,40 +170,71 @@ GROUP BY k
 # 2. n-gram Jaccard set-similarity join (exact)
 # ---------------------------------------------------------------------------
 
-JACCARD_T = 0.8
+# Threshold kept as an exact rational so prefix lengths use integer
+# arithmetic: ceil(0.8 * n) in floats rounds 4.0000000000000002 up and
+# silently SHORTENS the prefix (a recall bug); (4n + 4) DIV 5 cannot.
+JACCARD_T_NUM, JACCARD_T_DEN = 4, 5
+JACCARD_T = JACCARD_T_NUM / JACCARD_T_DEN
+
+
+def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
+    """Prefix-filtered candidate pairs (Bayardo et al., WWW'07; PPJoin).
+
+    For Jaccard >= t, any qualifying pair overlaps each member in
+    >= ceil(t*n) shingles, so under ONE global shingle order both docs
+    must share a shingle inside their first ``n - ceil(t*n) + 1``
+    shingles. Ordering globally by (document frequency, hash) puts
+    boilerplate shingles LAST, so a shingle appearing in f docs no
+    longer yields f^2/2 join rows — the hot-shingle skew bomb the naive
+    inverted-index join has — while recall stays exact: the prefix
+    filter only prunes pairs the threshold check would discard anyway.
+    """
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        sh.join(freq, "h")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(
+            F.expr(
+                f"rnk <= n - ({JACCARD_T_NUM} * n + {JACCARD_T_NUM})"
+                f" DIV {JACCARD_T_DEN} + 1"
+            )
+        )
+        .select("doc_id", "h")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "h")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with 3-word-shingle Jaccard >= 0.8, exactly.
 
-    Inverted-index self-join: explode distinct shingle hashes, equi-join
-    on the hash (the only fact-sized shuffle), count intersections,
-    then Jaccard from per-doc set sizes. At 100 TB add a document-
-    frequency cap on shingles (drop boilerplate n-grams) and the PPJoin
-    prefix filter; both prune candidates without changing the answer.
+    Two stages, both exact: (1) candidate generation through the PPJoin
+    prefix filter (:func:`_ppjoin_candidates`) — the equi-join runs only
+    over each doc's ~(1-t) rarest shingles, so document-frequency-hot
+    boilerplate shingles never enter the join; (2) exact-Jaccard
+    verification of the candidates over the FULL shingle sets
+    (:func:`_jaccard_pairs`). Identical output to the naive
+    inverted-index self-join (the oracle still runs the naive plan),
+    without its f^2 blow-up on a shingle appearing in f documents —
+    the difference between "works at sf0.1" and "works on a 100 TB
+    boilerplate-heavy crawl".
     """
     sh = _shingle_rows(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    # one row per (pair, shared shingle) -> counting them IS the
-    # intersection size; never materialize a pair list to re-join.
-    inter = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
-        .join(sz.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard",
-        )
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
+    return _jaccard_pairs(_ppjoin_candidates(sh), sh, JACCARD_T)
 
 
 ORACLE_NGRAM_JACCARD = f"""

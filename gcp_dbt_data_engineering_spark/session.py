@@ -62,6 +62,32 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def clear_caches(spark: SparkSession) -> int:
+    """Drop every per-session memo the engine hangs off the SparkSession.
+
+    The engine memoizes table handles and persisted shingle/pair
+    relations per (session, sf_dir) — correct while the underlying
+    parquet is immutable, stale the moment a corpus is rewritten in
+    place. Call this between corpus regenerations (the driver, tests,
+    or a long-lived notebook session). Persisted DataFrames are
+    unpersisted (non-blocking) before the memo dicts are dropped.
+    Returns the number of cache entries cleared.
+    """
+    cleared = 0
+    for attr, entries in list(spark.__dict__.items()):
+        if not attr.startswith("_graft_") or not attr.endswith("_cache"):
+            continue
+        for df in entries.values():
+            cleared += 1
+            try:
+                if getattr(df, "is_cached", False):
+                    df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped
+        del spark.__dict__[attr]
+    return cleared
+
+
 def get_spark(
     app_name: str = "gcp-dbt-data-engineering-spark",
     master: str | None = None,

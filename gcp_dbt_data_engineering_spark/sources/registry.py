@@ -177,6 +177,33 @@ def write_sink(
         writer.parquet(path)
 
 
+#: Byte-size suffixes per Spark's JavaUtils.byteStringAsBytes (binary
+#: powers; bare numbers are bytes).
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Parse a Spark byte-size conf value ('128m', '1g', '134217728b').
+
+    Stripping non-digits (the old behavior) read '128m' as 128 *bytes*,
+    inflating the split estimate ~10^6x and silently disabling
+    :func:`spread`'s repartition. Mirror Spark's suffix semantics
+    instead; raise on anything unrecognized so the caller falls back to
+    the RDD partition count rather than acting on garbage.
+    """
+    s = raw.strip().lower()
+    num = s.rstrip("kmgtpb")
+    mult = _BYTE_SUFFIX[s[len(num):]]
+    return int(num) * mult
+
+
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition when the source cannot be split.
 
@@ -200,7 +227,7 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
         raw = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728b"
         )
-        maxpb = int("".join(ch for ch in raw if ch.isdigit()))
+        maxpb = _parse_bytes(raw)
         est = sum(
             max(1, -(-os.path.getsize(f.removeprefix("file:")) // maxpb))
             for f in files

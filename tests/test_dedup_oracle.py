@@ -52,3 +52,75 @@ def test_embedding_near_dup_nonempty(spark):
     rows = SPECS["dedup_embedding_cosine"].spark(spark, SF).collect()
     assert all(r.vec_a < r.vec_b for r in rows)
     assert all(r.cosine >= 0.4 for r in rows)
+
+
+def test_ppjoin_prefix_defuses_hot_shingle(spark):
+    """A boilerplate shingle in 30% of docs must NOT explode the join.
+
+    Naive inverted-index candidate generation on this corpus yields
+    C(18,2) = 153 pairs from the hot shingle alone; the PPJoin prefix
+    (global order by document frequency) excludes it from every doc's
+    prefix, so candidate output is empty — and exact recall is intact,
+    because no pair here reaches Jaccard 0.8.
+    """
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        _ppjoin_candidates,
+    )
+
+    hot = 999
+    rows = [
+        (d, (d + 1) * 10**6 + j)  # 10 unique shingles per doc
+        for d in range(60)
+        for j in range(10)
+    ] + [(d, hot) for d in range(18)]  # hot shingle in 30% of docs
+    sh = spark.createDataFrame(rows, "doc_id int, h long")
+
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert naive == 18 * 17 // 2  # the skew bomb the prefix must defuse
+    assert _ppjoin_candidates(sh).count() == 0
+
+
+def test_ppjoin_matches_naive_join(spark):
+    """PPJoin-filtered output == naive inverted-index output (exact)."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        JACCARD_T,
+        SPECS,
+        _shingle_rows,
+    )
+
+    sh = _shingle_rows(spark, SF)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .join(sz.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .collect()
+    }
+    ppjoin = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in SPECS["dedup_ngram_jaccard"].spark(spark, SF).collect()
+    }
+    assert ppjoin == naive and len(naive) >= 10

@@ -26,3 +26,30 @@ def test_multi_file_source_left_alone(spark):
     # scan is already split; spread must be a no-op (no extra shuffle)
     assert spread(df) is df
     shutil.rmtree(ART, ignore_errors=True)
+
+
+def test_parse_bytes_suffixes():
+    from gcp_dbt_data_engineering_spark.sources.registry import _parse_bytes
+
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("64") == 64
+    import pytest
+
+    with pytest.raises(Exception):
+        _parse_bytes("128x")
+
+
+def test_clear_caches_unpersists(spark):
+    from gcp_dbt_data_engineering_spark.operators.dedup import _shingle_rows
+    from gcp_dbt_data_engineering_spark.session import clear_caches
+
+    sh = _shingle_rows(spark, "/root/testdata/sf0.001")
+    assert sh.is_cached
+    assert clear_caches(spark) >= 1
+    assert not sh.is_cached
+    assert "_graft_shingle_cache" not in spark.__dict__
+    # re-derivable after the clear
+    assert _shingle_rows(spark, "/root/testdata/sf0.001").count() > 0
