@@ -39,7 +39,7 @@ Reference semantic traps handled (SURVEY.md §7 risk register):
 from __future__ import annotations
 
 import os
-from typing import Any
+from typing import Any, Protocol
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -556,6 +556,11 @@ CUSTOMER_DQ_CONFIG: dict[str, Any] = {
         "max_failure_rate": 5.0,
         "critical_columns": ["c_custkey", "c_acctbal"],
     },
+    # example_templates.yaml:6-8 routing; synthetic recipients
+    "notifications": {
+        "on_failure": ["dq-oncall@corp.example"],
+        "on_warning": ["data-team@corp.example"],
+    },
 }
 
 EVENTS_DQ_CONFIG: dict[str, Any] = {
@@ -581,6 +586,7 @@ EVENTS_DQ_CONFIG: dict[str, Any] = {
         ],
     },
     "quality_thresholds": {"critical_columns": ["event_id", "user_id"]},
+    "notifications": {"on_failure": ["dq-oncall@corp.example"]},
 }
 
 
@@ -755,6 +761,65 @@ def route_notifications(
             }
         )
     return out
+
+
+class Sender(Protocol):
+    """Delivery transport for notification payloads.
+
+    The reference routes to email recipients
+    (``example_templates.yaml:6-8``); SMTP is environment-bound, so the
+    transport is a one-method protocol: production plugs an SMTP/chat
+    sender, the sandbox uses :class:`LogSender` / :class:`FileSender`.
+    """
+
+    def send(self, payload: dict[str, Any]) -> None: ...
+
+
+class LogSender:
+    """Deliver via stdlib logging (WARNING for failures, INFO else)."""
+
+    def __init__(self, logger: Any | None = None):
+        import logging
+
+        self.log = logger or logging.getLogger("gcp_dbt_data_engineering_spark.dq")
+        self.sent: list[dict[str, Any]] = []
+
+    def send(self, payload: dict[str, Any]) -> None:
+        import json
+
+        level = (
+            self.log.warning
+            if payload.get("level") == "failure"
+            else self.log.info
+        )
+        level("dq-notification %s", json.dumps(payload, sort_keys=True))
+        self.sent.append(payload)
+
+
+class FileSender:
+    """Append payloads to a JSONL audit file (the durable sandbox sink)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def send(self, payload: dict[str, Any]) -> None:
+        import json
+
+        with open(self.path, "a") as f:
+            f.write(json.dumps(payload, sort_keys=True) + "\n")
+
+
+def deliver_notifications(
+    results_rows: list, config: dict[str, Any], sender: Sender
+) -> list[dict[str, Any]]:
+    """Route verdicts (:func:`route_notifications`) and push each
+    payload through ``sender`` — the end-to-end ``on_failure`` /
+    ``on_warning`` path the reference configures. Returns the payloads
+    actually sent."""
+    payloads = route_notifications(results_rows, config)
+    for p in payloads:
+        sender.send(p)
+    return payloads
 
 
 def load_job_config(path: str) -> dict[str, Any]:

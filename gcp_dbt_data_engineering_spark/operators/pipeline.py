@@ -144,42 +144,57 @@ def contamination_external_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus overlap against an EXTERNAL benchmark phrase set.
 
     The production decontamination shape (vs the in-corpus variant
-    ``contamination_ngram_check``): the benchmark suite is tiny and
-    external, so its shingle hashes become a broadcast literal set and
-    the corpus side never shuffles — one scan, map-side semi-filter,
-    one per-source rollup. Per source: documents hit, total hits, hit
-    rate. At 100 TB this plan is scan-bound, which is the point.
+    ``contamination_ngram_check``): the benchmark suite is small
+    relative to the corpus, so its shingle hashes become a BROADCAST
+    relation and the corpus side joins map-side — one scan, a
+    BroadcastHashJoin that only contaminated (doc, shingle) rows
+    survive, then two source-keyed rollups over row counts. Nothing
+    about the plan depends on benchmark cardinality (an earlier
+    version inlined the hashes as a SQL literal array, which works for
+    a fixture but makes plan size linear in the benchmark — a real
+    decontamination suite has millions of n-grams). Per source:
+    documents hit, total distinct-shingle hits, hit rate. In
+    production the phrase relation is a versioned table read via
+    ``load_source``; here it is built from the fixture tuple.
     """
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     phrases = spark.createDataFrame(
         [(p,) for p in BENCH_PHRASES], "phrase string"
     )
-    bench = [
-        r.h
-        for r in phrases.selectExpr(
-            f"explode({th.shingle_hashes('phrase', CONTAM_N, 'spark')}) AS h"
-        ).collect()
-    ]
-    hits_expr = (
-        f"size(array_intersect({th.shingle_hashes('text', CONTAM_N, 'spark')},"
-        f" array({', '.join(f'CAST({h} AS BIGINT)' for h in sorted(bench))})))"
+    bench = phrases.selectExpr(
+        f"explode({th.shingle_hashes('phrase', CONTAM_N, 'spark')}) AS h"
+    ).distinct()
+    # array_distinct BEFORE the explode dedups shingles within a doc on
+    # the map side (matching array_intersect's distinct semantics), so
+    # post-join `count(*)` is sum-of-k and `count(distinct doc_id)` is
+    # docs-hit — both aggregations see only contaminated rows.
+    sh = docs.selectExpr(
+        "doc_id",
+        "source",
+        "explode(array_distinct("
+        f"{th.shingle_hashes('text', CONTAM_N, 'spark')})) AS h",
     )
-    return (
-        docs.selectExpr("source", f"{hits_expr} AS k")
+    hit_agg = (
+        sh.join(F.broadcast(bench), "h")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("k") > 0).cast("bigint")).alias("docs_contaminated"),
-            F.sum("k").alias("ngram_hits"),
+            F.countDistinct("doc_id").alias("docs_contaminated"),
+            F.count(F.lit(1)).alias("ngram_hits"),
         )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(hit_agg, "source", "left")
         .select(
             "source",
             "n_docs",
-            "docs_contaminated",
-            "ngram_hits",
+            F.coalesce("docs_contaminated", F.lit(0)).alias(
+                "docs_contaminated"
+            ),
+            F.coalesce("ngram_hits", F.lit(0)).alias("ngram_hits"),
             (
-                F.col("docs_contaminated").cast("double")
+                F.coalesce("docs_contaminated", F.lit(0)).cast("double")
                 / F.col("n_docs").cast("double")
             ).alias("doc_hit_rate"),
         )

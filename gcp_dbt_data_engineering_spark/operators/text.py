@@ -615,9 +615,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: a float SUM's partial-aggregation order is
     nondeterministic under parallelism, so each per-token ln() is cast
-    to DECIMAL(28,12) BEFORE summing — rounding per term is
+    to DECIMAL(28,9) BEFORE summing — rounding per term is
     deterministic, the decimal sum is exact and order-free, and the
-    final divide is one double op (spec.py rules).
+    final divide is one double op (spec.py rules). Scale 9 (not 12)
+    leaves ~0.5e-9 of slack to each rounding boundary, so a last-ulp
+    (~1e-16) libm difference between the JVM's ln and DuckDB's cannot
+    realistically straddle one; residual risk is a term landing within
+    1e-16 of a boundary, ~2e-7 per term.
 
     Scale posture: one vocab aggregate (shuffle on token), one
     fact-to-vocab join (shuffle on token; at 100 TB the vocab side is
@@ -635,7 +639,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             f"CAST(ln(CAST(n_w AS DOUBLE) / CAST({total} AS DOUBLE))"
-            " AS DECIMAL(28,12)) AS lp",
+            " AS DECIMAL(28,9)) AS lp",
         )
         .groupBy("doc_id")
         .agg(
@@ -660,10 +664,10 @@ scored AS (
   SELECT doc_id,
          CAST(ln(CAST(n_w AS DOUBLE)
                  / CAST({total_expr} AS DOUBLE))
-              AS DECIMAL(28,12)) AS lp
+              AS DECIMAL(28,9)) AS lp
   FROM tok JOIN vocab USING (w))
 SELECT doc_id, COUNT(*) AS n_tokens,
-       CAST(CAST(SUM(lp) AS DECIMAL(38,12)) AS DOUBLE)
+       CAST(CAST(SUM(lp) AS DECIMAL(38,9)) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
 FROM scored
 GROUP BY doc_id

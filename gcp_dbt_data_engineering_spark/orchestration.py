@@ -95,15 +95,25 @@ class LocalScheduler:
         return out
 
 
-def daily_pipeline(sf_dir: str) -> list[JobSpec]:
+def daily_pipeline(sf_dir: str, sender: Any | None = None) -> list[JobSpec]:
     """The reference's daily ordering: profiling before DQ, DQ jobs
-    fan out per table config (orchestrate.md:311-323 schedules)."""
+    fan out per table config (orchestrate.md:311-323 schedules), then
+    a notification job delivers ``on_failure``/``on_warning`` payloads
+    through ``sender`` (``example_templates.yaml:6-8``; defaults to
+    :class:`~.operators.dq.LogSender` — production swaps in SMTP)."""
     from .operators.dq import (
         CUSTOMER_DQ_CONFIG,
         EVENTS_DQ_CONFIG,
         DQEngine,
+        LogSender,
+        apply_thresholds,
+        deliver_notifications,
     )
     from .operators.profile import PROFILE_TABLES, SimpleDataProfiler
+
+    if sender is None:
+        sender = LogSender()
+    dq_results: dict[str, Any] = {}
 
     def profiling(spark):
         p = SimpleDataProfiler(spark)
@@ -112,10 +122,21 @@ def daily_pipeline(sf_dir: str) -> list[JobSpec]:
         )
 
     def dq_customer(spark):
-        return DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=sf_dir)
+        df = DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=sf_dir)
+        dq_results["dq_customer"] = (df, CUSTOMER_DQ_CONFIG)
+        return df
 
     def dq_events(spark):
-        return DQEngine(spark).run(EVENTS_DQ_CONFIG, sf_dir=sf_dir)
+        df = DQEngine(spark).run(EVENTS_DQ_CONFIG, sf_dir=sf_dir)
+        dq_results["dq_events"] = (df, EVENTS_DQ_CONFIG)
+        return df
+
+    def notify(spark):
+        sent = []
+        for df, cfg in dq_results.values():
+            rows = [r.asDict() for r in apply_thresholds(df, cfg).collect()]
+            sent.extend(deliver_notifications(rows, cfg, sender))
+        return sent
 
     return [
         JobSpec("data_profiling", profiling, schedule="0 7 * * *"),
@@ -126,5 +147,9 @@ def daily_pipeline(sf_dir: str) -> list[JobSpec]:
         JobSpec(
             "dq_events", dq_events, schedule="0 9 * * *",
             depends_on=["data_profiling"],
+        ),
+        JobSpec(
+            "dq_notify", notify, schedule="0 10 * * *",
+            depends_on=["dq_customer", "dq_events"],
         ),
     ]

@@ -215,11 +215,23 @@ class ModelGraph:
                 # double-close the prior version on the next run. Keep
                 # only the latest updated_at per key (window, one
                 # shuffle on the key — same key the joins below shuffle
-                # on anyway).
+                # on anyway). Ties on (key, updated_at) with DIFFERENT
+                # payloads would otherwise pick an arbitrary survivor
+                # (dbt errors on such batches); a stable hash of the
+                # remaining columns makes the survivor deterministic
+                # across runs and partitionings.
                 from pyspark.sql.window import Window as _W
 
+                _payload = [c for c in df.columns if c not in (key, updated)]
                 _rn = SF.row_number().over(
-                    _W.partitionBy(key).orderBy(SF.col(updated).desc())
+                    _W.partitionBy(key).orderBy(
+                        SF.col(updated).desc(),
+                        *(
+                            [SF.xxhash64(*_payload).desc()]
+                            if _payload
+                            else []
+                        ),
+                    )
                 )
                 df = (
                     df.withColumn("__rn", _rn)

@@ -93,3 +93,30 @@ def test_thresholds_and_notifications(spark):
         assert "failure" in levels
     for p in payloads:
         assert p["recipients"] and p["tests"]
+
+
+def test_notification_delivery_end_to_end(spark, tmp_path):
+    """A failing DQ check must produce a delivered failure payload
+    through the pipeline's notify job — both the in-memory LogSender
+    and the durable FileSender paths."""
+    import json
+
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        FileSender,
+        LogSender,
+    )
+
+    sender = LogSender()
+    res = LocalScheduler(daily_pipeline(SF, sender=sender)).run(spark=spark)
+    assert res["dq_notify"].status == "SUCCESS"
+    # customer config plants a by-design failing format check
+    assert any(p["level"] == "failure" for p in sender.sent)
+    assert all(p["recipients"] for p in sender.sent)
+    assert res["dq_notify"].result == sender.sent
+
+    path = str(tmp_path / "notifications.jsonl")
+    fs = FileSender(path)
+    for p in sender.sent:
+        fs.send(p)
+    lines = [json.loads(x) for x in open(path)]
+    assert lines == sender.sent

@@ -221,3 +221,24 @@ def test_fecha_slice_is_partition_pruned(spark):
     plan = _plan(events_fecha_partitioned_slice(spark, SF))
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "fecha" in seg and "2024-01-15" in seg
+
+
+def test_contamination_bench_is_broadcast_not_literal(spark):
+    """Benchmark membership must be a broadcast relation, not SQL text.
+
+    A literal-array membership makes plan size linear in benchmark
+    cardinality (millions of n-grams in a real decontamination suite);
+    the broadcast-join plan is constant-size and map-side.
+    """
+    from unittest import mock
+
+    from gcp_dbt_data_engineering_spark.operators import pipeline as pl
+
+    df = pl.contamination_external_bench(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    big = tuple(f"benchmark phrase row {i} pads out x" for i in range(60))
+    with mock.patch.object(pl, "BENCH_PHRASES", pl.BENCH_PHRASES + big):
+        plan_big = _plan(pl.contamination_external_bench(spark, SF))
+    # 10x the benchmark must not grow the compiled plan text
+    assert len(plan_big) < len(plan) * 1.5
