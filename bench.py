@@ -1,19 +1,36 @@
 """Round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line ending with the contract keys {"metric", "value", "unit",
+"sf"} plus audit totals; the full per-query Spark AND DuckDB table is
+also written to BENCH_detail.json at the repo root (the driver's BENCH
+artifact keeps only a tail of stdout, so the committed file is the
+auditable record — VERDICT r2 item 3).
 
-Each query is timed as plan-build + execution + collect on a warm
-session (one trivial action first so JVM/codegen startup isn't billed
-to the first query). Set BENCH_DUCKDB=1 to also time the DuckDB oracle
-per query (comparison column for BASELINE.md; not part of the JSON
-contract line).
+Methodology:
+- each query is timed as plan-build + execution + collect on a warm
+  session (one trivial action first so JVM/codegen startup isn't
+  billed to the first query); min over BENCH_PASSES full passes (not
+  consecutive reruns: this sandbox shows rare 30-70 s whole-JVM freeze
+  episodes; runs a full pass apart don't share an episode).
+- the DuckDB oracle of every SQL-expressible spec is timed the same
+  way (min over 2 passes) unless BENCH_DUCKDB=0.
+- specs are split by QuerySpec.kind: "materialization" specs rebuild
+  warehouse tables in multi-batch parquet writes + swaps, so their
+  wall-clock is a pipeline/write benchmark — comparing it to the
+  oracle's one-shot SELECT is an apples-to-oranges 100x; the JSON
+  reports the two sections separately and the headline ratio covers
+  the read-only query section.
+- the local-mode scheduling floor (driver job submit + stage
+  round-trips + collect hop, paid per query, amortized to noise on a
+  real cluster) is estimated as the median wall-clock of a trivial
+  1-row spark.sql round-trip and reported as floor_per_query_s.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,57 +48,134 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="bench")
-    qs = entrymod.queries()
+    specs = entrymod._all_specs()
 
     # warmup: touch the fact table so file listing + codegen paths are hot
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # min over PASSES (not consecutive reruns): this sandbox shows rare
-    # 30-70s whole-JVM freeze episodes; consecutive runs share an episode,
-    # runs a full pass apart don't. 3 passes ≈ steady-state per query.
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-    for p in range(passes):
-        for name in sorted(qs):
+    for _ in range(passes):
+        for name in sorted(specs):
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
+            df = specs[name].spark(spark, sf_dir)
             counts[name] = len(df.collect())
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 4)
-    for name in sorted(timings):
-        print(
-            f"# {name}: {timings[name]:.3f}s ({counts[name]} rows)",
-            file=sys.stderr,
-        )
 
-    if os.environ.get("BENCH_DUCKDB"):
+    # scheduling-floor estimate: a query that does no work still pays
+    # plan analysis + job submit + collect (the local-mode constant)
+    floor_samples = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        spark.sql("SELECT 1 AS x").collect()
+        floor_samples.append(time.perf_counter() - t0)
+    floor = round(statistics.median(floor_samples), 4)
+
+    duck: dict[str, float] = {}
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
         import duckdb
 
         from gcp_dbt_data_engineering_spark.sources import TABLES, table_path
 
-        oracles = entrymod.oracle_sql()
         con = duckdb.connect()
         for t in TABLES:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf_dir, t)}')"
             )
-        for name in sorted(oracles):
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            print(
-                f"# duckdb {name}: {time.perf_counter() - t0:.3f}s",
-                file=sys.stderr,
-            )
+        for _ in range(2):
+            for name, spec in sorted(specs.items()):
+                if spec.oracle is None:
+                    continue
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                dt = time.perf_counter() - t0
+                duck[name] = round(min(duck.get(name, dt), dt), 4)
 
-    total = round(sum(timings.values()), 4)
+    mat = {n for n, s in specs.items() if s.kind == "materialization"}
+    q_total = round(sum(v for n, v in timings.items() if n not in mat), 4)
+    m_total = round(sum(v for n, v in timings.items() if n in mat), 4)
+    dq_total = round(sum(v for n, v in duck.items() if n not in mat), 4)
+    dm_total = round(sum(v for n, v in duck.items() if n in mat), 4)
+    total = round(q_total + m_total, 4)
+
+    detail = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
+        "floor_per_query_s": floor,
+        "sections": {
+            "queries": {
+                "n": len(timings) - len(mat & set(timings)),
+                "spark_s": q_total,
+                "duckdb_s": dq_total,
+                "ratio": round(q_total / dq_total, 2) if dq_total else None,
+                "ratio_minus_floor": (
+                    round(
+                        max(q_total - floor * (len(timings) - len(mat)), 0)
+                        / dq_total,
+                        2,
+                    )
+                    if dq_total
+                    else None
+                ),
+            },
+            "materializations": {
+                "n": len(mat & set(timings)),
+                "spark_s": m_total,
+                "duckdb_equiv_select_s": dm_total,
+                "note": "multi-batch rebuild pipelines (parquet writes + "
+                "swaps) timed against one-shot SELECT oracles; "
+                "write benchmarks, not query benchmarks",
+            },
+        },
+        "per_query": {
+            name: {
+                "spark_s": timings[name],
+                "duckdb_s": duck.get(name),
+                "ratio": (
+                    round(timings[name] / duck[name], 2)
+                    if duck.get(name)
+                    else None
+                ),
+                "rows": counts[name],
+                "kind": specs[name].kind,
+            }
+            for name in sorted(timings)
+        },
+    }
+    with open(os.path.join(REPO, "BENCH_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    for name in sorted(timings):
+        d = duck.get(name)
+        print(
+            f"# {name}: spark {timings[name]:.3f}s"
+            + (f" duckdb {d:.3f}s ratio {timings[name] / d:.1f}x" if d else "")
+            + f" ({counts[name]} rows)",
+            file=sys.stderr,
+        )
+
+    # ONE JSON line; summary keys LAST so they survive tail-truncation
+    # of the driver's BENCH artifact
     print(
         json.dumps(
             {
+                "queries": timings,
+                "queries_duckdb": duck,
+                "floor_per_query_s": floor,
+                "spark_queries_s": q_total,
+                "duckdb_queries_s": dq_total,
+                "ratio_queries": (
+                    round(q_total / dq_total, 2) if dq_total else None
+                ),
+                "spark_materializations_s": m_total,
+                "n_materializations": len(mat & set(timings)),
+                "detail_file": "BENCH_detail.json",
                 "metric": f"wall_clock_{len(timings)}_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -483,10 +483,16 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``text_quality_score`` they form the full heuristic gate a
     pretraining pipeline runs before model-based scoring.
 
-    Scale posture: three aggregations, all keyed on ``doc_id`` — the
-    explode fan-out (ngrams-per-doc) shuffles once and reduces
-    immediately to one row per doc; no cross-document state. Ratios
-    are single int/int double divisions — bit-stable in both engines.
+    Scale posture: ONE explode + one two-level aggregation. Unigrams
+    and bigrams ride the same explode (a unigram is ``[a-z0-9]+`` so it
+    can never contain the space that marks a bigram), and every base
+    stat falls out of the gram counts themselves: n_words = sum of
+    unigram counts, n_distinct = count of distinct unigrams,
+    total_chars = sum(count x token length). That replaces the previous
+    three aggregation passes (base scan + unigram topk + bigram topk)
+    and two wide joins with one shuffle pair keyed on (doc, gram) ->
+    doc. Ratios are single int/int double divisions — bit-stable in
+    both engines.
     """
     # spread: the fixture parquet is one row group -> one scan split;
     # without the round-robin repartition every downstream ngram fold
@@ -495,38 +501,45 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.selectExpr(
         "doc_id", f"{th.words('text', 'spark')} AS ws"
     )
-    base = per.selectExpr(
-        "doc_id",
-        "size(ws) AS n_words",
-        "size(array_distinct(ws)) AS n_distinct",
-        "aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))"
-        " AS total_chars",
-    )
-    tok = per.select("doc_id", F.explode("ws").alias("w"))
-    topw = (
-        tok.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("top_word_n"))
-    )
     # zip_with over two slices, NOT transform(sequence, i -> ws[i]):
     # a non-literal array subscript falls off the codegen fast path and
     # costs ~12x on long token arrays.
-    big = per.selectExpr(
+    grams = per.selectExpr(
         "doc_id",
-        "CASE WHEN size(ws) >= 2 THEN zip_with("
+        "explode(concat(ws, CASE WHEN size(ws) >= 2 THEN zip_with("
         "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
-        " (a, b) -> concat(a, ' ', b)) ELSE array() END AS bs",
-    ).select("doc_id", F.explode("bs").alias("b"))
-    topb = (
-        big.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("top_bigram_n"))
+        " (a, b) -> concat(a, ' ', b)) ELSE array() END)) AS g",
     )
+    stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("is_uni", ~F.col("g").contains(" "))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_uni"), F.col("n"))).alias("uni_n"),
+            F.count(F.when(F.col("is_uni"), F.lit(1))).alias("uni_d"),
+            F.sum(
+                F.when(F.col("is_uni"), F.col("n") * F.length("g"))
+            ).alias("uni_chars"),
+            F.max(F.when(F.col("is_uni"), F.col("n"))).alias("top_word_n"),
+            F.max(F.when(~F.col("is_uni"), F.col("n"))).alias(
+                "top_bigram_n"
+            ),
+        )
+    )
+    # zero-word docs emit no grams; restore them via a left join from
+    # the (tiny, column-pruned) id projection
     return (
-        base.join(topw, "doc_id", "left")
-        .join(topb, "doc_id", "left")
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(uni_n, 0) AS INT) AS n_words",
+            "CAST(COALESCE(uni_d, 0) AS INT) AS n_distinct",
+            "COALESCE(uni_chars, CAST(0 AS BIGINT)) AS total_chars",
+            "top_word_n",
+            "top_bigram_n",
+        )
         .selectExpr(
             "doc_id",
             "n_words",

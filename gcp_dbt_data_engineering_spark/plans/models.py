@@ -641,24 +641,29 @@ SPECS: dict[str, QuerySpec] = {
     "dbt_example_models": QuerySpec(
         "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
         "reference example models ported verbatim (table + view + ref DAG)",
+        kind="materialization",
     ),
     "dbt_schema_tests": QuerySpec(
         "dbt_schema_tests", dbt_schema_tests, ORACLE_SCHEMA_TESTS,
         "schema.yml unique/not_null tests; model 1 fails not_null by design",
+        kind="materialization",
     ),
     "model_pipeline_segment_summary": QuerySpec(
         "model_pipeline_segment_summary", model_pipeline_segment_summary,
         ORACLE_MODEL_PIPELINE,
         "raw→staging→fact→mart ref() DAG over driver tables",
+        kind="materialization",
     ),
     "model_incremental_daily_revenue": QuerySpec(
         "model_incremental_daily_revenue", model_incremental_daily_revenue,
         ORACLE_INCREMENTAL,
         "incremental partition-overwrite materialization in 4 sliced runs",
+        kind="materialization",
     ),
     "model_merge_customer_state": QuerySpec(
         "model_merge_customer_state", model_merge_customer_state,
         ORACLE_MERGE,
         "merge (unique_key upsert) materialization in 4 keyed batches",
+        kind="materialization",
     ),
 }

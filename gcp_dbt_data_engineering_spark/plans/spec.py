@@ -35,6 +35,12 @@ class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    #: "query" (read-only plan) or "materialization" (the callable
+    #: REBUILDS warehouse tables — multi-batch parquet writes + swaps —
+    #: so its wall-clock is a write/pipeline benchmark, not comparable
+    #: to the oracle's one-shot SELECT; bench.py reports the two kinds
+    #: in separate sections)
+    kind: str = "query"
 
 
 def money_sum(expr: Column, name: str) -> Column:
