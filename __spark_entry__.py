@@ -67,6 +67,7 @@ def _all_specs() -> dict[str, QuerySpec]:
         "gcp_dbt_data_engineering_spark.operators.text",
         "gcp_dbt_data_engineering_spark.operators.multimodal",
         "gcp_dbt_data_engineering_spark.operators.pipeline",
+        "gcp_dbt_data_engineering_spark.operators.sketch",
         "gcp_dbt_data_engineering_spark.plans.models",
         "gcp_dbt_data_engineering_spark.plans.windows",
         "gcp_dbt_data_engineering_spark.plans.stats",

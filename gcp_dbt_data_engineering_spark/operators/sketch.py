@@ -1,0 +1,447 @@
+"""Distributed probabilistic sketches with bit-exact cross-engine math.
+
+Sketches are the scale path for "how many distinct / roughly how often /
+probably seen before" questions: their partial states are tiny and
+MERGEABLE (max per register, bit-or per word, sum per counter), so at
+100 TB each executor folds its partition into a few KB of state and the
+shuffle carries sketch states, not rows. These four are the standard
+kit a training-data pipeline runs continuously (cardinality tracking,
+membership pre-filters before expensive joins, heavy-hitter detection):
+
+- ``sketch_hll_distinct_users``  — HyperLogLog register build + raw
+  estimator (Flajolet et al. 2007).
+- ``sketch_bloom_customer_filter`` — Bloom filter build over one
+  relation, probe of another, with the realized false-positive set.
+- ``sketch_countmin_heavy_users`` — count-min sketch (Cormode &
+  Muthukrishnan 2005) vs true counts for the top keys.
+- ``sketch_kmv_distinct_users`` — k-minimum-values (theta-sketch
+  ancestor) distinct-count estimate.
+
+Engine-stable math contract (the driver hash-compares against DuckDB):
+
+- Hashing is 31-bit modular arithmetic (``(x*A + B) mod P``,
+  P = 2^31-1): products stay < 2^62, so no BIGINT overflow in either
+  engine (DuckDB errors on overflow; Spark ANSI too).
+- Register ranks use ``length(bin(x))`` — both engines' ``bin()``
+  returns the minimal binary string (verified: bin(0)='0',
+  bin(170)='10101010') — never floor(log2(x)) whose libm path can be
+  off-by-one at exact powers of two.
+- The HLL harmonic sum is kept in INTEGERS: Z·2^24 = Σ 2^(24-M_j)
+  (a BIGINT ≤ 2^32), because DuckDB's double→DECIMAL(38,30) cast is
+  imprecise (observed: 2^-24 → …0626185216e-8, not the exact
+  …0625e-8), so high-scale decimal sums of doubles are NOT a portable
+  exactness trick. One final double division is deterministic IEEE.
+- No libm transcendentals anywhere (the textbook small/large-range
+  corrections need ln() — libm-dependent — so the spec reports the RAW
+  estimator plus the empty-bucket count a production wrapper would
+  feed into the correction).
+
+Reference parity: the reference repo has no sketch surface (its DQ
+design counts exactly — /root/reference/tests/dq_sql_notes.md); these
+are [EXT] operators for the 100 TB pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.spec import QuerySpec
+from ..sources import load_table
+
+#: 31-bit Mersenne prime — all hash arithmetic is mod P
+P = 2_147_483_647
+#: LCG-style mixing constants (Numerical Recipes / old-glibc pairs);
+#: any fixed odd multipliers work, these are spelled identically in
+#: both engines' SQL
+A1, B1 = 1_103_515_245, 12_345
+A2, B2 = 69_069, 1
+
+
+def _h1(x: str) -> str:
+    return f"(((({x}) % {P}) * {A1} + {B1}) % {P})"
+
+
+def _h2(x: str) -> str:
+    return f"(((({x}) % {P}) * {A2} + {B2}) % {P})"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: m=256 registers over events.user_id
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # buckets (b=8 bucket bits, 23 rank bits)
+
+#: alpha_m * m^2 * 2^24 precomputed in Python and inlined in %.17e
+#: exponent notation: BOTH engines parse exponent literals as DOUBLE,
+#: whereas plain decimal literals (0.7213, 256.0) parse as DECIMAL in
+#: DuckDB and the decimal-vs-double arithmetic diverges past 1 ulp
+#: (observed: 359.89171882390184 vs 359.8917174799724)
+HLL_PREFACTOR = (
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 16777216.0
+)
+_HLL_PF = f"{HLL_PREFACTOR:.17e}"
+
+
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register build + raw estimate of distinct ``user_id``.
+
+    Plan: one hash-aggregate to (bucket → max rank) — 256 rows of
+    partial state regardless of input size (the mergeable-sketch
+    property: partials combine by max) — then a 256-row broadcast-range
+    left join to materialize empty buckets, and a single-row final agg.
+    The integer harmonic sum Σ 2^(24-M_j) feeds one double division;
+    ``true_distinct`` rides along from an exact count-distinct for
+    error inspection (drop it at 100 TB — it is the expensive half).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h1("user_id")
+    regs = (
+        ev.selectExpr(f"{h} AS h")
+        .selectExpr(
+            f"h % {HLL_M} AS bucket",
+            # 23-bit remainder; rank = leading zeros + 1 = 24 - bitlen
+            f"CAST(h / {HLL_M} AS BIGINT) AS rem",
+        )
+        .selectExpr(
+            "bucket",
+            "CASE WHEN rem = 0 THEN 24 ELSE 24 - length(bin(rem)) + 1 END"
+            " AS rank",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    buckets = spark.range(HLL_M).selectExpr("CAST(id AS BIGINT) AS bucket")
+    filled = buckets.join(F.broadcast(regs), "bucket", "left").selectExpr(
+        "bucket", "COALESCE(m_j, 0) AS m_j"
+    )
+    true_d = ev.selectExpr("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("true_distinct")
+    )
+    return (
+        filled.agg(
+            F.expr("SUM(shiftleft(CAST(1 AS BIGINT), 24 - m_j))").alias(
+                "z_scaled"
+            ),
+            F.expr("SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END)").alias(
+                "n_empty_buckets"
+            ),
+            F.expr("MAX(m_j)").alias("max_rank"),
+        )
+        .join(F.broadcast(true_d))
+        .selectExpr(
+            f"CAST({HLL_M} AS BIGINT) AS m",
+            "n_empty_buckets",
+            "max_rank",
+            f"{_HLL_PF} / CAST(z_scaled AS DOUBLE) AS hll_estimate",
+            "true_distinct",
+        )
+    )
+
+
+ORACLE_HLL = f"""
+WITH hashed AS (
+  SELECT {_h1('user_id')} AS h FROM events),
+ranks AS (
+  SELECT h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN 24
+              ELSE 24 - length(bin(h // {HLL_M})) + 1 END AS rank
+  FROM hashed),
+regs AS (
+  SELECT bucket, MAX(rank) AS m_j FROM ranks GROUP BY bucket),
+filled AS (
+  SELECT g.bucket, COALESCE(regs.m_j, 0) AS m_j
+  FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range({HLL_M})) g
+  LEFT JOIN regs ON g.bucket = regs.bucket),
+agg AS (
+  SELECT SUM(1::BIGINT << (24 - m_j)) AS z_scaled,
+         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty_buckets,
+         CAST(MAX(m_j) AS INTEGER) AS max_rank
+  FROM filled)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       n_empty_buckets,
+       max_rank,
+       {_HLL_PF} / CAST(z_scaled AS DOUBLE) AS hll_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS true_distinct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build over orders.o_custkey, probe every customer
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096   # m
+BLOOM_K = 3         # hash functions: (h1 + i*h2) mod m
+BLOOM_WORD = 32     # bits per BIGINT word (32 keeps shifts overflow-free)
+
+
+def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership of customers in the orders key set.
+
+    Build: distinct order custkeys → k=3 bit positions each → one
+    bit-or aggregate into 128 32-bit words (the filter is 512 bytes of
+    mergeable state — at 100 TB each executor ors its partition's
+    words and the reduce is trivial). Probe: every customer key checks
+    its 3 bits against the BROADCAST filter; ``false_positive`` marks
+    keys the filter admits that have no orders (the sketch's one-sided
+    error — no false negatives, asserted implicitly by the oracle
+    match). This is the standard pre-join filter: at scale you probe
+    before shuffling the big side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        return df.selectExpr(
+            key,
+            f"{_h1(key)} AS h1",
+            f"{_h2(key)} AS h2",
+        ).selectExpr(
+            key,
+            f"explode(array({', '.join(f'(h1 + {i} * h2) % {BLOOM_BITS}' for i in range(BLOOM_K))})) AS pos",
+        )
+    words = (
+        positions(orders.select("o_custkey").distinct(), "o_custkey")
+        .selectExpr(
+            f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            " AS bit",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    actual = orders.selectExpr("o_custkey AS a_key").distinct()
+    probe = (
+        positions(cust.select("c_custkey"), "c_custkey")
+        .selectExpr(
+            "c_custkey",
+            f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
+            f"CAST(pos % {BLOOM_WORD} AS INT) AS bit_idx",
+        )
+        .join(F.broadcast(words), "word", "left")
+        .selectExpr(
+            "c_custkey",
+            "COALESCE((bits div shiftleft(CAST(1 AS BIGINT), bit_idx)) % 2,"
+            " 0) = 1 AS bit_set",
+        )
+        .groupBy("c_custkey")
+        .agg(F.expr("bool_and(bit_set)").alias("bloom_member"))
+    )
+    return (
+        probe.join(
+            F.broadcast(actual),
+            probe.c_custkey == F.col("a_key"),
+            "left",
+        )
+        .selectExpr(
+            "c_custkey",
+            "bloom_member",
+            "a_key IS NOT NULL AS actual_member",
+            "bloom_member AND a_key IS NULL AS false_positive",
+        )
+    )
+
+
+ORACLE_BLOOM = f"""
+WITH okeys AS (SELECT DISTINCT o_custkey FROM orders),
+build_pos AS (
+  SELECT DISTINCT
+         (({_h1('o_custkey')}) + i * ({_h2('o_custkey')})) % {BLOOM_BITS}
+           AS pos
+  FROM okeys, (SELECT range AS i FROM range({BLOOM_K})) ks),
+words AS (
+  SELECT pos // {BLOOM_WORD} AS word,
+         bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD} AS INT)) AS bits
+  FROM build_pos GROUP BY 1),
+probe_pos AS (
+  SELECT c_custkey,
+         (({_h1('c_custkey')}) + i * ({_h2('c_custkey')})) % {BLOOM_BITS}
+           AS pos
+  FROM customer, (SELECT range AS i FROM range({BLOOM_K})) ks),
+probe AS (
+  SELECT c_custkey,
+         bool_and(COALESCE((bits // (1::BIGINT << CAST(pos % {BLOOM_WORD}
+           AS INT))) % 2, 0) = 1) AS bloom_member
+  FROM probe_pos
+  LEFT JOIN words ON pos // {BLOOM_WORD} = word
+  GROUP BY c_custkey)
+SELECT p.c_custkey,
+       p.bloom_member,
+       o.o_custkey IS NOT NULL AS actual_member,
+       p.bloom_member AND o.o_custkey IS NULL AS false_positive
+FROM probe p LEFT JOIN okeys o ON p.c_custkey = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: d=3 rows x w=512 counters over events.user_id
+# ---------------------------------------------------------------------------
+
+CM_W = 512
+CM_D = 3
+#: per-row hash constants (row i uses (x*A + B_i) style independence)
+CM_AB = ((1_103_515_245, 12_345), (69_069, 1), (1_664_525, 1_013_904_223))
+CM_TOP = 20
+
+
+def _cm_col(row: int, x: str) -> str:
+    a, b = CM_AB[row]
+    return f"(((({x}) % {P}) * {a} + {b}) % {P}) % {CM_W}"
+
+
+def sketch_countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs true counts for the top-k event users.
+
+    Build: one pass explodes each event into its d=3 (row, col) cells
+    and sums — 1536 counters of mergeable state. Estimate: each probed
+    key reads its d cells and takes the min (overcount-only error).
+    The probed set is the true top-20 (count desc, user_id asc) so the
+    oracle is deterministic; ``overcount`` exposes collision error.
+    At 100 TB the counter build is one map-side-combined aggregation;
+    probes are a broadcast join against the 1536-row counter table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.selectExpr(
+        "user_id",
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({r} AS INT) AS row, CAST({_cm_col(r, 'user_id')} AS BIGINT) AS col)"
+            for r in range(CM_D)
+        )
+        + ")) AS cell",
+    ).selectExpr("cell.row AS row", "cell.col AS col")
+    counters = cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(CM_TOP)
+    )
+    probes = top.selectExpr(
+        "user_id",
+        "true_n",
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({r} AS INT) AS row, CAST({_cm_col(r, 'user_id')} AS BIGINT) AS col)"
+            for r in range(CM_D)
+        )
+        + ")) AS cell",
+    ).selectExpr("user_id", "true_n", "cell.row AS row", "cell.col AS col")
+    return (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").alias("cm_n"))
+        .selectExpr(
+            "user_id", "true_n", "cm_n", "cm_n - true_n AS overcount"
+        )
+    )
+
+
+def _oracle_cm() -> str:
+    cell_rows = " UNION ALL ".join(
+        f"SELECT user_id, {r} AS row, {_cm_col(r, 'user_id')} AS col"
+        " FROM events"
+        for r in range(CM_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, true_n, {r} AS row,"
+        f" {_cm_col(r, 'user_id')} AS col FROM top"
+        for r in range(CM_D)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+counters AS (
+  SELECT row, col, COUNT(*) AS n FROM cells GROUP BY row, col),
+top AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+  ORDER BY true_n DESC, user_id ASC LIMIT {CM_TOP}),
+probes AS ({probe_rows})
+SELECT p.user_id, p.true_n, MIN(c.n) AS cm_n, MIN(c.n) - p.true_n AS overcount
+FROM probes p JOIN counters c ON p.row = c.row AND p.col = c.col
+GROUP BY p.user_id, p.true_n
+"""
+
+
+ORACLE_CM = _oracle_cm()
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct estimate over events.user_id
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate: keep the k smallest distinct hash
+    values; estimate = (k-1) / (kth_min / P) — the hash-space fraction
+    the k minima occupy.
+
+    Plan: distinct-hash aggregate, then a global top-k (ORDER BY hash
+    LIMIT k) — Spark executes that as per-partition partial top-k +
+    driver merge (TakeOrderedAndProject), i.e. each partition ships at
+    most k values: mergeable state, no full sort. One final single-row
+    agg computes the estimate; ``true_distinct`` rides along for error
+    inspection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h1("user_id")
+    mins = (
+        ev.selectExpr(f"{h} AS h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    true_d = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("true_distinct")
+    )
+    return (
+        mins.agg(F.max("h").alias("kth_hash"))
+        .join(F.broadcast(true_d))
+        .selectExpr(
+            f"CAST({KMV_K} AS BIGINT) AS k",
+            "kth_hash",
+            f"({KMV_K}.0 - 1.0) / (CAST(kth_hash AS DOUBLE) / {P}.0)"
+            " AS kmv_estimate",
+            "true_distinct",
+        )
+    )
+
+
+ORACLE_KMV = f"""
+WITH mins AS (
+  SELECT DISTINCT {_h1('user_id')} AS h FROM events
+  ORDER BY h LIMIT {KMV_K})
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       MAX(h) AS kth_hash,
+       ({KMV_K}.0 - 1.0) / (CAST(MAX(h) AS DOUBLE) / {P}.0)
+         AS kmv_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS true_distinct
+FROM mins
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "sketch_hll_distinct_users": QuerySpec(
+        "sketch_hll_distinct_users", sketch_hll_distinct_users, ORACLE_HLL,
+        "HyperLogLog m=256 register build + raw estimator, integer-exact",
+    ),
+    "sketch_bloom_customer_filter": QuerySpec(
+        "sketch_bloom_customer_filter", sketch_bloom_customer_filter,
+        ORACLE_BLOOM,
+        "Bloom build over order keys, probe all customers, realized FPs",
+    ),
+    "sketch_countmin_heavy_users": QuerySpec(
+        "sketch_countmin_heavy_users", sketch_countmin_heavy_users,
+        ORACLE_CM,
+        "count-min d=3 w=512 vs true counts for top-20 users",
+    ),
+    "sketch_kmv_distinct_users": QuerySpec(
+        "sketch_kmv_distinct_users", sketch_kmv_distinct_users, ORACLE_KMV,
+        "k-minimum-values distinct estimate, k=64",
+    ),
+}

@@ -393,10 +393,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF.
 
     tf = in-doc term count; idf = ln(N / df) with df counted over
-    distinct (doc, term); rank by (score desc, term asc) — the score
-    is a deterministic function of (tf, df, N), so identical integer
-    inputs give bit-identical doubles in both engines and the ranking
-    is total.
+    distinct (doc, term); rank by (score desc, term asc).
+
+    Determinism: ln() is libm-dependent — the JVM and DuckDB disagree
+    by 1 ulp on some inputs (observed at sf0.01: 1.2938536447868043 vs
+    ...804), so the raw double score is NOT engine-stable. Each score
+    is therefore rounded through DECIMAL(28,9) identically on both
+    sides — same contract as ``text_unigram_logprob`` — and the
+    ROUNDED value drives both the output column and the ranking (ties
+    broken by term asc), keeping rank and value consistent across
+    engines. A double's exact decimal expansion can never end at a
+    scale-9 midpoint (5e-10 is not dyadic), so the rounding itself is
+    mode-independent; residual risk is a 1-ulp pair straddling a 1e-9
+    boundary (~3e-7 per value).
 
     Scale posture: two shuffles (term counts by (doc,term), document
     frequency by term) + one window partitioned by doc_id. The corpus
@@ -417,8 +426,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n))
         .withColumn(
             "tfidf",
-            F.col("tf")
-            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("decimal(28,9)")
+            .cast("double"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -440,8 +453,9 @@ dfreq AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT doc_id, term, tf, df,
-         tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df)
-           AS tfidf
+         CAST(CAST(
+           tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df)
+         AS DECIMAL(28,9)) AS DOUBLE) AS tfidf
   FROM tf JOIN dfreq USING (term))
 SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
