@@ -83,21 +83,18 @@ HLL_PREFACTOR = (
 _HLL_PF = f"{HLL_PREFACTOR:.17e}"
 
 
-def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL register build + raw estimate of distinct ``user_id``.
+def hll_registers(df: DataFrame, key: str) -> DataFrame:
+    """(bucket → max rank) HLL register state for ``df[key]``.
 
-    Plan: one hash-aggregate to (bucket → max rank) — 256 rows of
-    partial state regardless of input size (the mergeable-sketch
-    property: partials combine by max) — then a 256-row broadcast-range
-    left join to materialize empty buckets, and a single-row final agg.
-    The integer harmonic sum Σ 2^(24-M_j) feeds one double division;
-    ``true_distinct`` rides along from an exact count-distinct for
-    error inspection (drop it at 100 TB — it is the expensive half).
+    Works identically over a batch DataFrame and a streaming one (max
+    is a supported streaming aggregate; with complete output mode the
+    register table is exactly the batch one — asserted in
+    tests/test_streaming.py). This mergeability is the whole sketch
+    contract: partial register tables combine by per-bucket max.
     """
-    ev = load_table(spark, sf_dir, "events")
-    h = _h1("user_id")
-    regs = (
-        ev.selectExpr(f"{h} AS h")
+    h = _h1(key)
+    return (
+        df.selectExpr(f"{h} AS h")
         .selectExpr(
             f"h % {HLL_M} AS bucket",
             # 23-bit remainder; rank = leading zeros + 1 = 24 - bitlen
@@ -111,6 +108,21 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("m_j"))
     )
+
+
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register build + raw estimate of distinct ``user_id``.
+
+    Plan: one hash-aggregate to (bucket → max rank) — 256 rows of
+    partial state regardless of input size (the mergeable-sketch
+    property: partials combine by max) — then a 256-row broadcast-range
+    left join to materialize empty buckets, and a single-row final agg.
+    The integer harmonic sum Σ 2^(24-M_j) feeds one double division;
+    ``true_distinct`` rides along from an exact count-distinct for
+    error inspection (drop it at 100 TB — it is the expensive half).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id")
     buckets = spark.range(HLL_M).selectExpr("CAST(id AS BIGINT) AS bucket")
     filled = buckets.join(F.broadcast(regs), "bucket", "left").selectExpr(
         "bucket", "COALESCE(m_j, 0) AS m_j"

@@ -118,7 +118,12 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or max(8, n_cpus // 4)),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode packs driver + all 32 executor threads + every
+        # persisted relation into ONE JVM; at 8g the block manager was
+        # evicting persisted shingle/pair relations mid-bench (specs
+        # measured 2-3x their isolated wall-clock). The sandbox has
+        # 128 GiB; on a real cluster this is a per-role deploy setting.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -585,6 +585,34 @@ def run_dq_stream(
     return spark.read.parquet(results_path)
 
 
+def run_hll_register_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "hll_stream"
+) -> DataFrame:
+    """HLL register build as a Structured Stream.
+
+    The register table (bucket → max rank, ``operators/sketch.py``) is
+    a pure max-aggregate, so it streams without a watermark in
+    complete output mode: each trigger's state IS the sketch, and
+    merging micro-batches is the same per-bucket max that merges
+    executors' partials. This is how a 100 TB pipeline keeps a live
+    cardinality estimate of an event firehose — O(m) state, no
+    per-key bookkeeping. Stream == batch equality is asserted in
+    tests/test_streaming.py.
+    """
+    from ..operators.sketch import hll_registers
+
+    regs = hll_registers(_event_stream(spark, sf_dir), "user_id")
+    query = (
+        regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (

@@ -175,3 +175,27 @@ def test_watermark_dedup_equals_batch(spark):
     }
     assert stream_keys == batch_keys
     assert len(batch_keys) > 5000
+
+
+def test_hll_register_stream_equals_batch(spark):
+    """Streaming HLL register table == batch register table: the
+    sketch's mergeable-state property, end to end through a
+    complete-mode stream."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import hll_registers
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_hll_register_stream,
+    )
+
+    stream = {
+        (r.bucket, r.m_j)
+        for r in run_hll_register_stream(spark, SF, query_name="t_hll")
+        .collect()
+    }
+    batch = {
+        (r.bucket, r.m_j)
+        for r in hll_registers(load_table(spark, SF, "events"), "user_id")
+        .collect()
+    }
+    assert stream == batch
+    assert len(batch) > 100
