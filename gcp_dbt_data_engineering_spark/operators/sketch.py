@@ -180,6 +180,134 @@ FROM agg
 """
 
 
+def sketch_hll_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE: per-source registers combined into the union.
+
+    Splits events into two disjoint sources (user_id parity — stands in
+    for per-datacenter / per-day partial sketches), builds both
+    register tables in ONE grouped pass, then derives the union's
+    sketch purely from the partial REGISTERS (per-bucket max — no
+    rescan of the data). That register-merge step is the whole point of
+    sketches at 100 TB: daily/per-shard partials are a few KB each and
+    any union (day range, shard set) is answerable without touching the
+    rows again. Output: one row per source plus the merge, each with
+    its raw estimate and the exact distinct count for error inspection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h1("user_id")
+    per_src = (
+        ev.selectExpr(
+            "CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src",
+            f"{h} AS h",
+        )
+        .selectExpr(
+            "src",
+            f"h % {HLL_M} AS bucket",
+            f"CAST(h / {HLL_M} AS BIGINT) AS rem",
+        )
+        .selectExpr(
+            "src",
+            "bucket",
+            "CASE WHEN rem = 0 THEN 24 ELSE 24 - length(bin(rem)) + 1 END"
+            " AS rank",
+        )
+        .groupBy("src", "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    merged = (
+        per_src.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .selectExpr("'merged' AS src", "bucket", "m_j")
+    )
+    regs = per_src.unionByName(merged)
+    buckets = spark.range(HLL_M).selectExpr(
+        "CAST(id AS BIGINT) AS bucket"
+    ).crossJoin(
+        spark.createDataFrame(
+            [("even",), ("odd",), ("merged",)], "src string"
+        )
+    )
+    filled = buckets.join(F.broadcast(regs), ["src", "bucket"], "left")
+    ests = (
+        filled.selectExpr("src", "bucket", "COALESCE(m_j, 0) AS m_j")
+        .groupBy("src")
+        .agg(
+            F.expr("SUM(shiftleft(CAST(1 AS BIGINT), 24 - m_j))").alias(
+                "z_scaled"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_empty_buckets"),
+        )
+    )
+    true_d = (
+        ev.selectExpr(
+            "CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src",
+            "user_id",
+        )
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("true_distinct"))
+    )
+    true_all = (
+        ev.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("true_distinct"))
+        .selectExpr("'merged' AS src", "true_distinct")
+    )
+    return (
+        ests.join(F.broadcast(true_d.unionByName(true_all)), "src")
+        .selectExpr(
+            "src",
+            "n_empty_buckets",
+            f"{_HLL_PF} / CAST(z_scaled AS DOUBLE) AS hll_estimate",
+            "true_distinct",
+        )
+    )
+
+
+ORACLE_HLL_MERGE = f"""
+WITH tagged AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src,
+         user_id, {_h1('user_id')} AS h
+  FROM events),
+ranks AS (
+  SELECT src, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN 24
+              ELSE 24 - length(bin(h // {HLL_M})) + 1 END AS rank
+  FROM tagged),
+per_src AS (
+  SELECT src, bucket, MAX(rank) AS m_j FROM ranks GROUP BY src, bucket),
+regs AS (
+  SELECT * FROM per_src
+  UNION ALL
+  SELECT 'merged' AS src, bucket, MAX(m_j) AS m_j
+  FROM per_src GROUP BY bucket),
+buckets AS (
+  SELECT s.src, CAST(g.range AS BIGINT) AS bucket
+  FROM range({HLL_M}) g,
+       (SELECT 'even' AS src UNION ALL SELECT 'odd'
+        UNION ALL SELECT 'merged') s),
+ests AS (
+  SELECT b.src,
+         SUM(1::BIGINT << (24 - COALESCE(m_j, 0))) AS z_scaled,
+         CAST(SUM(CASE WHEN COALESCE(m_j, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_empty_buckets
+  FROM buckets b
+  LEFT JOIN regs r ON b.src = r.src AND b.bucket = r.bucket
+  GROUP BY b.src),
+trued AS (
+  SELECT src, COUNT(DISTINCT user_id) AS true_distinct
+  FROM tagged GROUP BY src
+  UNION ALL
+  SELECT 'merged', COUNT(DISTINCT user_id) FROM events)
+SELECT e.src, e.n_empty_buckets,
+       {_HLL_PF} / CAST(e.z_scaled AS DOUBLE) AS hll_estimate,
+       t.true_distinct
+FROM ests e JOIN trued t ON e.src = t.src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: build over orders.o_custkey, probe every customer
 # ---------------------------------------------------------------------------
@@ -441,6 +569,11 @@ SPECS: dict[str, QuerySpec] = {
     "sketch_hll_distinct_users": QuerySpec(
         "sketch_hll_distinct_users", sketch_hll_distinct_users, ORACLE_HLL,
         "HyperLogLog m=256 register build + raw estimator, integer-exact",
+    ),
+    "sketch_hll_merge_sources": QuerySpec(
+        "sketch_hll_merge_sources", sketch_hll_merge_sources,
+        ORACLE_HLL_MERGE,
+        "per-source HLL registers merged by bucket-max into the union",
     ),
     "sketch_bloom_customer_filter": QuerySpec(
         "sketch_bloom_customer_filter", sketch_bloom_customer_filter,

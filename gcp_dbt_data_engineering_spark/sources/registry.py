@@ -93,7 +93,10 @@ def table_path(sf_dir: str, name: str) -> str:
 
 #: Fact tables below this size stay on the raw single file; above it a
 #: one-row-group file would serialize every scan's decode on one core.
-STAGE_MIN_BYTES = 1_000_000
+#: 400 KB catches documents/embeddings at sf0.1 — their staged layout
+#: also lets spread() skip its repartition shuffle in every corpus
+#: operator (measured: unigram-logprob 0.92->0.50 s, minhash 0.82->0.69).
+STAGE_MIN_BYTES = 400_000
 STAGE_DIR = "/root/repo/.artifacts/staged"
 
 
