@@ -431,6 +431,25 @@ def _cm_col(row: int, x: str) -> str:
     return f"(((({x}) % {P}) * {a} + {b}) % {P}) % {CM_W}"
 
 
+def cm_cells(df: DataFrame, key: str) -> DataFrame:
+    """Explode each row of ``df`` into its d (row, col) count-min cells.
+
+    Shared by the batch spec and the streaming counter build
+    (streaming/events.py::run_countmin_stream) — counting these cells
+    IS the sketch, and counts merge across partials/micro-batches by
+    plain summation.
+    """
+    return df.selectExpr(
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({r} AS INT) AS row,"
+            f" CAST({_cm_col(r, key)} AS BIGINT) AS col)"
+            for r in range(CM_D)
+        )
+        + ")) AS cell",
+    ).selectExpr("cell.row AS row", "cell.col AS col")
+
+
 def sketch_countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min estimates vs true counts for the top-k event users.
 
@@ -443,16 +462,7 @@ def sketch_countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes are a broadcast join against the 1536-row counter table.
     """
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.selectExpr(
-        "user_id",
-        "explode(array("
-        + ", ".join(
-            f"struct(CAST({r} AS INT) AS row, CAST({_cm_col(r, 'user_id')} AS BIGINT) AS col)"
-            for r in range(CM_D)
-        )
-        + ")) AS cell",
-    ).selectExpr("cell.row AS row", "cell.col AS col")
-    counters = cells.groupBy("row", "col").agg(
+    counters = cm_cells(ev, "user_id").groupBy("row", "col").agg(
         F.count(F.lit(1)).alias("n")
     )
     top = (

@@ -613,6 +613,36 @@ def run_hll_register_stream(
     return spark.table(query_name)
 
 
+def run_countmin_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "cm_stream"
+) -> DataFrame:
+    """Count-min counter build as a Structured Stream.
+
+    The d×w counter table (``operators/sketch.py``) is a pure count
+    aggregate over exploded (row, col) cells, so it streams in complete
+    output mode; counters merge across micro-batches by the same sum
+    that merges executors' partials. Together with the HLL register
+    stream this covers the two sketch-merge algebras (max, sum) under
+    streaming state. Stream == batch asserted in tests/test_streaming.py.
+    """
+    from ..operators.sketch import cm_cells
+
+    counters = (
+        cm_cells(_event_stream(spark, sf_dir), "user_id")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    query = (
+        counters.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (

@@ -199,3 +199,30 @@ def test_hll_register_stream_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 100
+
+
+def test_countmin_stream_equals_batch(spark):
+    """Streaming count-min counter table == batch counter table: the
+    sum-merge sketch algebra under streaming state (HLL covers the
+    max-merge algebra)."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.sketch import cm_cells
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_countmin_stream,
+    )
+
+    stream = {
+        (r.row, r.col, r.n)
+        for r in run_countmin_stream(spark, SF, query_name="t_cm").collect()
+    }
+    batch = {
+        (r.row, r.col, r.n)
+        for r in cm_cells(load_table(spark, SF, "events"), "user_id")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream == batch
+    assert len(batch) > 300
