@@ -205,6 +205,93 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# z-order (Morton) clustering: multi-dimensional locality for file skipping
+# ---------------------------------------------------------------------------
+
+ZBITS = 16
+
+
+def _z_expr(x: str, y: str) -> str:
+    """Morton interleave of two ZBITS-bit ints — identical SQL text in
+    both engines (``>> << &`` are common operators); 32 additive terms,
+    all exact integer arithmetic."""
+    terms = []
+    for i in range(ZBITS):
+        # every term fully parenthesized: SQL gives + higher precedence
+        # than <<, so an unwrapped `a << 2 + b` parses as a << (2 + b)
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+#: dims: user_id (low 16 bits) x minute-of-day — the two columns an
+#: event-analytics workload filters together (who + when)
+_ZX = "CAST(user_id & 65535 AS BIGINT)"
+_ZY = "CAST(CAST(hour(ts) AS BIGINT) * 60 + CAST(minute(ts) AS BIGINT) AS BIGINT)"
+
+
+def _zorder_events(spark: SparkSession, sf_dir: str) -> str:
+    path = f"{ART}/events_zorder_{_sf_tag(sf_dir).replace('.', '_')}"
+    if not _have(path):
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "*", f"{_z_expr(_ZX, _ZY)} AS z"
+        )
+        # range-partition + sort on z = Delta's OPTIMIZE ZORDER BY:
+        # each output file covers a compact z-range, hence a bounded
+        # rectangle in (user, minute) space, so per-file min/max stats
+        # prune on BOTH dimensions at scan time.
+        ev.repartitionByRange(8, F.col("z")).sortWithinPartitions(
+            "z"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-cell locality stats off the z-ordered layout.
+
+    Materializes the Morton-clustered events layout once per corpus,
+    then reports, per coarse z cell (z >> 14: a 128x128 (user, minute) box), the row count and
+    the (user, minute) bounding box — the quantity file-skipping
+    actually uses: a z-range scan touches only cells whose box
+    intersects the predicate on EITHER dimension. The oracle computes
+    identical stats from the raw table (layout changes cost, never
+    values). At 100 TB this is the difference between scanning a
+    day-user slice and scanning the table: min/max stats per file on
+    both dims, no second sort key needed.
+    """
+    path = _zorder_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.selectExpr(
+            "z >> 14 AS z_cell",
+            f"{_ZX} AS ux",
+            f"{_ZY} AS minute_of_day",
+        )
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ux").alias("user_lo"),
+            F.max("ux").alias("user_hi"),
+            F.min("minute_of_day").alias("minute_lo"),
+            F.max("minute_of_day").alias("minute_hi"),
+        )
+    )
+
+
+ORACLE_ZORDER = f"""
+WITH z AS (
+  SELECT {_z_expr(_ZX, _ZY)} AS z,
+         {_ZX} AS ux, {_ZY} AS minute_of_day
+  FROM events)
+SELECT z >> 14 AS z_cell,
+       COUNT(*) AS n_events,
+       MIN(ux) AS user_lo, MAX(ux) AS user_hi,
+       MIN(minute_of_day) AS minute_lo, MAX(minute_of_day) AS minute_hi
+FROM z GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -216,5 +303,9 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("events_fecha_partitioned_slice",
                   events_fecha_partitioned_slice, ORACLE_FECHA_SLICE,
                   "partition-pruned daily slice over hive layout"),
+        QuerySpec("events_zorder_locality", events_zorder_locality,
+                  ORACLE_ZORDER,
+                  "Morton-clustered layout: per-cell (user, minute) "
+                  "bounding boxes, the file-skipping quantity"),
     ]
 }
