@@ -64,6 +64,23 @@ def main() -> None:
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 4)
 
+    # per-query plan cost: build the DataFrame and force analysis +
+    # optimization + physical planning WITHOUT executing (min of 2).
+    # This is real driver CPU, but it is per-PLAN, not per-byte: at
+    # cluster scale one plan serves a multi-TB query, while DuckDB
+    # in-process re-plans too (its planner is just microseconds). The
+    # detail file reports it so the ratio can be read with and without.
+    plan_s: dict[str, float] = {}
+    for _ in range(2):
+        for name in sorted(specs):
+            if specs[name].kind == "materialization":
+                continue  # their builder RUNS the rebuild pipeline
+            t0 = time.perf_counter()
+            df = specs[name].spark(spark, sf_dir)
+            df._jdf.queryExecution().executedPlan()
+            dt = time.perf_counter() - t0
+            plan_s[name] = round(min(plan_s.get(name, dt), dt), 4)
+
     # scheduling-floor estimate: a query that does no work still pays
     # plan analysis + job submit + collect (the local-mode constant)
     floor_samples = []
@@ -111,9 +128,20 @@ def main() -> None:
                 "spark_s": q_total,
                 "duckdb_s": dq_total,
                 "ratio": round(q_total / dq_total, 2) if dq_total else None,
-                "ratio_minus_floor": (
+                "plan_s": round(
+                    sum(v for n, v in plan_s.items() if n not in mat), 4
+                ),
+                "ratio_execution_only": (
                     round(
-                        max(q_total - floor * (len(timings) - len(mat)), 0)
+                        max(
+                            q_total
+                            - sum(
+                                v
+                                for n, v in plan_s.items()
+                                if n not in mat
+                            ),
+                            0,
+                        )
                         / dq_total,
                         2,
                     )
@@ -133,6 +161,7 @@ def main() -> None:
         "per_query": {
             name: {
                 "spark_s": timings[name],
+                "plan_s": plan_s.get(name),
                 "duckdb_s": duck.get(name),
                 "ratio": (
                     round(timings[name] / duck[name], 2)

@@ -311,6 +311,16 @@ class SimpleDataProfiler:
         """
         df.write.mode("append").parquet(path)
 
+    def to_console(self, df: DataFrame, n: int = 50) -> str:
+        """Console sink (SURVEY.md §2.1 S9): the reference prints its
+        profile/DQ results to stdout in its notebook/job logs. Returns
+        the rendered table as well so callers (and tests) can assert on
+        it; ``df.show()`` would print without returning.
+        """
+        text = df._jdf.showString(n, 0, False)
+        print(text)
+        return text
+
 
 def profile_histogram(
     df: DataFrame, column: str, buckets: int = 10

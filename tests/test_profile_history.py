@@ -42,3 +42,12 @@ def test_sample_size_caps_profiled_rows(spark):
     p = SimpleDataProfiler(spark, settings={"sample_size": 10})
     rows = p.profile_multiple_tables(["customer"], SF).collect()
     assert all(r.total_count == 10 for r in rows)
+
+
+def test_console_sink_renders_profile(spark, capsys):
+    p = SimpleDataProfiler(spark)
+    df = p.profile_multiple_tables(["region"], SF)
+    text = p.to_console(df)
+    out = capsys.readouterr().out
+    assert "column_name" in text and "r_name" in text
+    assert "r_name" in out  # actually printed, not just returned
