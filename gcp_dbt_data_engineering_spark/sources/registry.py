@@ -101,7 +101,7 @@ STAGE_DIR = "/root/repo/.artifacts/staged"
 
 
 def _stage_if_unsplittable(
-    spark: SparkSession, path: str, name: str
+    spark: SparkSession, path: str, name: str, sf_dir: str
 ) -> str:
     """Return a readable path whose parquet layout splits across cores.
 
@@ -132,7 +132,8 @@ def _stage_if_unsplittable(
             return path  # already splittable; read the raw file
     except Exception:
         return path
-    tag = f"{name}-{st.st_mtime_ns}-{st.st_size}"
+    sftag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    tag = f"{name}@{sftag}-{st.st_mtime_ns}-{st.st_size}"
     staged = os.path.join(STAGE_DIR, tag)
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         n = min(16, spark.sparkContext.defaultParallelism)
@@ -146,6 +147,18 @@ def _stage_if_unsplittable(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+        # prune layouts staged from older versions of THIS (table, sf)
+        # source (mtime/size key changed => the corpus was regenerated);
+        # other scale factors' layouts are distinct prefixes and live on
+        import shutil
+
+        for d in os.listdir(STAGE_DIR):
+            if (
+                d.startswith(f"{name}@{sftag}-")
+                and d != tag
+                and ".tmp-" not in d
+            ):
+                shutil.rmtree(os.path.join(STAGE_DIR, d), ignore_errors=True)
     return staged
 
 
@@ -165,7 +178,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     df = cache.get(path)
     if df is None:
-        df = spark.read.parquet(_stage_if_unsplittable(spark, path, name))
+        df = spark.read.parquet(
+            _stage_if_unsplittable(spark, path, name, sf_dir)
+        )
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # nanos → micros with integer division, then NTZ timestamp.
             # Session TZ is UTC (session.RUNTIME_CONF) so LTZ→NTZ is
