@@ -681,6 +681,92 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram conditional log-probability per document.
+
+    The conditional upgrade of ``text_unigram_logprob``: each document
+    scores mean ln P(w_i | w_{i-1}) under the corpus's own bigram LM
+    with add-one smoothing — P(b|a) = (c(a,b) + 1) / (c(a) + V), all
+    integer counts, so the only float op per term is one ln over a
+    ratio of exact integers, rounded through DECIMAL(28,9) exactly as
+    the unigram spec (same libm-margin analysis). Repetitive or
+    templated text scores HIGH (its transitions are common), noisy
+    text LOW — combined with the unigram score this is the classic
+    cheap perplexity-proxy pair run before real LM scoring.
+
+    Scale posture: one bigram-count aggregate (shuffle on the pair),
+    one unigram-count aggregate, then fact-to-counts joins (pair join
+    is the big one; Zipf-heavy heads → AQE skew join at 100 TB) and a
+    per-doc rollup. Docs with <2 words have no bigrams and are absent
+    in both engines alike.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = docs.selectExpr("doc_id", f"{th.words('text', 'spark')} AS ws")
+    bi = per.selectExpr(
+        "doc_id",
+        "explode(CASE WHEN size(ws) >= 2 THEN zip_with("
+        "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> struct(a AS a, b AS b)) ELSE array() END) AS p",
+    ).selectExpr("doc_id", "p.a AS a", "p.b AS b")
+    tok = per.select("doc_id", F.explode("ws").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+    pair = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    vocab_v = tok.select("w").distinct().count()  # scalar V literal
+    scored = (
+        bi.join(pair, ["a", "b"])
+        .join(uni, F.col("a") == F.col("w"))
+        .selectExpr(
+            "doc_id",
+            f"CAST(ln(CAST(c_ab + 1 AS DOUBLE)"
+            f" / CAST(c_a + {vocab_v} AS DOUBLE))"
+            " AS DECIMAL(28,9)) AS lp",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("lp_sum"),
+        )
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "n_bigrams",
+        "CAST(lp_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)"
+        " AS avg_bigram_logprob",
+    )
+
+
+ORACLE_BIGRAM = f"""
+WITH per AS (
+  SELECT doc_id, {th.words('text', 'duck')} AS ws FROM documents),
+bi AS (
+  SELECT doc_id, unnest(bs).a AS a, unnest(bs).b AS b
+  FROM (SELECT doc_id,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(generate_series(2, len(ws)),
+                                i -> {{'a': ws[i - 1], 'b': ws[i]}})
+               ELSE [] END AS bs
+        FROM per)),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM per),
+uni AS (
+  SELECT w, COUNT(*) AS c_a FROM tok GROUP BY w),
+pair AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+scored AS (
+  SELECT doc_id,
+         CAST(ln(CAST(c_ab + 1 AS DOUBLE)
+                 / CAST(c_a + (SELECT COUNT(DISTINCT w) FROM tok)
+                        AS DOUBLE))
+              AS DECIMAL(28,9)) AS lp
+  FROM bi JOIN pair USING (a, b) JOIN uni ON bi.a = uni.w)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(CAST(SUM(lp) AS DECIMAL(38,9)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def _oracle_unigram(total_expr: str = "(SELECT COUNT(*) FROM tok)") -> str:
     return f"""
 WITH tok AS (
@@ -710,6 +796,10 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec(
             "text_unigram_logprob", text_unigram_logprob, ORACLE_UNIGRAM,
             "mean unigram ln-prob per doc (perplexity-proxy quality)",
+        ),
+        QuerySpec(
+            "text_bigram_logprob", text_bigram_logprob, ORACLE_BIGRAM,
+            "mean add-one-smoothed bigram conditional ln-prob per doc",
         ),
         QuerySpec(
             "text_gopher_repetition", text_gopher_repetition, ORACLE_GOPHER,
