@@ -317,6 +317,42 @@ BLOOM_K = 3         # hash functions: (h1 + i*h2) mod m
 BLOOM_WORD = 32     # bits per BIGINT word (32 keeps shifts overflow-free)
 
 
+def bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    """k bit positions per key — the Bloom filter's hash fan-out."""
+    return df.selectExpr(
+        key,
+        f"{_h1(key)} AS h1",
+        f"{_h2(key)} AS h2",
+    ).selectExpr(
+        key,
+        "explode(array("
+        + ", ".join(
+            f"(h1 + {i} * h2) % {BLOOM_BITS}" for i in range(BLOOM_K)
+        )
+        + ")) AS pos",
+    )
+
+
+def bloom_words(df: DataFrame, key: str) -> DataFrame:
+    """(word → or-ed bits) Bloom state for distinct ``df[key]``.
+
+    Mergeable by per-word ``bit_or`` — two filters built from disjoint
+    key sets OR together into exactly the filter of the union
+    (asserted in tests/test_sketch_merge.py), which is how per-shard /
+    per-day filters combine at 100 TB without touching rows again.
+    """
+    return (
+        bloom_positions(df.select(key).distinct(), key)
+        .selectExpr(
+            f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            " AS bit",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
 def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership of customers in the orders key set.
 
@@ -332,29 +368,10 @@ def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-
-    def positions(df: DataFrame, key: str) -> DataFrame:
-        return df.selectExpr(
-            key,
-            f"{_h1(key)} AS h1",
-            f"{_h2(key)} AS h2",
-        ).selectExpr(
-            key,
-            f"explode(array({', '.join(f'(h1 + {i} * h2) % {BLOOM_BITS}' for i in range(BLOOM_K))})) AS pos",
-        )
-    words = (
-        positions(orders.select("o_custkey").distinct(), "o_custkey")
-        .selectExpr(
-            f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
-            " AS bit",
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
-    )
+    words = bloom_words(orders, "o_custkey")
     actual = orders.selectExpr("o_custkey AS a_key").distinct()
     probe = (
-        positions(cust.select("c_custkey"), "c_custkey")
+        bloom_positions(cust.select("c_custkey"), "c_custkey")
         .selectExpr(
             "c_custkey",
             f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",

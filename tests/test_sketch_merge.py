@@ -1,0 +1,64 @@
+"""Sketch mergeability: partial states built on disjoint splits must
+combine into exactly the full-data state — the property that makes
+sketches the 100 TB path (per-shard/per-day partials merge without
+rescanning rows). Streaming twins assert the same for micro-batch
+merges (test_streaming.py); here the split is by key parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_dbt_data_engineering_spark.operators.sketch import (
+    bloom_words,
+    cm_cells,
+    hll_registers,
+)
+from gcp_dbt_data_engineering_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _halves(spark):
+    ev = load_table(spark, SF, "events")
+    return ev.filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1"), ev
+
+
+def test_hll_registers_merge_by_max(spark):
+    even, odd, full = _halves(spark)
+    a = {r.bucket: r.m_j for r in hll_registers(even, "user_id").collect()}
+    b = {r.bucket: r.m_j for r in hll_registers(odd, "user_id").collect()}
+    merged = {
+        k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
+    }
+    f = {r.bucket: r.m_j for r in hll_registers(full, "user_id").collect()}
+    assert merged == f
+
+
+def test_countmin_counters_merge_by_sum(spark):
+    even, odd, full = _halves(spark)
+
+    def counters(df):
+        return {
+            (r.row, r.col): r.n
+            for r in cm_cells(df, "user_id")
+            .groupBy("row", "col")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    a, b, f = counters(even), counters(odd), counters(full)
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == f
+
+
+def test_bloom_words_merge_by_bit_or(spark):
+    orders = load_table(spark, SF, "orders")
+    even = orders.filter("o_custkey % 2 = 0")
+    odd = orders.filter("o_custkey % 2 = 1")
+
+    def words(df):
+        return {r.word: r.bits for r in bloom_words(df, "o_custkey").collect()}
+
+    a, b = words(even), words(odd)
+    merged = {k: a.get(k, 0) | b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == words(orders)
