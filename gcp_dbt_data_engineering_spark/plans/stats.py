@@ -471,12 +471,99 @@ GROUP BY o_orderpriority, decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit check (fraud/entry-error screening over
+# money columns — the classic forensic DQ test for financial data)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: expected P(first digit = d) = log10(1 + 1/d), precomputed in Python
+#: and inlined as %.17e literals so NEITHER engine evaluates log10 in
+#: SQL (libm-dependent); 17 significant digits round-trip a double
+#: exactly, so both engines parse the identical value.
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of ``o_totalprice`` vs
+    Benford's law, with the per-digit chi-square contribution.
+
+    Real invoice/price populations spanning several orders of
+    magnitude follow Benford closely; fabricated or truncated data
+    does not — the per-digit deviation is the auditor's screening
+    statistic. (TPC-H prices are uniform-ish, so deviations here are
+    EXPECTED and large; the spec tests the machinery, not the data's
+    honesty.) The digit comes from integer/string ops (floor → cast →
+    first char), never log10; expected frequencies are inlined
+    literals, so every float op is a deterministic function of integer
+    counts in both engines.
+
+    Scale posture: one projection + one 9-group aggregate with
+    map-side partials; the observed/expected comparison is 9 rows.
+    """
+    od = _t(spark, sf_dir, "orders")
+    digits = od.filter(F.col("o_totalprice") >= 1).selectExpr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+        " AS STRING), 1, 1) AS INT) AS digit"
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p:.17e}" for d, p in _BENFORD.items()
+    ) + " END"
+    return (
+        counts.join(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "n",
+            "CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_frac",
+            f"{exp_case} AS expected_frac",
+        )
+        .selectExpr(
+            "digit",
+            "n",
+            "observed_frac",
+            "expected_frac",
+            "(observed_frac - expected_frac) * (observed_frac -"
+            " expected_frac) / expected_frac AS chi2_contrib",
+        )
+    )
+
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p:.17e}" for d, p in _BENFORD.items()
+) + " END"
+
+ORACLE_BENFORD = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+fr AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_frac,
+         {_BENFORD_CASE_SQL} AS expected_frac
+  FROM counts, t)
+SELECT digit, n, observed_frac, expected_frac,
+       (observed_frac - expected_frac) * (observed_frac - expected_frac)
+         / expected_frac AS chi2_contrib
+FROM fr
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
         QuerySpec("orders_decile_stats", orders_decile_stats,
                   ORACLE_DECILES,
                   "ntile(10) price deciles per priority, unique tiebreak"),
+        QuerySpec("dq_benford_totalprice", dq_benford_totalprice,
+                  ORACLE_BENFORD,
+                  "Benford first-digit screen with chi-square contribs"),
         QuerySpec("orders_unpivot_metrics", orders_unpivot_metrics,
                   ORACLE_UNPIVOT,
                   "wide->long unpivot of a per-status metric matrix"),
