@@ -767,6 +767,79 @@ GROUP BY doc_id
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy (nats) per document.
+
+    Low entropy flags repeated/templated filler, high entropy flags
+    encoded blobs and binary-in-text — the CCNet/RefinedWeb-class
+    cheap detector that complements the word-level filters. Entropy
+    = -Σ p_c ln p_c over the document's character distribution;
+    each term is computed in double from exact integer counts and
+    rounded through DECIMAL(28,9) before the (order-free, exact)
+    decimal sum — the same libm-margin contract as the LM scores.
+
+    Scale posture: one char explode (fan-out ~doc length), a
+    (doc, char) count aggregate, a per-doc window for the total, and
+    a per-doc rollup — two shuffles, both keyed on doc_id(+char).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chars = docs.selectExpr(
+        "doc_id", "explode(split(lower(text), '')) AS c"
+    )
+    counts = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    terms = counts.selectExpr(
+        "doc_id",
+        "n",
+        "SUM(n) OVER (PARTITION BY doc_id) AS n_chars",
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        "CAST((CAST(n AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+        " * ln(CAST(n AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+        " AS DECIMAL(28,9)) AS term",
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.sum("term").alias("tsum"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "CAST(n_distinct_chars AS INT) AS n_distinct_chars",
+            "-CAST(tsum AS DOUBLE) AS entropy_nats",
+        )
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+  FROM documents),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c),
+terms AS (
+  SELECT doc_id,
+         SUM(n) OVER (PARTITION BY doc_id) AS n_chars,
+         CAST((CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY doc_id)
+                AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY
+                doc_id) AS DOUBLE))
+              AS DECIMAL(28,9)) AS term
+  FROM counts)
+SELECT doc_id,
+       CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS INTEGER) AS n_distinct_chars,
+       -CAST(CAST(SUM(term) AS DECIMAL(38,9)) AS DOUBLE) AS entropy_nats
+FROM terms
+GROUP BY doc_id
+"""
+
+
 def _oracle_unigram(total_expr: str = "(SELECT COUNT(*) FROM tok)") -> str:
     return f"""
 WITH tok AS (
@@ -800,6 +873,10 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec(
             "text_bigram_logprob", text_bigram_logprob, ORACLE_BIGRAM,
             "mean add-one-smoothed bigram conditional ln-prob per doc",
+        ),
+        QuerySpec(
+            "text_char_entropy", text_char_entropy, ORACLE_CHAR_ENTROPY,
+            "character-level Shannon entropy (gibberish/blob detector)",
         ),
         QuerySpec(
             "text_gopher_repetition", text_gopher_repetition, ORACLE_GOPHER,
