@@ -952,7 +952,75 @@ FROM scored
 """
 
 
+#: every FK edge of the star schema: (name, child, child_key, parent,
+#: parent_key). The reference's five check families validate columns in
+#: isolation; referential integrity is the cross-table audit a
+#: warehouse runs nightly on top of them.
+FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK edge of the schema, one row per edge.
+
+    Each edge contributes a single-row aggregate: child row count and
+    the count of child rows whose key has no parent (left-anti join).
+    All seven edges union into ONE lazy plan, so the whole audit is a
+    single action. Scale posture: each anti-join shuffles on its key
+    with the dimension side broadcast where small; at 100 TB the
+    fact-fact edges (lineitem→orders) dominate and are plain
+    shuffle-anti-joins — no collects, no loops.
+    """
+    from ..sources import load_table as _lt
+
+    out = None
+    for fk_name, child, ckey, parent, pkey in FK_EDGES:
+        c = _lt(spark, sf_dir, child)
+        p = _lt(spark, sf_dir, parent).select(pkey)
+        orphans = c.join(p, F.col(ckey) == F.col(pkey), "left_anti")
+        row = (
+            c.agg(F.count(F.lit(1)).alias("child_rows"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+            )
+            .selectExpr(
+                f"'{fk_name}' AS fk",
+                "child_rows",
+                "orphan_rows",
+                "orphan_rows = 0 AS ok",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_REFERENTIAL = "\nUNION ALL\n".join(
+    f"""SELECT '{fk_name}' AS fk,
+       (SELECT COUNT(*) FROM {child}) AS child_rows,
+       (SELECT COUNT(*) FROM {child}
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} WHERE {pkey} = {ckey}))
+         AS orphan_rows,
+       (SELECT COUNT(*) FROM {child}
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} WHERE {pkey} = {ckey}))
+         = 0 AS ok"""
+    for fk_name, child, ckey, parent, pkey in FK_EDGES
+)
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_referential_integrity": QuerySpec(
+        "dq_referential_integrity",
+        dq_referential_integrity,
+        ORACLE_REFERENTIAL,
+        "orphan audit over all 7 FK edges in one lazy plan",
+    ),
     "dq_daily_anomaly_events": QuerySpec(
         "dq_daily_anomaly_events",
         dq_daily_anomaly_events,
