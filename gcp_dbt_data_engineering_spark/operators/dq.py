@@ -952,6 +952,132 @@ FROM scored
 """
 
 
+#: Iglewicz-Hoaglin modified-z constants, inlined identically in both
+#: engines (0.6745 ~ 1/Phi^-1(3/4); 3.5 the published cutoff)
+_MAD_K = "6.74489750196081749e-01"
+_MAD_CUTOFF = 3.5
+
+
+def dq_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags via median/MAD (modified z).
+
+    The median-based sibling of ``dq_daily_anomaly_events``'s trailing
+    z-score: volume spikes can't drag the baseline (breakdown point
+    0.5 vs 0 for mean/stddev), which is why monitoring systems pair
+    both. Median and MAD are EXACT interpolated order statistics
+    (row_number + explicit linear interpolation — the repo's quantile
+    idiom), so every float is a deterministic function of integer
+    day-counts and both engines agree bit-for-bit; no libm anywhere.
+
+    Scale posture: the order statistics run over the per-DAY aggregate
+    (bounded cardinality: one row per day), not the events — the
+    single-partition windows here hold at any corpus size because the
+    day count grows with calendar time, not data volume.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def interp_median(df: DataFrame, col: str) -> DataFrame:
+        """Single-row DataFrame holding the exact interpolated median."""
+        w = Window.orderBy(F.col(col), F.col("day"))
+        ranked = df.select(
+            F.col(col).cast("double").alias("v"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))
+            ).alias("cnt"),
+        )
+        h = (F.col("cnt") - 1).cast("double") * F.lit(0.5)
+        lo = F.floor(h) + 1
+        hi = F.least(lo + 1, F.col("cnt"))
+        frac = h - F.floor(h)
+        return ranked.filter(
+            (F.col("rn") == lo) | (F.col("rn") == hi)
+        ).agg(
+            (
+                F.max(F.when(F.col("rn") == lo, F.col("v")))
+                + F.max(F.when(F.col("rn") == lo, frac))
+                * (
+                    F.max(F.when(F.col("rn") == hi, F.col("v")))
+                    - F.max(F.when(F.col("rn") == lo, F.col("v")))
+                )
+            ).alias("med")
+        )
+
+    med = interp_median(daily, "n")
+    devs = daily.join(F.broadcast(med)).select(
+        "day", F.abs(F.col("n").cast("double") - F.col("med")).alias("n")
+    )
+    mad = interp_median(devs, "n").selectExpr("med AS mad")
+    return (
+        daily.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .selectExpr(
+            "day",
+            "n",
+            "med AS median_n",
+            "mad AS mad_n",
+            f"CASE WHEN mad > 0 THEN {_MAD_K} *"
+            " (CAST(n AS DOUBLE) - med) / mad END AS modified_z",
+        )
+        .selectExpr(
+            "day",
+            "n",
+            "median_n",
+            "mad_n",
+            "modified_z",
+            f"COALESCE(abs(modified_z) > {_MAD_CUTOFF}, FALSE)"
+            " AS is_anomaly",
+        )
+    )
+
+
+def _oracle_mad() -> str:
+    def med_cte(src: str, val: str, name: str) -> str:
+        return f"""{name}_r AS (
+  SELECT CAST({val} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (ORDER BY {val}, day) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM {src}),
+{name} AS (
+  SELECT MAX(CASE WHEN rn = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) + 1
+             THEN v END)
+         + MAX(CASE WHEN rn = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) + 1
+               THEN CAST(cnt - 1 AS DOUBLE) * 0.5
+                    - FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) END)
+         * (MAX(CASE WHEN rn = LEAST(FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5)
+                                     + 2, cnt) THEN v END)
+            - MAX(CASE WHEN rn = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) + 1
+                  THEN v END)) AS med
+  FROM {name}_r
+  WHERE rn = FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) + 1
+     OR rn = LEAST(FLOOR(CAST(cnt - 1 AS DOUBLE) * 0.5) + 2, cnt))"""
+
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1),
+{med_cte('daily', 'n', 'm1')},
+devs AS (
+  SELECT day, abs(CAST(n AS DOUBLE) - med) AS n FROM daily, m1),
+{med_cte('devs', 'n', 'm2')}
+SELECT day, n, m1.med AS median_n, m2.med AS mad_n,
+       CASE WHEN m2.med > 0 THEN {_MAD_K} * (CAST(n AS DOUBLE) - m1.med)
+            / m2.med END AS modified_z,
+       COALESCE(abs(CASE WHEN m2.med > 0 THEN {_MAD_K}
+                     * (CAST(n AS DOUBLE) - m1.med) / m2.med END)
+                > {_MAD_CUTOFF}, FALSE) AS is_anomaly
+FROM daily, m1, m2
+"""
+
+
+ORACLE_MAD = _oracle_mad()
+
+
 #: every FK edge of the star schema: (name, child, child_key, parent,
 #: parent_key). The reference's five check families validate columns in
 #: isolation; referential integrity is the cross-table audit a
@@ -1015,6 +1141,12 @@ ORACLE_REFERENTIAL = "\nUNION ALL\n".join(
 
 
 SPECS: dict[str, QuerySpec] = {
+    "dq_daily_anomaly_mad": QuerySpec(
+        "dq_daily_anomaly_mad",
+        dq_daily_anomaly_mad,
+        ORACLE_MAD,
+        "median/MAD modified-z daily-volume anomalies (robust sibling)",
+    ),
     "dq_referential_integrity": QuerySpec(
         "dq_referential_integrity",
         dq_referential_integrity,
