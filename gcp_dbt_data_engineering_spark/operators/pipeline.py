@@ -422,6 +422,88 @@ GROUP BY d.lang
 """
 
 
+def mix_domains_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T=2 domain mixing: target share ∝ sqrt(count).
+
+    The multilingual-sampling transform (Conneau & Lample-style
+    p_l ∝ n_l^(1/T)) at T=2, where the exponent is sqrt — IEEE-
+    correctly-rounded in BOTH engines, unlike libm pow(), which is why
+    this spec pins T=2 rather than a free parameter. Up-weights tail
+    languages relative to raw proportions without explicit weights
+    (the curated-weights sibling is ``mix_domains_weighted``). Each
+    sqrt is rounded through DECIMAL(28,9) so the normalizing sum is
+    exact and order-free; share, target and the hash-bucket acceptance
+    threshold are then single deterministic double ops.
+
+    Scale posture: identical to the weighted mixer — one count pass,
+    a broadcast of per-language rates, one filtered scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    have = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("have"))
+    w = have.selectExpr(
+        "lang",
+        "have",
+        "CAST(sqrt(CAST(have AS DOUBLE)) AS DECIMAL(28,9)) AS w",
+    )
+    tot = w.agg(F.sum("w").alias("w_sum"))
+    rates = w.join(F.broadcast(tot)).selectExpr(
+        "lang",
+        "have",
+        "CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE) AS share",
+    ).selectExpr(
+        "lang",
+        "have",
+        "share",
+        f"floor(share * {MIX_BUDGET}) AS n_target",
+    ).selectExpr(
+        "lang",
+        "have",
+        "share",
+        "n_target",
+        "floor(least(1.0, CAST(n_target AS DOUBLE)"
+        " / CAST(have AS DOUBLE)) * 10000) AS thresh_bp",
+    )
+    taken = (
+        docs.withColumn("bucket", F.expr(_bucket("doc_id", "spark", "mixT")))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("thresh_bp"))
+    )
+    return taken.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_taken"),
+        F.first("have").alias("n_have"),
+        F.first("share").alias("share"),
+        F.first("n_target").cast("bigint").alias("n_target"),
+    )
+
+
+ORACLE_MIX_TEMPERATURE = f"""
+WITH have AS (
+  SELECT lang, COUNT(*) AS have FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, have,
+         CAST(sqrt(CAST(have AS DOUBLE)) AS DECIMAL(28,9)) AS w
+  FROM have),
+tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,9)) AS w_sum FROM w),
+rates AS (
+  SELECT lang, have,
+         CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE) AS share,
+         floor(CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)
+               * {MIX_BUDGET}) AS n_target,
+         floor(least(1.0, CAST(floor(CAST(w AS DOUBLE)
+               / CAST(w_sum AS DOUBLE) * {MIX_BUDGET}) AS DOUBLE)
+               / CAST(have AS DOUBLE)) * 10000) AS thresh_bp
+  FROM w, tot)
+SELECT d.lang,
+       COUNT(*) AS n_taken,
+       MIN(have) AS n_have,
+       MIN(share) AS share,
+       CAST(MIN(n_target) AS BIGINT) AS n_target
+FROM documents d JOIN rates USING (lang)
+WHERE {_bucket('doc_id', 'duck', 'mixT')} < thresh_bp
+GROUP BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. PII redaction — regex scrub with per-segment audit counts
 # ---------------------------------------------------------------------------
@@ -722,6 +804,12 @@ SPECS: dict[str, QuerySpec] = {
             mix_domains_weighted,
             ORACLE_MIX_DOMAINS,
             "two-pass domain mixing toward target weights",
+        ),
+        QuerySpec(
+            "mix_domains_temperature",
+            mix_domains_temperature,
+            ORACLE_MIX_TEMPERATURE,
+            "T=2 temperature mixing: share ∝ sqrt(count), IEEE-exact",
         ),
         QuerySpec(
             "pii_redact_audit",
