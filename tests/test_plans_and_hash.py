@@ -242,3 +242,50 @@ def test_contamination_bench_is_broadcast_not_literal(spark):
         plan_big = _plan(pl.contamination_external_bench(spark, SF))
     # 10x the benchmark must not grow the compiled plan text
     assert len(plan_big) < len(plan) * 1.5
+
+
+def test_sketch_plans_stay_hash_aggregated_and_broadcast(spark):
+    """Round-3 sketch plans: the register/counter builds must stay
+    map-side-combinable HashAggregates, and every probe joins against
+    a BROADCAST of the sketch state (KB-sized by construction)."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import SPECS
+
+    hll = _plan(SPECS["sketch_hll_distinct_users"].spark(spark, SF))
+    assert "HashAggregate" in hll and "CartesianProduct" not in hll
+    bloom = _plan(SPECS["sketch_bloom_customer_filter"].spark(spark, SF))
+    assert "BroadcastHashJoin" in bloom  # probe vs 128-word filter
+    assert "SortMergeJoin" not in bloom
+    cm = _plan(SPECS["sketch_countmin_heavy_users"].spark(spark, SF))
+    assert "BroadcastHashJoin" in cm  # probes vs 1536-row counters
+
+
+def test_ppjoin_candidate_filters_in_join(spark):
+    """The PPJoin size+position prunes must run as Filter over the
+    prefix equi-join (no extra joins for the size lookup)."""
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        _ppjoin_candidates,
+        _shingle_rows,
+    )
+
+    plan = _plan(_ppjoin_candidates(_shingle_rows(spark, SF)))
+    # joins: freq⋈sh (appears on both self-join sides) + the self-join
+    # on h = 3 physical joins; formatted mode mentions each node twice
+    # (tree + details), so the string count is ≤ 6. na/nb/ra/rb must
+    # ride the prefix rows - any size-lookup join would push this up.
+    assert "CartesianProduct" not in plan
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    ) <= 6
+
+
+def test_zorder_scan_reads_clustered_layout(spark):
+    """The z-order spec must answer from the materialized clustered
+    layout, not the raw table."""
+    from gcp_dbt_data_engineering_spark.plans.layout import (
+        events_zorder_locality,
+    )
+
+    plan = _plan(events_zorder_locality(spark, SF))
+    assert "events_zorder" in plan  # staged layout path in the scan
