@@ -24,11 +24,80 @@ from graphlib import TopologicalSorter
 from typing import Any
 
 
+def cron_next(cron: str, after: "datetime") -> "datetime":
+    """Next fire time strictly after ``after`` for a 5-field cron.
+
+    Supports the subset the reference's DAG schedules use
+    (``tests/orchestrate.md:289``, ``'0 6 * * *'`` style): ``*``,
+    integers, comma lists, and ``*/step`` per field, in the order
+    minute hour day-of-month month day-of-week (0=Sunday, Airflow/
+    vixie convention: dom and dow are OR-ed when both restricted).
+    Pure arithmetic, minute resolution — deterministic and testable
+    without Airflow.
+    """
+    from datetime import timedelta
+
+    def parse(field_: str, lo: int, hi: int) -> set[int]:
+        out: set[int] = set()
+        for part in field_.split(","):
+            if part == "*":
+                out.update(range(lo, hi + 1))
+            elif part.startswith("*/"):
+                out.update(range(lo, hi + 1, int(part[2:])))
+            else:
+                v = int(part)
+                if not lo <= v <= hi:
+                    raise ValueError(f"cron field out of range: {part}")
+                out.add(v)
+        return out
+
+    fields = cron.split()
+    if len(fields) != 5:
+        raise ValueError(f"need 5 cron fields: {cron!r}")
+    minutes = parse(fields[0], 0, 59)
+    hours = parse(fields[1], 0, 23)
+    doms = parse(fields[2], 1, 31)
+    months = parse(fields[3], 1, 12)
+    dows = parse(fields[4], 0, 6)
+    dom_any, dow_any = fields[2] == "*", fields[4] == "*"
+
+    t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+    for _ in range(366 * 24 * 60):  # bounded scan: ≤ one year
+        # python weekday(): Monday=0 … Sunday=6 → cron Sunday=0
+        dow = (t.weekday() + 1) % 7
+        day_ok = (
+            (t.day in doms and dow in dows)
+            if (dom_any or dow_any)
+            else (t.day in doms or dow in dows)  # vixie OR rule
+        )
+        if (
+            t.month in months
+            and day_ok
+            and t.hour in hours
+            and t.minute in minutes
+        ):
+            return t
+        t += timedelta(minutes=1)
+    raise ValueError(f"no fire time within a year for {cron!r}")
+
+
+def due_jobs(
+    jobs: "list[JobSpec]", window_start: "datetime", window_end: "datetime"
+) -> "list[JobSpec]":
+    """Jobs whose schedule fires inside (window_start, window_end] —
+    what one scheduler tick would enqueue."""
+    return [
+        j
+        for j in jobs
+        if cron_next(j.schedule, window_start) <= window_end
+    ]
+
+
 @dataclass
 class JobSpec:
     name: str
     fn: Callable[..., Any]
-    schedule: str = "0 9 * * *"  # cron text, carried as metadata
+    schedule: str = "0 9 * * *"  # cron text; evaluated by cron_next()
     depends_on: list[str] = field(default_factory=list)
     retries: int = 1  # reference default_args: 1 retry
     retry_delay_s: float = 0.0  # 300s in the reference; 0 for tests

@@ -120,3 +120,41 @@ def test_notification_delivery_end_to_end(spark, tmp_path):
         fs.send(p)
     lines = [json.loads(x) for x in open(path)]
     assert lines == sender.sent
+
+
+def test_cron_next_and_due_jobs():
+    from datetime import datetime
+
+    from gcp_dbt_data_engineering_spark.orchestration import (
+        JobSpec,
+        cron_next,
+        due_jobs,
+    )
+
+    after = datetime(2024, 1, 15, 8, 30)  # a Monday
+    # daily at 09:00 (the reference's DQ schedule)
+    assert cron_next("0 9 * * *", after) == datetime(2024, 1, 15, 9, 0)
+    # already past today's fire -> tomorrow
+    assert cron_next("0 6 * * *", after) == datetime(2024, 1, 16, 6, 0)
+    # weekly Sunday 02:00 (the weekly full-scan template)
+    assert cron_next("0 2 * * 0", after) == datetime(2024, 1, 21, 2, 0)
+    # every 15 minutes
+    assert cron_next("*/15 * * * *", after) == datetime(2024, 1, 15, 8, 45)
+    # comma list + month restriction
+    assert cron_next("0 0 1 3,6 *", after) == datetime(2024, 3, 1, 0, 0)
+    # vixie OR: dom 20 OR friday; next is Friday Jan 19 < Jan 20
+    assert cron_next("0 0 20 * 5", after) == datetime(2024, 1, 19, 0, 0)
+    # a scheduler tick 06:00-10:00 picks profiling (07) and DQ (09),
+    # not the 10:30 notifier
+    jobs = [
+        JobSpec("prof", lambda: None, schedule="0 7 * * *"),
+        JobSpec("dq", lambda: None, schedule="0 9 * * *"),
+        JobSpec("notify", lambda: None, schedule="30 10 * * *"),
+    ]
+    got = [
+        j.name
+        for j in due_jobs(
+            jobs, datetime(2024, 1, 15, 6, 0), datetime(2024, 1, 15, 10, 0)
+        )
+    ]
+    assert got == ["prof", "dq"]
