@@ -308,6 +308,89 @@ FROM ests e JOIN trued t ON e.src = t.src
 """
 
 
+def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct-user estimate per event_type.
+
+    The GROUP BY form every dashboard runs ("distinct users per
+    product area, daily"): registers keyed by (group, bucket) — state
+    is groups × 256 rows total regardless of input — then one
+    per-group estimate. The exact count rides along per group for
+    error inspection. Same integer-only estimator as the global spec.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h1("user_id")
+    regs = (
+        ev.selectExpr("event_type", f"{h} AS h")
+        .selectExpr(
+            "event_type",
+            f"h % {HLL_M} AS bucket",
+            f"CAST(h / {HLL_M} AS BIGINT) AS rem",
+        )
+        .selectExpr(
+            "event_type",
+            "bucket",
+            "CASE WHEN rem = 0 THEN 24 ELSE 24 - length(bin(rem)) + 1 END"
+            " AS rank",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    types = ev.select("event_type").distinct()
+    buckets = types.crossJoin(
+        spark.range(HLL_M).selectExpr("CAST(id AS BIGINT) AS bucket")
+    )
+    ests = (
+        buckets.join(F.broadcast(regs), ["event_type", "bucket"], "left")
+        .selectExpr("event_type", "COALESCE(m_j, 0) AS m_j")
+        .groupBy("event_type")
+        .agg(
+            F.expr("SUM(shiftleft(CAST(1 AS BIGINT), 24 - m_j))").alias(
+                "z_scaled"
+            )
+        )
+    )
+    true_d = ev.select("event_type", "user_id").distinct().groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("true_distinct"))
+    return ests.join(F.broadcast(true_d), "event_type").selectExpr(
+        "event_type",
+        f"{_HLL_PF} / CAST(z_scaled AS DOUBLE) AS hll_estimate",
+        "true_distinct",
+    )
+
+
+ORACLE_HLL_BY_TYPE = f"""
+WITH hashed AS (
+  SELECT event_type, {_h1('user_id')} AS h FROM events),
+ranks AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN 24
+              ELSE 24 - length(bin(h // {HLL_M})) + 1 END AS rank
+  FROM hashed),
+regs AS (
+  SELECT event_type, bucket, MAX(rank) AS m_j
+  FROM ranks GROUP BY event_type, bucket),
+buckets AS (
+  SELECT t.event_type, CAST(g.range AS BIGINT) AS bucket
+  FROM range({HLL_M}) g,
+       (SELECT DISTINCT event_type FROM events) t),
+ests AS (
+  SELECT b.event_type,
+         SUM(1::BIGINT << (24 - COALESCE(m_j, 0))) AS z_scaled
+  FROM buckets b
+  LEFT JOIN regs r
+    ON b.event_type = r.event_type AND b.bucket = r.bucket
+  GROUP BY b.event_type),
+trued AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       {_HLL_PF} / CAST(e.z_scaled AS DOUBLE) AS hll_estimate,
+       t.true_distinct
+FROM ests e JOIN trued t ON e.event_type = t.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: build over orders.o_custkey, probe every customer
 # ---------------------------------------------------------------------------
@@ -596,6 +679,11 @@ SPECS: dict[str, QuerySpec] = {
     "sketch_hll_distinct_users": QuerySpec(
         "sketch_hll_distinct_users", sketch_hll_distinct_users, ORACLE_HLL,
         "HyperLogLog m=256 register build + raw estimator, integer-exact",
+    ),
+    "sketch_hll_users_by_type": QuerySpec(
+        "sketch_hll_users_by_type", sketch_hll_users_by_type,
+        ORACLE_HLL_BY_TYPE,
+        "grouped HLL: distinct users per event_type vs exact",
     ),
     "sketch_hll_merge_sources": QuerySpec(
         "sketch_hll_merge_sources", sketch_hll_merge_sources,
