@@ -31,6 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
 from ..sources import load_table
@@ -379,6 +380,128 @@ WHERE length(text) > 0
 ORACLE_BYTE_FEATURES = _oracle_byte_features()
 
 
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) near-duplicate assets
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_CHUNKS = 16     # 4 bits each; hamming<=15 keeps >=1 chunk equal
+PHASH_HAM_T = 15
+
+
+def _phash_words(col: str, dialect: str) -> tuple[str, str]:
+    """Two 32-bit dHash words from evenly-sampled payload positions.
+
+    dHash proper compares adjacent pixels of a downscaled grayscale
+    image; with codecs stubbed, the deterministic stand-in samples 65
+    evenly-spaced payload byte positions and takes the 64 adjacent
+    greater-than gradients — the identical pipeline shape (downsample
+    → gradient bits → pack), swappable for real pixel rows at the
+    decode seam. ascii()/ord() per sampled char is bit-identical in
+    both engines (same contract as texthash.polyhash).
+    """
+    o = "ascii" if dialect == "spark" else "ord"
+    # INTEGER division only: float `/` then CAST diverges between
+    # engines (Spark truncates double->bigint, DuckDB ROUNDS)
+    idiv = "DIV" if dialect == "spark" else "//"
+
+    def pos(i: int) -> str:
+        # 1-based substring position, scaled across the payload
+        return f"(1 + (({i} * (length({col}) - 1)) {idiv} 64))"
+
+    def bit(i: int) -> str:
+        a = f"{o}(substring({col}, {pos(i)}, 1))"
+        b = f"{o}(substring({col}, {pos(i + 1)}, 1))"
+        return f"(CASE WHEN {a} > {b} THEN 1 ELSE 0 END)"
+
+    w1 = " + ".join(f"(CAST({bit(i)} AS BIGINT) * {1 << i})" for i in range(32))
+    w2 = " + ".join(
+        f"(CAST({bit(i + 32)} AS BIGINT) * {1 << i})" for i in range(32)
+    )
+    return f"({w1})", f"({w2})"
+
+
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset pairs whose 64-bit perceptual hash differs by <= 6 bits.
+
+    The image-dedup standard (pHash/dHash + hamming threshold) as a
+    distributed plan: one projection computes each asset's hash words,
+    a 16x4-bit chunk-equality self-join generates candidates
+    (pigeonhole: hamming<=16 would need all 16 chunks to differ, so
+    recall is EXACT for the <=15 threshold — same scheme as
+    dedup_simhash), and bit_count(xor) verifies. No all-pairs
+    comparison anywhere. 4-bit chunk keys are coarse (16 values/
+    chunk): fine at corpus scale here; at billions of assets you
+    widen to multi-index pHash (two 32-bit halves at threshold 7
+    each, candidates = union) so each band key is selective — the
+    plan shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(text) >= 2"
+    )
+    w1, w2 = _phash_words("text", "spark")
+    hashed = docs.selectExpr(
+        "doc_id AS asset_id", f"{w1} AS w1", f"{w2} AS w2"
+    )
+    chunks = hashed.selectExpr(
+        "asset_id",
+        "w1",
+        "w2",
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({c} AS INT) AS chunk,"
+            f" CAST((w{1 + c // 8} DIV {1 << (4 * (c % 8))}) % 16 AS INT)"
+            " AS v)"
+            for c in range(PHASH_CHUNKS)
+        )
+        + ")) AS ck",
+    ).selectExpr("asset_id", "w1", "w2", "ck.chunk AS chunk", "ck.v AS v")
+    a = chunks.selectExpr(
+        "asset_id AS asset_a", "w1 AS a1", "w2 AS a2", "chunk", "v"
+    )
+    b = chunks.selectExpr(
+        "asset_id AS asset_b", "w1 AS b1", "w2 AS b2", "chunk", "v"
+    )
+    return (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .selectExpr(
+            "asset_a",
+            "asset_b",
+            "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"
+            " AS hamming",
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .distinct()
+    )
+
+
+def _oracle_phash() -> str:
+    w1, w2 = _phash_words("text", "duck")
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT asset_id, w1, w2, {c} AS chunk,"
+        f" CAST((w{1 + c // 8} // {1 << (4 * (c % 8))}) % 16 AS INTEGER)"
+        " AS v FROM hashed"
+        for c in range(PHASH_CHUNKS)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id AS asset_id, {w1} AS w1, {w2} AS w2
+  FROM documents WHERE length(text) >= 2),
+chunks AS ({chunk_rows})
+SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST(bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))
+            AS INTEGER) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.v = b.v AND a.asset_id < b.asset_id
+WHERE bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))
+      <= {PHASH_HAM_T}
+"""
+
+
+ORACLE_PHASH = _oracle_phash()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -393,6 +516,11 @@ SPECS: dict[str, QuerySpec] = {
             "numpy byte-histogram feature vectors over Arrow batches",
         ),
         QuerySpec("multimodal_meta", multimodal_meta, ORACLE_MULTIMODAL_META),
+        QuerySpec(
+            "multimodal_phash_near_dup", multimodal_phash_near_dup,
+            ORACLE_PHASH,
+            "dHash 64-bit perceptual near-dup, pigeonhole-exact hamming<=15",
+        ),
         QuerySpec(
             "multimodal_frame_sample",
             multimodal_frame_sample,
