@@ -34,6 +34,48 @@ def test_hll_registers_merge_by_max(spark):
     assert merged == f
 
 
+def test_hll_estimate_accuracy_raw_regime(spark):
+    """The raw estimator must actually estimate: |est/true - 1| inside
+    3σ ≈ 0.195 at m=256 (σ = 1.04/√m) once n >> 2.5m where the raw
+    formula is valid. Guards the rank formula end-to-end — an
+    off-by-one rank inflates every register and ~doubles the estimate,
+    which the mergeability tests cannot catch."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        HLL_M,
+        HLL_PREFACTOR,
+        hll_registers,
+    )
+
+    n = 50_000  # >> 2.5*m = 640: raw-estimator regime
+    df = spark.range(1, n + 1).selectExpr("id AS user_id")
+    regs = {r.bucket: r.m_j for r in hll_registers(df, "user_id").collect()}
+    z_scaled = sum(
+        1 << (24 - regs.get(b, 0)) for b in range(HLL_M)
+    )
+    est = HLL_PREFACTOR / float(z_scaled)
+    assert abs(est / n - 1.0) < 0.2
+
+
+def test_hll_small_range_corrected(spark):
+    """At the sf0.01 cardinality (150 distinct < 2.5m) the spec
+    intentionally reports the RAW estimate plus n_empty_buckets; the
+    standard linear-counting correction m*ln(m/V) computed client-side
+    from those two columns must land near truth. Documents the
+    contract: the correction is the caller's libm step, the sketch
+    columns are the portable part."""
+    import math
+
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        sketch_hll_distinct_users,
+    )
+
+    row = sketch_hll_distinct_users(spark, SF).collect()[0]
+    assert row.true_distinct > 0
+    assert row.n_empty_buckets > 0  # small-range regime at this SF
+    corrected = row.m * math.log(row.m / row.n_empty_buckets)
+    assert abs(corrected / row.true_distinct - 1.0) < 0.2
+
+
 def test_countmin_counters_merge_by_sum(spark):
     even, odd, full = _halves(spark)
 
