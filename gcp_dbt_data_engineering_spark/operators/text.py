@@ -781,9 +781,16 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one char explode (fan-out ~doc length), a
     (doc, char) count aggregate, a per-doc window for the total, and
     a per-doc rollup — two shuffles, both keyed on doc_id(+char).
+
+    Contract notes: empty documents are filtered on BOTH sides
+    (Spark's split('', '') yields [''] while DuckDB's string_split
+    yields [], so an empty doc would appear in one engine only), and
+    the per-CHARACTER split assumes BMP text — Spark splits UTF-16
+    code units (non-BMP chars become surrogate halves) while DuckDB
+    splits codepoints.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    chars = docs.selectExpr(
+    chars = docs.filter("length(text) > 0").selectExpr(
         "doc_id", "explode(split(lower(text), '')) AS c"
     )
     counts = chars.groupBy("doc_id", "c").agg(
@@ -819,7 +826,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHAR_ENTROPY = """
 WITH chars AS (
   SELECT doc_id, unnest(string_split(lower(text), '')) AS c
-  FROM documents),
+  FROM documents WHERE length(text) > 0),
 counts AS (
   SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c),
 terms AS (

@@ -85,12 +85,21 @@ def due_jobs(
     jobs: "list[JobSpec]", window_start: "datetime", window_end: "datetime"
 ) -> "list[JobSpec]":
     """Jobs whose schedule fires inside (window_start, window_end] —
-    what one scheduler tick would enqueue."""
-    return [
-        j
-        for j in jobs
-        if cron_next(j.schedule, window_start) <= window_end
-    ]
+    what one scheduler tick would enqueue.
+
+    A malformed or unsatisfiable schedule (e.g. '0 0 31 2 *', for
+    which cron_next raises after its bounded scan) marks that job
+    not-due instead of aborting the whole tick — one bad JobSpec must
+    not take down the scheduler.
+    """
+    due: "list[JobSpec]" = []
+    for j in jobs:
+        try:
+            if cron_next(j.schedule, window_start) <= window_end:
+                due.append(j)
+        except ValueError:
+            continue  # unsatisfiable/malformed schedule: never due
+    return due
 
 
 @dataclass

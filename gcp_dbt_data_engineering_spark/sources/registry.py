@@ -149,16 +149,28 @@ def _stage_if_unsplittable(
             shutil.rmtree(tmp, ignore_errors=True)
         # prune layouts staged from older versions of THIS (table, sf)
         # source (mtime/size key changed => the corpus was regenerated);
-        # other scale factors' layouts are distinct prefixes and live on
+        # other scale factors' layouts are distinct prefixes and live
+        # on. Age-gated: a concurrent session's lazy DataFrames may
+        # still reference a layout it staged moments ago (staged paths
+        # are cached per session), so only reap directories old enough
+        # that no live session plausibly still points at them.
         import shutil
+        import time
 
+        prune_ttl_s = 3600.0
         for d in os.listdir(STAGE_DIR):
             if (
                 d.startswith(f"{name}@{sftag}-")
                 and d != tag
                 and ".tmp-" not in d
             ):
-                shutil.rmtree(os.path.join(STAGE_DIR, d), ignore_errors=True)
+                full = os.path.join(STAGE_DIR, d)
+                try:
+                    age = time.time() - os.stat(full).st_mtime
+                except OSError:
+                    continue
+                if age > prune_ttl_s:
+                    shutil.rmtree(full, ignore_errors=True)
     return staged
 
 

@@ -158,3 +158,24 @@ def test_cron_next_and_due_jobs():
         )
     ]
     assert got == ["prof", "dq"]
+
+
+def test_due_jobs_skips_unsatisfiable_schedule():
+    """One malformed/unsatisfiable JobSpec (Feb 31 never fires;
+    cron_next raises after its bounded one-year scan) must not abort
+    the scheduler tick — the job is simply never due."""
+    from datetime import datetime
+
+    from gcp_dbt_data_engineering_spark.orchestration import due_jobs
+
+    jobs = [
+        JobSpec("bad", lambda: None, schedule="0 0 31 2 *"),
+        JobSpec("good", lambda: None, schedule="0 7 * * *"),
+    ]
+    got = [
+        j.name
+        for j in due_jobs(
+            jobs, datetime(2024, 1, 15, 6, 0), datetime(2024, 1, 15, 10, 0)
+        )
+    ]
+    assert got == ["good"]
