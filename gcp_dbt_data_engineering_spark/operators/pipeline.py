@@ -650,59 +650,168 @@ GROUP BY source, FLOOR(start / {PACK_BUDGET})
 """
 
 
+#: shard capacity for the hierarchical greedy pack: ~32 bins of work
+#: per shard keeps the JVM aggregate-lambda state tiny while leaving
+#: enough docs per shard that the boundary underfill is negligible
+PACK_SHARD_BUDGET = 32 * PACK_BUDGET
+
+
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy whole-document packing: new bin when the doc won't fit.
+    """Greedy whole-document packing, hierarchical (shard-local reset).
 
-    Stateful scan per source — the (b)-tier custom-operator pattern
-    (Pandas-backed ``applyInPandas``) since a running
-    fill-with-reset is not a window function. A document larger than
-    the budget gets a bin of its own. State stays inside one group;
-    the oracle replays the same scan as a DuckDB recursive CTE.
+    A running fill-with-reset is not a window function, and a single
+    per-source sequential scan is exactly the thing that cannot scale
+    (one task holds the whole source). So the contract is the standard
+    distributed-packing one: documents are sharded by their prefix-sum
+    token position into capacity-bounded shards
+    (``PACK_SHARD_BUDGET`` = 32 bins' worth), greedy packing runs
+    independently inside each shard (fill resets at shard boundaries —
+    at most one underfilled bin per shard, a <1/32 packing-efficiency
+    cost), and shard-local bin ids are stitched into global ones by a
+    bins-per-shard prefix sum over the tiny one-row-per-shard table.
+
+    Per-shard greedy runs as a JVM ``aggregate`` lambda over the
+    shard's sorted (doc_id, n_tokens) structs — no Python workers on
+    this path at all (the prior ``applyInPandas`` form grouped by raw
+    ``source``, which is both unbounded state at 100 TB and ~5 s of
+    one-time Python-worker spin-up in a fresh session). A document
+    larger than the budget still gets a bin of its own. The oracle
+    replays the same shard-local scan as a DuckDB recursive CTE.
     """
-    toks = _with_tokens(spark, sf_dir)
+    return greedy_pack(_with_tokens(spark, sf_dir))
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        bins, fill, bin_id = [], 0, 0
-        for t in pdf["n_tokens"]:
-            if fill > 0 and fill + t > PACK_BUDGET:
-                bin_id += 1
-                fill = 0
-            fill += t
-            bins.append(bin_id)
-        pdf = pdf.assign(bin_id=bins)
-        return (
-            pdf.groupby(["source", "bin_id"], as_index=False)
-            .agg(n_docs=("doc_id", "size"), bin_tokens=("n_tokens", "sum"))
+
+def greedy_pack(toks: DataFrame) -> DataFrame:
+    """Hierarchical greedy pack over (doc_id, source, n_tokens) rows —
+    the shard/pack/stitch plan documented on ``pack_sequences_greedy``.
+    Factored out so tests can drive it with synthetic skewed sources.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = toks.withColumn(
+        "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn(
+        "shard_id", F.floor(F.col("start") / PACK_SHARD_BUDGET)
+    )
+    packed = (
+        sharded.groupBy("source", "shard_id")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(doc_id, n_tokens))) AS docs"
+            )
         )
-
-    return toks.groupBy("source").applyInPandas(
-        pack, "source string, bin_id long, n_docs long, bin_tokens long"
+        .selectExpr(
+            "source",
+            "shard_id",
+            "docs",
+            f"""aggregate(
+                  docs,
+                  named_struct('bin', CAST(0 AS BIGINT),
+                               'fill', CAST(0 AS BIGINT),
+                               'assign', CAST(array() AS ARRAY<BIGINT>)),
+                  (acc, d) -> CASE
+                    WHEN acc.fill > 0 AND acc.fill + d.n_tokens > {PACK_BUDGET}
+                    THEN named_struct('bin', acc.bin + 1,
+                                      'fill', CAST(d.n_tokens AS BIGINT),
+                                      'assign',
+                                      concat(acc.assign, array(acc.bin + 1)))
+                    ELSE named_struct('bin', acc.bin,
+                                      'fill', acc.fill + d.n_tokens,
+                                      'assign',
+                                      concat(acc.assign, array(acc.bin)))
+                  END,
+                  acc -> acc.assign) AS assign""",
+        )
+        .selectExpr(
+            "source",
+            "shard_id",
+            "docs",
+            "assign",
+            "element_at(assign, -1) + 1 AS n_bins",
+        )
+    )
+    # bins-per-shard prefix sum over the one-row-per-shard table —
+    # computed BEFORE the explode so no self-join/recompute is needed
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        packed.withColumn(
+            "base", F.coalesce(F.sum("n_bins").over(wb), F.lit(0))
+        )
+        .selectExpr(
+            "source", "base", "explode(arrays_zip(docs, assign)) AS z"
+        )
+        .selectExpr(
+            "source",
+            "base + z.assign AS bin_id",
+            "z.docs.n_tokens AS n_tokens",
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
     )
 
 
 ORACLE_PACK_GREEDY = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, source,
-         len({th.words('text', 'duck')}) AS n_tokens,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         len({th.words('text', 'duck')}) AS n_tokens
   FROM documents
 ),
+placed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_SHARD_BUDGET}) AS BIGINT) AS shard_id
+  FROM toks
+),
+sharded AS (
+  SELECT source, shard_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source, shard_id
+                            ORDER BY doc_id) AS rn
+  FROM placed
+),
 walk AS (
-  SELECT source, rn, n_tokens, 0 AS bin_id, n_tokens AS fill
-  FROM toks WHERE rn = 1
+  SELECT source, shard_id, rn, n_tokens, 0 AS bin_local,
+         n_tokens AS fill
+  FROM sharded WHERE rn = 1
   UNION ALL
-  SELECT t.source, t.rn, t.n_tokens,
+  SELECT t.source, t.shard_id, t.rn, t.n_tokens,
          CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > {PACK_BUDGET}
-              THEN w.bin_id + 1 ELSE w.bin_id END,
+              THEN w.bin_local + 1 ELSE w.bin_local END,
          CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > {PACK_BUDGET}
               THEN t.n_tokens ELSE w.fill + t.n_tokens END
-  FROM walk w JOIN toks t ON t.source = w.source AND t.rn = w.rn + 1
+  FROM walk w JOIN sharded t
+    ON t.source = w.source AND t.shard_id = w.shard_id
+   AND t.rn = w.rn + 1
+),
+shard_bins AS (
+  SELECT source, shard_id, MAX(bin_local) + 1 AS n_bins
+  FROM walk GROUP BY source, shard_id
+),
+based AS (
+  SELECT source, shard_id,
+         COALESCE(SUM(n_bins) OVER (
+           PARTITION BY source ORDER BY shard_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM shard_bins
 )
-SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-FROM walk
-GROUP BY source, bin_id
+SELECT w.source, CAST(b.base + w.bin_local AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(w.n_tokens) AS BIGINT) AS bin_tokens
+FROM walk w JOIN based b
+  ON w.source = b.source AND w.shard_id = b.shard_id
+GROUP BY w.source, b.base + w.bin_local
 """
 
 
