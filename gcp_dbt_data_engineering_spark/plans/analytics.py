@@ -723,22 +723,53 @@ FROM a FULL OUTER JOIN b ON a.k = b.k
 
 
 # ---------------------------------------------------------------------------
-# Python UDTF: dynamic JSON explode (the user-defined TABLE function
-# surface — §2.8 noted the reference has none; this covers the API).
+# Dynamic JSON key/value explode. Spec hot path is pure JVM
+# (from_json to MAP + explode); the Python-UDTF form of the same
+# computation lives in props_explode_udtf below as user-defined
+# TABLE-function API coverage (asserted equal in tests/test_udtf_api.py)
+# but is kept OFF the benchmarked path — a per-row Python generator was
+# 3.3x the DuckDB oracle and the 4th most expensive query.
 # ---------------------------------------------------------------------------
 
 
 def events_props_udtf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode ``events.props`` JSON into key/value rows via a Python
-    UDTF, then aggregate per key.
+    """Explode ``events.props`` JSON into dynamic key/value rows and
+    aggregate per key — entirely JVM-side.
 
-    The UDTF is the escape hatch for genuinely dynamic row generation
-    (unknown JSON schemas, parsers) — a row-multiplying transform SQL
-    can't express statically. Everything statically known should stay
-    with ``from_json``/``get_json_object`` (events_json_k_stats); this
-    spec covers the API with an Arrow-batched implementation so the
-    Python boundary is vectorized, and pushes the aggregate back into
-    the JVM.
+    ``from_json(props, 'map<string,string>')`` handles UNKNOWN key
+    sets (the usual reason people reach for a Python UDTF): the map
+    explode is a built-in generator inside whole-stage codegen, so the
+    "dynamic schema" case needs no Python at all. Scalar JSON values
+    coerce to their literal text, matching the oracle's
+    ``json_extract_string``.
+    """
+    ev = spread(_t(spark, sf_dir, "events"))
+    return (
+        ev.select(
+            F.explode(F.from_json("props", "map<string,string>")).alias(
+                "k", "v"
+            )
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("v").alias("n_values"),
+            F.expr("CAST(SUM(TRY_CAST(v AS BIGINT)) AS BIGINT)").alias(
+                "v_sum"
+            ),
+        )
+    )
+
+
+def props_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-UDTF twin of the props explode — API coverage only.
+
+    The UDTF is the escape hatch for row generation SQL genuinely
+    cannot express (custom parsers, stateful emission); JSON maps are
+    NOT such a case, so the spec path above stays JVM-side. Arrow
+    batching keeps the Python boundary vectorized; the aggregate runs
+    in the JVM either way. tests/test_udtf_api.py asserts this returns
+    exactly the spec's rows.
     """
     from pyspark.sql.functions import udtf
 
@@ -748,9 +779,6 @@ def events_props_udtf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             import json
 
             if props is not None:
-                # no sorted(): emission order is irrelevant to the
-                # downstream groupBy, and the per-row sort was ~15% of
-                # the Python loop
                 for k, v in json.loads(props).items():
                     yield event_id, k, str(v)
 
@@ -788,7 +816,7 @@ SPECS: dict[str, QuerySpec] = {
     for s in [
         QuerySpec("events_props_udtf_stats", events_props_udtf_stats,
                   ORACLE_PROPS_UDTF,
-                  "Python UDTF JSON explode + JVM-side aggregate"),
+                  "dynamic JSON map explode + per-key aggregate, pure JVM"),
         QuerySpec("events_salted_dim_join", events_salted_dim_join,
                   ORACLE_SALTED_JOIN,
                   "skew-safe salted fact-to-dim join == unsalted oracle"),
