@@ -433,29 +433,74 @@ KM_ITERS = 2
 KM_PROBE = 2
 
 
-def _kmeans_centroids(vecs: DataFrame, k: int, iters: int):
-    """Fit k centroids with Lloyd's algorithm, fully deterministic.
+def _argmin_cid_expr(cids, C) -> list[str]:
+    """SQL select-exprs assigning each vector its nearest centroid.
 
-    Distributed shape: each iteration is one Arrow pass over the
-    vectors (assignment = int64 numpy matmul against the k current
-    centroids) emitting per-partition partial sums, a (k x dim)-row
-    shuffle-agg, and a centroid collect that is metadata-sized (k x dim
-    int64s — the same driver-side centroid sync every distributed
-    k-means, including MLlib's, performs per iteration). The vectors
-    themselves never leave the executors.
+    The k current centroids are INLINED as literal arrays: each l2 is
+    a JVM zip_with/aggregate fold, the winner is picked with
+    ``least`` + an ordered CASE (first minimum == smallest centroid
+    id, matching both numpy argmin and the oracle's ORDER BY l2, cid).
+    No join, no Python — assignment is a map-only projection, so the
+    only thing ever shuffled per iteration is the map-side-combined
+    (cid, dim) partial-sum table (k x dim rows per partition).
+    """
+    l2s = []
+    for j, c in enumerate(cids):
+        lit = "array(" + ",".join(f"{int(v)}L" for v in C[j]) + ")"
+        l2s.append(
+            f"aggregate(zip_with(q, {lit}, (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS l2_{j}"
+        )
+    m = "least(" + ", ".join(f"l2_{j}" for j in range(len(cids))) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN l2_{j} = __m THEN CAST({int(c)} AS BIGINT)"
+            for j, c in enumerate(cids)
+        )
+        + " END AS cid"
+    )
+    return l2s, m, case
+
+
+def _assign_cids(vecs: DataFrame, cids, C, extra_cols=("q",)) -> DataFrame:
+    l2s, m, case = _argmin_cid_expr(cids, C)
+    return (
+        vecs.selectExpr(*extra_cols, *l2s)
+        .selectExpr(*extra_cols, f"{m} AS __m", *(
+            f"l2_{j}" for j in range(len(cids))
+        ))
+        .selectExpr(*extra_cols, case)
+    )
+
+
+def _kmeans_centroids(vecs: DataFrame, k: int, iters: int):
+    """Fit k centroids with Lloyd's algorithm, fully deterministic
+    and fully JVM-side.
+
+    Distributed shape: each iteration is ONE map-only pass — nearest
+    centroid via inlined-literal l2 folds (``_argmin_cid_expr``), then
+    posexplode to (cid, dim, x) and a hash aggregate whose map-side
+    combine reduces every partition to k x dim partial rows before the
+    (tiny) shuffle — followed by a metadata-sized centroid collect
+    (the same driver-side sync every distributed k-means, including
+    MLlib's, performs per iteration). The vectors never leave the
+    executors and no Python worker is involved (the previous
+    mapInPandas form paid an Arrow round-trip per iteration that
+    dominated this spec's bench time).
 
     Determinism: seeds are the k evenly-strided vec_ids; distances and
     sums are exact int64; new centroids are floor(sum / count); ties
-    break to the smallest centroid id (numpy argmin's first-minimum ==
-    the oracle's ORDER BY l2, cid). The DuckDB oracle replays the same
-    iterations unrolled as SQL CTEs, bit-for-bit.
+    break to the smallest centroid id. The DuckDB oracle replays the
+    same iterations unrolled as SQL CTEs, bit-for-bit.
 
     Returns (cids, C): sorted cluster ids and the matching int64
     centroid matrix. Clusters that lose all members disappear, in both
     engines alike.
     """
+    import math
+
     import numpy as np
-    import pandas as pd
 
     n = vecs.count()
     stride = n // k
@@ -471,36 +516,17 @@ def _kmeans_centroids(vecs: DataFrame, k: int, iters: int):
     for _ in range(iters):
         cids = np.array(sorted(cent), dtype=np.int64)
         C = np.stack([cent[int(c)] for c in cids])
-
-        def partials(batches, cids=cids, C=C):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.array(pdf["q"].tolist(), dtype=np.int64)
-                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                lab = cids[d.argmin(axis=1)]
-                for c in np.unique(lab):
-                    sel = X[lab == c]
-                    yield pd.DataFrame(
-                        {
-                            "cid": int(c),
-                            "i": np.arange(X.shape[1], dtype=np.int64),
-                            "s": sel.sum(axis=0),
-                            "cnt": len(sel),
-                        }
-                    )
-
         agg = (
-            vecs.select("q")
-            .mapInPandas(partials, schema="cid long, i long, s long, cnt long")
+            _assign_cids(vecs, cids, C)
+            .select("cid", F.posexplode("q").alias("i", "x"))
             .groupBy("cid", "i")
-            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
         cent = {}
         for r in agg:
             cent.setdefault(int(r["cid"]), {})[int(r["i"])] = int(
-                np.floor(float(r["s"]) / float(r["cnt"]))
+                math.floor(float(r["s"]) / float(r["cnt"]))
             )
         cent = {
             c: np.array([dims[i] for i in sorted(dims)], dtype=np.int64)
@@ -520,28 +546,20 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     then per-query probing of the 2 nearest centroids and an exact
     cosine re-rank of only those clusters' members. At 100 TB the
     final assignment is what you'd bucket the lake by.
-    """
-    import numpy as np
-    import pandas as pd
 
+    Every stage — iteration assignment, recenter sums, final
+    membership — is JVM expression code; no Python workers anywhere
+    in this spec. The quantize lineage is cheap enough that re-running
+    it per iteration beats eager materialization here (measured: a
+    localCheckpoint cost more than it saved); on a real cluster with
+    an expensive upstream you'd persist(DISK_ONLY) the quantized
+    table before the loop instead.
+    """
     base = _quantized(spark, sf_dir)
     cids, C = _kmeans_centroids(base, K_CLUSTERS, KM_ITERS)
 
-    def assign(batches, cids=cids, C=C):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["q"].tolist(), dtype=np.int64)
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cid": cids[d.argmin(axis=1)],
-                }
-            )
-
-    members = base.select("vec_id", "q").mapInPandas(
-        assign, schema="vec_id bigint, cid bigint"
+    members = _assign_cids(
+        base.select("vec_id", "q"), cids, C, extra_cols=("vec_id",)
     )
     cents = spark.createDataFrame(
         [(int(c), [int(x) for x in C[j]]) for j, c in enumerate(cids)],
