@@ -694,37 +694,57 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     text LOW — combined with the unigram score this is the classic
     cheap perplexity-proxy pair run before real LM scoring.
 
-    Scale posture: one bigram-count aggregate (shuffle on the pair),
-    one unigram-count aggregate, then fact-to-counts joins (pair join
-    is the big one; Zipf-heavy heads → AQE skew join at 100 TB) and a
-    per-doc rollup. Docs with <2 words have no bigrams and are absent
-    in both engines alike.
+    Scale posture: everything flows through ONE doc-level gram-count
+    aggregate per gram order — (doc, a, b, c_doc) and (doc, w,
+    c_doc_w) — from which the corpus-level pair/unigram counts are
+    derived by a second (much smaller) aggregate, so the raw
+    token/bigram explodes run exactly once each and Spark's
+    ReuseExchange shares the doc-level shuffle between the derive and
+    the score paths. Each DISTINCT pair is scored once and weighted by
+    its in-doc count (decimal x integer — exact, identical to summing
+    count copies of the rounded term). The fact side of the score
+    joins is the distinct doc-pair table, not the raw bigram stream —
+    strictly smaller, Zipf-heavy heads → AQE skew join at 100 TB.
+    Docs with <2 words have no bigrams and are absent in both engines
+    alike.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     per = docs.selectExpr("doc_id", f"{th.words('text', 'spark')} AS ws")
-    bi = per.selectExpr(
-        "doc_id",
-        "explode(CASE WHEN size(ws) >= 2 THEN zip_with("
-        "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
-        " (a, b) -> struct(a AS a, b AS b)) ELSE array() END) AS p",
-    ).selectExpr("doc_id", "p.a AS a", "p.b AS b")
-    tok = per.select("doc_id", F.explode("ws").alias("w"))
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
-    pair = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    vocab_v = tok.select("w").distinct().count()  # scalar V literal
+    doc_pair = (
+        per.selectExpr(
+            "doc_id",
+            "explode(CASE WHEN size(ws) >= 2 THEN zip_with("
+            "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> struct(a AS a, b AS b)) ELSE array() END) AS p",
+        )
+        .selectExpr("doc_id", "p.a AS a", "p.b AS b")
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    doc_tok = (
+        per.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c_doc_w"))
+    )
+    uni = doc_tok.groupBy("w").agg(F.sum("c_doc_w").alias("c_a"))
+    pair = doc_pair.groupBy("a", "b").agg(F.sum("c_doc").alias("c_ab"))
+    vocab_v = uni.count()  # scalar V literal (count of aggregated rows)
     scored = (
-        bi.join(pair, ["a", "b"])
+        doc_pair.join(pair, ["a", "b"])
         .join(uni, F.col("a") == F.col("w"))
         .selectExpr(
             "doc_id",
+            "c_doc",
             f"CAST(ln(CAST(c_ab + 1 AS DOUBLE)"
             f" / CAST(c_a + {vocab_v} AS DOUBLE))"
             " AS DECIMAL(28,9)) AS lp",
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").alias("lp_sum"),
+            F.sum("c_doc").alias("n_bigrams"),
+            F.expr("SUM(lp * CAST(c_doc AS DECIMAL(9,0)))").alias(
+                "lp_sum"
+            ),
         )
     )
     return scored.selectExpr(
@@ -746,22 +766,27 @@ bi AS (
                                 i -> {{'a': ws[i - 1], 'b': ws[i]}})
                ELSE [] END AS bs
         FROM per)),
-tok AS (
-  SELECT doc_id, unnest(ws) AS w FROM per),
+doc_pair AS (
+  SELECT doc_id, a, b, COUNT(*) AS c_doc FROM bi GROUP BY doc_id, a, b),
+doc_tok AS (
+  SELECT doc_id, w, COUNT(*) AS c_doc_w
+  FROM (SELECT doc_id, unnest(ws) AS w FROM per)
+  GROUP BY doc_id, w),
 uni AS (
-  SELECT w, COUNT(*) AS c_a FROM tok GROUP BY w),
+  SELECT w, SUM(c_doc_w) AS c_a FROM doc_tok GROUP BY w),
 pair AS (
-  SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+  SELECT a, b, SUM(c_doc) AS c_ab FROM doc_pair GROUP BY a, b),
 scored AS (
-  SELECT doc_id,
+  SELECT doc_id, c_doc,
          CAST(ln(CAST(c_ab + 1 AS DOUBLE)
-                 / CAST(c_a + (SELECT COUNT(DISTINCT w) FROM tok)
+                 / CAST(c_a + (SELECT COUNT(*) FROM uni)
                         AS DOUBLE))
               AS DECIMAL(28,9)) AS lp
-  FROM bi JOIN pair USING (a, b) JOIN uni ON bi.a = uni.w)
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       CAST(CAST(SUM(lp) AS DECIMAL(38,9)) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_logprob
+  FROM doc_pair JOIN pair USING (a, b) JOIN uni ON doc_pair.a = uni.w)
+SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(lp * CAST(c_doc AS DECIMAL(9,0))) AS DECIMAL(38,9))
+            AS DOUBLE)
+         / CAST(SUM(c_doc) AS DOUBLE) AS avg_bigram_logprob
 FROM scored
 GROUP BY doc_id
 """
