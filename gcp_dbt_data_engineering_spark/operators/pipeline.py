@@ -18,9 +18,10 @@ Scale posture (100 TB):
 - Contamination keys the join on 8-byte shingle hashes with the
   benchmark side broadcast (benchmarks are MBs, corpora are TBs).
 - Chunked packing is one window scan per source partition; greedy
-  packing is ``applyInPandas`` per source — state never leaves one
-  group, so it scales by adding sources/shards, and each group is
-  sequential by construction (the packing order IS the semantics).
+  packing is hierarchical — capacity-bounded shards packed
+  independently by a JVM aggregate lambda, bin ids stitched by a
+  bins-per-shard prefix sum — so per-task state is shard-bounded no
+  matter how skewed the sources are.
 """
 
 from __future__ import annotations
@@ -768,7 +769,7 @@ WITH RECURSIVE toks AS (
          len({th.words('text', 'duck')}) AS n_tokens
   FROM documents
 ),
-placed AS (
+placed AS MATERIALIZED (
   SELECT source, doc_id, n_tokens,
          CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
@@ -776,7 +777,7 @@ placed AS (
            / {PACK_SHARD_BUDGET}) AS BIGINT) AS shard_id
   FROM toks
 ),
-sharded AS (
+sharded AS MATERIALIZED (
   SELECT source, shard_id, n_tokens,
          ROW_NUMBER() OVER (PARTITION BY source, shard_id
                             ORDER BY doc_id) AS rn
