@@ -26,4 +26,4 @@ planning. Designed for 100 TB clusters, tested on local[*] parquet.
 
 __version__ = "0.1.0"
 
-from .session import get_spark, tune  # noqa: F401
+from .session import clear_caches, get_spark, tune  # noqa: F401

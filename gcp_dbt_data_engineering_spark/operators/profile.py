@@ -24,9 +24,13 @@ We design its internals Spark-first:
   whole shared aggregate to SortAggregate (see BASELINE.md log).
 - results stay long format (one row per column) with a stable schema
   so daily profiles append into one history table.
-- ``sample_size`` uses ``df.limit`` (deterministic; the reference's
-  contract is "cap the rows profiled") — at cluster scale you'd switch
-  the flag to ``df.sample`` for a uniform sample.
+- ``sample_size`` takes the n rows with the SMALLEST md5 over the row
+  text (``_hash_sample``): deterministic like ``limit`` but uniform —
+  ``limit(n)`` returns the first rows of the first file, a biased
+  profile (the reference contract is a *sample*,
+  tests/profiling_example.py:54). Plans as TakeOrderedAndProject, so
+  each partition ships at most n rows — no full sort, no shuffle of
+  the table.
 - stddev via the exact-decimal sum-of-squares formula so Spark and
   DuckDB agree bit-for-bit (see plans/spec.py determinism rules;
   builtin ``stddev`` merges partial moments in a partition-order-
@@ -46,6 +50,26 @@ from ..plans.spec import QuerySpec
 from ..sources import TABLE_DTYPES, load_table, spread
 
 NUMERIC_KINDS = {"float", "int"}
+
+
+def _hash_sample(df: DataFrame, n: int) -> DataFrame:
+    """Deterministic uniform row cap: the n rows whose md5(row text) is
+    smallest. Membership is a pure function of the row's values — the
+    same rows are sampled on any cluster, partitioning, or engine (the
+    same contract as ``plans/stats.py`` orders_hash_sample, shaped as
+    a count cap instead of a rate). ``orderBy(hash).limit(n)`` plans
+    as TakeOrderedAndProject: per-partition top-n + driver merge, at
+    most n rows leave any partition.
+    """
+    key = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+    )
+    return (
+        df.withColumn("__sk", key)
+        .orderBy(F.col("__sk").asc())
+        .limit(int(n))
+        .drop("__sk")
+    )
 
 
 def _long_form(
@@ -261,7 +285,7 @@ class SimpleDataProfiler:
                     continue  # arrays/maps: skipped from scalar stats
         sample = self.settings.get("sample_size")
         if sample:
-            df = df.limit(int(sample))
+            df = _hash_sample(df, int(sample))
         return _column_stats([(df, table, dtypes)])
 
     def profile_multiple_tables(
@@ -283,7 +307,7 @@ class SimpleDataProfiler:
             if fecha and date_column and date_column in df.columns:
                 df = df.filter(F.col(date_column).cast("date") == F.lit(fecha))
             if sample:
-                df = df.limit(int(sample))
+                df = _hash_sample(df, int(sample))
             view = f"__prof_{t}"
             df.createOrReplaceTempView(view)
             dtypes = {
