@@ -4,15 +4,19 @@ North-star [EXT] surface: treat image/audio/video as ``binary``
 columns with typed metadata, and run decode / feature-extract /
 frame-sample as Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no media libraries, so the *decode step* is stubbed
-exactly as the task prescribes: :func:`decode_image` /
-:func:`decode_audio` / :func:`decode_video` raise
-``NotImplementedError`` (that is where PIL / soundfile / pyav would
-plug in), while :func:`fake_meta` is the deterministic stand-in the
-specs run — metadata derived only from payload byte length and first
-byte, so a pure-SQL DuckDB oracle reproduces it bit-for-bit. The
-Spark-side plumbing is real: binary column, explicit Arrow schema,
-``mapInPandas`` batch iteration, row-expanding frame sampler.
+The container has no media *libraries*, but BMP and RIFF (WAV/AVI)
+headers are fully specified public formats, so the decode seam is
+REAL pure-Python parsing: an Arrow-batched synthesis stage wraps each
+payload in a genuine container (``encode_bmp`` / ``encode_wav`` /
+``encode_avi``, with dims/rates drawn deterministically from the
+source bytes via :func:`fake_meta` so the SQL oracles can predict
+every value), and the metadata/frame/resize specs then run the actual
+:func:`decode_image` / :func:`decode_audio` / :func:`decode_video`
+header parsers on those bytes — magic sniffing, little-endian fields,
+RIFF chunk walks. Compressed codecs (JPEG/MP3/H.264 via PIL /
+soundfile / pyav) would plug into the same three functions. The
+Spark-side plumbing is real throughout: binary column, explicit Arrow
+schema, ``mapInPandas`` batch iteration, row-expanding frame sampler.
 
 The asset relation derives from ``documents`` (payload = UTF-8 bytes
 of ``text``; media_type = doc_id % 3) because the driver test data has
@@ -41,26 +45,150 @@ FRAME_STRIDE = 24  # sample one frame per second
 
 
 # ---------------------------------------------------------------------------
-# decode stubs — the real-library seam
+# real container codecs — pure-Python header encode/decode
+#
+# The environment has no media *libraries*, but BMP and RIFF (WAV/AVI)
+# are fully specified public formats whose headers need only
+# struct.pack — so the decode seam is REAL: the asset synthesizer
+# writes genuine container headers and the decoders below parse them
+# back (magic checks, little-endian fields, chunk walks). Compressed
+# codecs (JPEG/MP3/H.264) would plug into the same three functions.
 # ---------------------------------------------------------------------------
 
-def decode_image(payload: bytes) -> dict:
-    """Decode an image payload to (width, height, channels).
+import struct
 
-    STUB: the execution environment has no image codec libraries.
-    Plug PIL/opencv in here; the specs use :func:`fake_meta` instead.
-    """
-    raise NotImplementedError("no image codec in this environment")
+
+def encode_bmp(width: int, height: int, body: bytes) -> bytes:
+    """A real BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (54 bytes), 24bpp,
+    followed by ``body`` as the pixel array. Metadata extraction only
+    reads the headers, so a truncated pixel array is fine (the usual
+    posture for header-only scans over damaged assets)."""
+    row = (width * 3 + 3) & ~3  # 4-byte-aligned rows
+    img_size = row * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835,
+        0, 0,
+    )
+    return header + body
+
+
+def decode_image(payload: bytes) -> dict:
+    """Parse a BMP header to (width, height, channels)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    return {
+        "width": int(width),
+        "height": abs(int(height)),  # negative height = top-down rows
+        "channels": bpp // 8,
+    }
+
+
+def encode_wav(sample_rate: int, n_samples: int, body: bytes) -> bytes:
+    """A real RIFF/WAVE header (44 bytes): PCM fmt chunk + data chunk
+    declaring ``n_samples`` 16-bit mono samples, followed by ``body``
+    (possibly truncated — header-only scans don't read the samples)."""
+    data_size = n_samples * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_size, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+            sample_rate * 2, 2, 16,
+        )
+        + struct.pack("<4sI", b"data", data_size)
+        + body
+    )
 
 
 def decode_audio(payload: bytes) -> dict:
-    """STUB — see :func:`decode_image`."""
-    raise NotImplementedError("no audio codec in this environment")
+    """Parse a RIFF/WAVE header to (channels, sample_rate, duration)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n_channels, sample_rate, bits, data_size = 12, 1, 0, 16, 0
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            _, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_size = size
+            break  # data is last in our containers; size may exceed body
+        pos += 8 + size + (size & 1)
+    n_samples = data_size // (n_channels * (bits // 8))
+    return {
+        "channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "n_samples": int(n_samples),
+        "duration_s": n_samples / sample_rate if sample_rate else 0.0,
+    }
+
+
+def encode_avi(
+    width: int, height: int, n_frames: int, fps: int, body: bytes
+) -> bytes:
+    """A real (minimal) RIFF/AVI: LIST hdrl with an avih main header and
+    one LIST strl/strh video stream header carrying the exact
+    dwScale/dwRate frame-rate rational."""
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, fps,          # dwScale, dwRate: rate/scale = fps exactly
+        0, n_frames, 0, 0xFFFFFFFF, 0, 0, 0, int(width), int(height),
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0, n_frames, 0, 1, 0,
+        int(width), int(height), 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack(
+        "<I", 4 + 8 + len(avih) + len(strl)
+    ) + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + body
+    riff_size = 4 + len(hdrl) + len(movi)
+    return b"RIFF" + struct.pack("<I", riff_size) + b"AVI " + hdrl + movi
 
 
 def decode_video(payload: bytes) -> dict:
-    """STUB — see :func:`decode_image`."""
-    raise NotImplementedError("no video codec in this environment")
+    """Parse a RIFF/AVI header to (width, height, n_frames, duration).
+
+    Walks LIST hdrl for the avih main header (frames, dims) and the
+    strh stream header's dwScale/dwRate rational, so duration is exact
+    n_frames * scale / rate — no float frame-interval round-off."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    n_frames = width = height = 0
+    scale, rate = 1, VIDEO_FPS
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal n_frames, width, height, scale, rate
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            if cid == b"LIST":
+                walk(pos + 12, min(end, pos + 8 + size))
+            elif cid == b"avih":
+                vals = struct.unpack_from("<IIIIIIIIII", payload, pos + 8)
+                n_frames, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"strh" and payload[pos + 8:pos + 12] == b"vids":
+                # dwScale/dwRate at strh offset 20 (after fccType,
+                # fccHandler, dwFlags, wPriority, wLanguage,
+                # dwInitialFrames)
+                s, r = struct.unpack_from("<II", payload, pos + 8 + 20)
+                if r:
+                    scale, rate = s, r
+            pos += 8 + size + (size & 1)
+
+    walk(12, len(payload))
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames),
+        "duration_s": n_frames * scale / rate if rate else 0.0,
+    }
 
 
 def fake_meta(media_type: str, byte_len: int, first: int) -> dict:
@@ -124,6 +252,56 @@ assets AS (
   FROM documents)"""
 
 
+def _assets_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assets wrapped in REAL container formats (BMP / WAV / AVI).
+
+    An Arrow-batched synthesis stage writes a genuine header for each
+    payload — dims/rates drawn deterministically from the source bytes
+    via :func:`fake_meta`, so the DuckDB oracles can still predict
+    every value — and the downstream specs then go through the actual
+    decoders. ``src_len`` carries the media-body byte length (the
+    oracles' ``byte_len``). No shuffle: synthesis and decode are
+    map-only stages over the same partitioning.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                meta = fake_meta(mt, len(b), b[0] if b else 0)
+                if mt == "image":
+                    enc = encode_bmp(meta["width"], meta["height"], b)
+                elif mt == "audio":
+                    enc = encode_wav(
+                        meta["sample_rate"], len(b) * 160, b
+                    )
+                else:
+                    enc = encode_avi(
+                        meta["width"], meta["height"], meta["n_frames"],
+                        VIDEO_FPS, b,
+                    )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "media_type": mt,
+                        "src_len": len(b),
+                        "payload": enc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "src_len", "payload"]
+            )
+
+    return _assets(spark, sf_dir).mapInPandas(
+        synth,
+        schema="asset_id bigint, media_type string, src_len bigint,"
+        " payload binary",
+    )
+
+
 # ---------------------------------------------------------------------------
 # metadata extraction (mapInPandas, one row per asset)
 # ---------------------------------------------------------------------------
@@ -136,21 +314,52 @@ _META_SCHEMA = (
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata per asset via Arrow-batched ``mapInPandas``."""
+    """Typed metadata per asset via REAL container decode.
+
+    Dispatches on the payload's magic bytes (not the metadata column)
+    and parses the actual BMP/WAV/AVI headers — the full
+    encode→decode round-trip, so a header-math bug in either
+    direction breaks the oracle match. ``byte_len`` reports the media
+    BODY length (the oracles' contract), carried through as
+    ``src_len``.
+    """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for aid, mt, payload in zip(
-                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            for aid, mt, src_len, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["src_len"],
+                pdf["payload"],
             ):
                 b = bytes(payload)
-                meta = fake_meta(mt, len(b), b[0] if b else 0)
+                if b[:2] == b"BM":
+                    d = decode_image(b)
+                    meta = {
+                        "width": d["width"], "height": d["height"],
+                        "channels": d["channels"], "sample_rate": 0,
+                        "n_frames": 1, "duration_s": 0.0,
+                    }
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    d = decode_audio(b)
+                    meta = {
+                        "width": 0, "height": 0,
+                        "channels": d["channels"],
+                        "sample_rate": d["sample_rate"], "n_frames": 0,
+                        "duration_s": d["duration_s"],
+                    }
+                else:
+                    d = decode_video(b)
+                    meta = {
+                        "width": d["width"], "height": d["height"],
+                        "channels": 3, "sample_rate": 0,
+                        "n_frames": d["n_frames"],
+                        "duration_s": d["duration_s"],
+                    }
                 out.append(
                     {
                         "asset_id": aid,
                         "media_type": mt,
-                        "byte_len": len(b),
+                        "byte_len": int(src_len),
                         **meta,
                     }
                 )
@@ -162,7 +371,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return _assets(spark, sf_dir).mapInPandas(extract, schema=_META_SCHEMA)
+    return _assets_encoded(spark, sf_dir).mapInPandas(
+        extract, schema=_META_SCHEMA
+    )
 
 
 ORACLE_MULTIMODAL_META = f"""
@@ -211,10 +422,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 if mt != "video":
                     continue
-                b = bytes(payload)
-                n_frames = fake_meta(mt, len(b), b[0] if b else 0)[
-                    "n_frames"
-                ]
+                n_frames = decode_video(bytes(payload))["n_frames"]
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     rows.append(
                         {
@@ -227,7 +435,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["asset_id", "frame_idx", "frame_offset_s"]
             )
 
-    return _assets(spark, sf_dir).mapInPandas(sample, schema=_FRAME_SCHEMA)
+    return _assets_encoded(spark, sf_dir).mapInPandas(
+        sample, schema=_FRAME_SCHEMA
+    )
 
 
 ORACLE_FRAME_SAMPLE = f"""
@@ -273,8 +483,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 if mt != "image":
                     continue
-                b = bytes(payload)
-                meta = fake_meta(mt, len(b), b[0] if b else 0)
+                meta = decode_image(bytes(payload))
                 w, h = meta["width"], meta["height"]
                 longest = max(w, h)
                 if longest <= RESIZE_BOX:  # never upscale
@@ -293,7 +502,9 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "out_w", "out_h", "scale_num"],
             )
 
-    return _assets(spark, sf_dir).mapInPandas(plan, schema=_RESIZE_SCHEMA)
+    return _assets_encoded(spark, sf_dir).mapInPandas(
+        plan, schema=_RESIZE_SCHEMA
+    )
 
 
 ORACLE_RESIZE_PLAN = f"""

@@ -20,10 +20,13 @@ def test_multimodal_oracle_sf001(spark, name):
     assert res["match"], res
 
 
-def test_decode_stubs_are_stubs():
+def test_decoders_are_real_not_stubs():
+    """Round 3's decode seam was a NotImplementedError stub; the
+    decoders now genuinely parse container headers — a foreign
+    payload is a typed decode error, not a stub marker."""
     for fn in (mm.decode_image, mm.decode_audio, mm.decode_video):
-        with pytest.raises(NotImplementedError):
-            fn(b"payload")
+        with pytest.raises(ValueError):
+            fn(b"payload that is no known container")
 
 
 def test_meta_covers_all_assets_and_types(spark):
@@ -52,3 +55,52 @@ def test_frame_sample_counts(spark):
     for aid, n in per_asset.items():
         expected = (meta[aid] + mm.FRAME_STRIDE - 1) // mm.FRAME_STRIDE
         assert n == expected
+
+
+def test_codec_round_trips():
+    """Pure-Python container codecs: what encode writes, decode reads
+    back exactly — including the AVI dwScale/dwRate rational that
+    keeps duration free of frame-interval round-off."""
+    from gcp_dbt_data_engineering_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+        encode_avi,
+        encode_bmp,
+        encode_wav,
+    )
+
+    img = decode_image(encode_bmp(641, 353, b"pixeldata"))
+    assert img == {"width": 641, "height": 353, "channels": 3}
+
+    wav = decode_audio(encode_wav(11000, 48_000, b"pcm"))
+    assert wav["channels"] == 1 and wav["sample_rate"] == 11000
+    assert wav["n_samples"] == 48_000
+    assert wav["duration_s"] == 48_000 / 11000
+
+    avi = decode_video(encode_avi(320, 240, 241, 24, b"frames"))
+    assert avi == {
+        "width": 320,
+        "height": 240,
+        "n_frames": 241,
+        "duration_s": 241 / 24,
+    }
+
+
+def test_codec_rejects_foreign_payloads():
+    import pytest
+
+    from gcp_dbt_data_engineering_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+        encode_bmp,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all, clearly")
+    with pytest.raises(ValueError):
+        decode_audio(encode_bmp(4, 4, b""))
+    with pytest.raises(ValueError):
+        decode_video(encode_wav(8000, 10, b""))
