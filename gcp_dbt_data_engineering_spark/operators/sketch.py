@@ -704,6 +704,143 @@ FROM mins
 """
 
 
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch over orders.o_totalprice (cents)
+# ---------------------------------------------------------------------------
+
+#: sub-bucket precision bits: relative error <= 2^-HDR_B ~ 3.1%
+HDR_B = 5
+HDR_W = 1 << (HDR_B + 1)  # sub-bucket values fit in [0, 2^(B+1))
+
+#: quantiles as exact rationals (num, den) — rank arithmetic stays
+#: integer, so no float q*n boundary ambiguity between engines
+HDR_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def _hdr_bucket_exprs(v: str) -> tuple[str, str, str]:
+    """(bucket_index, bucket_id, lower_bound) integer expressions.
+
+    The HDR-histogram bucketing (public design, hdrhistogram.org):
+    values below 2^(B+1) are exact; above, the top B+1 bits index a
+    sub-bucket whose width doubles per power of two — a base-2
+    log-scale histogram with bounded RELATIVE error 2^-B, computed
+    entirely from ``length(bin(v))`` and shifts. No libm anywhere
+    (a ln-based DDSketch bucket index can straddle a FLOOR boundary
+    on the last ulp and diverge between engines; bit length cannot).
+    Buckets MERGE by per-id count sum — the sketch property.
+    Identical text in both engines except shiftright spelling.
+    """
+    bi = f"GREATEST(length(bin({v})) - 1 - {HDR_B}, 0)"
+    return bi, f"({bi}) * {HDR_W} + ({v} >> ({bi}))", f"({v} >> ({bi})) << ({bi})"
+
+
+def hdr_buckets(df: DataFrame, cents: str) -> DataFrame:
+    """(bucket_id → lower bound, count) HDR state for ``df[cents]``."""
+    _, bid, lo = _hdr_bucket_exprs(cents)
+    return (
+        df.selectExpr(f"{cents} AS v")
+        .selectExpr(f"{bid} AS bucket_id", f"{lo} AS lo")
+        .groupBy("bucket_id", "lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sketch_quantile_hdr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order value from an HDR-histogram sketch vs exact.
+
+    Build: one map-side-combined aggregate into ~hundreds of buckets —
+    mergeable, bounded state (size is log(max)/2^-B buckets no matter
+    the input). Estimate: cumulative counts in bucket order, first
+    bucket whose cumulative count reaches rank = ceil(q*n) (integer
+    rational rank arithmetic); the bucket's LOWER BOUND is the
+    deterministic reported estimate, so estimate <= true <
+    estimate*(1+2^-B) for values above the exact range. The exact
+    quantile rides along (one row_number pass) for error inspection —
+    at 100 TB you drop it; the sketch is the product.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # double -> DECIMAL(22,6) -> cents: the repo money rule (a raw
+    # double*100 -> BIGINT cast truncates in Spark but rounds in
+    # DuckDB; through decimal the value is exact in both)
+    cents = orders.selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100 AS BIGINT) AS v"
+    )
+    buckets = hdr_buckets(cents, "v")
+    from pyspark.sql.window import Window
+
+    wb = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = buckets.withColumn("cum", F.sum("n").over(wb))
+    n_total = cents.count()
+    exact = cents.selectExpr("v").withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    out = None
+    for label, num, den in HDR_QUANTILES:
+        rank = (n_total * num + den - 1) // den
+        est = (
+            cum.filter(F.col("cum") >= rank)
+            .orderBy("bucket_id")
+            .limit(1)
+            .selectExpr(
+                f"'{label}' AS quantile",
+                f"CAST({rank} AS BIGINT) AS rank",
+                "lo AS est_cents",
+            )
+        )
+        tru = exact.filter(F.col("rn") == rank).selectExpr(
+            f"'{label}' AS quantile", "v AS true_cents"
+        )
+        row = est.join(tru, "quantile")
+        out = row if out is None else out.unionByName(row)
+    return out.selectExpr(
+        "quantile",
+        "rank",
+        "est_cents",
+        "true_cents",
+        "CAST(true_cents - est_cents AS DOUBLE)"
+        " / CAST(true_cents AS DOUBLE) AS rel_err",
+    )
+
+
+def _oracle_hdr() -> str:
+    _, bid, lo = _hdr_bucket_exprs("v")
+    qrows = " UNION ALL ".join(
+        f"SELECT '{label}' AS quantile, {num} AS num, {den} AS den"
+        for label, num, den in HDR_QUANTILES
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100 AS BIGINT) AS v
+  FROM orders),
+buckets AS (
+  SELECT {bid} AS bucket_id, {lo} AS lo, COUNT(*) AS n
+  FROM cents GROUP BY 1, 2),
+cum AS (
+  SELECT bucket_id, lo, SUM(n) OVER (ORDER BY bucket_id) AS cum
+  FROM buckets),
+qs AS ({qrows}),
+ranks AS (
+  SELECT quantile, ((SELECT COUNT(*) FROM cents) * num + den - 1) // den
+           AS rank
+  FROM qs),
+est AS (
+  SELECT r.quantile, CAST(r.rank AS BIGINT) AS rank,
+         (SELECT lo FROM cum
+          WHERE cum >= r.rank ORDER BY bucket_id LIMIT 1) AS est_cents
+  FROM ranks r),
+exact AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM cents)
+SELECT e.quantile, e.rank, e.est_cents, x.v AS true_cents,
+       CAST(x.v - e.est_cents AS DOUBLE) / CAST(x.v AS DOUBLE) AS rel_err
+FROM est e JOIN exact x ON x.rn = e.rank
+"""
+
+
+ORACLE_HDR = _oracle_hdr()
+
+
 SPECS: dict[str, QuerySpec] = {
     "sketch_hll_distinct_users": QuerySpec(
         "sketch_hll_distinct_users", sketch_hll_distinct_users, ORACLE_HLL,
@@ -732,5 +869,10 @@ SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct_users": QuerySpec(
         "sketch_kmv_distinct_users", sketch_kmv_distinct_users, ORACLE_KMV,
         "k-minimum-values distinct estimate, k=64",
+    ),
+    "sketch_quantile_hdr_prices": QuerySpec(
+        "sketch_quantile_hdr_prices", sketch_quantile_hdr_prices,
+        ORACLE_HDR,
+        "HDR-histogram quantile sketch p50/p90/p99 vs exact, integer-only",
     ),
 }

@@ -104,3 +104,38 @@ def test_bloom_words_merge_by_bit_or(spark):
     a, b = words(even), words(odd)
     merged = {k: a.get(k, 0) | b.get(k, 0) for k in set(a) | set(b)}
     assert merged == words(orders)
+
+
+def test_hdr_buckets_merge_by_sum(spark):
+    """HDR quantile-sketch state merges by per-bucket count sum —
+    disjoint halves' bucket tables combine into exactly the
+    full-data table (same algebra as count-min)."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import hdr_buckets
+
+    orders = load_table(spark, SF, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100 AS BIGINT) AS v",
+    )
+    def table(df):
+        return {
+            (r.bucket_id, r.lo): r.n
+            for r in hdr_buckets(df, "v").collect()
+        }
+
+    a = table(orders.filter("o_orderkey % 2 = 0"))
+    b = table(orders.filter("o_orderkey % 2 = 1"))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == table(orders)
+
+
+def test_hdr_estimate_error_bound(spark):
+    """The sketch's whole contract: est <= true < est * (1 + 2^-B)
+    for every reported quantile (values above the exact range)."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        HDR_B,
+        sketch_quantile_hdr_prices,
+    )
+
+    for r in sketch_quantile_hdr_prices(spark, SF).collect():
+        assert r.est_cents <= r.true_cents
+        assert r.true_cents < r.est_cents * (1 + 2.0 ** -HDR_B)
