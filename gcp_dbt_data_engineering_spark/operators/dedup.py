@@ -795,12 +795,14 @@ SPECS: dict[str, QuerySpec] = {
             "dedup_cluster_components",
             dedup_cluster_components,
             ORACLE_CLUSTER_COMPONENTS,
+            eager=True,
         ),
         QuerySpec(
             "dedup_graph_pagerank",
             dedup_graph_pagerank,
             _oracle_pagerank(),
             "3-iter PageRank on the near-dup graph; quantized exact sums",
+            eager=True,
         ),
         QuerySpec("dedup_exact", dedup_exact, ORACLE_DEDUP_EXACT),
         QuerySpec(

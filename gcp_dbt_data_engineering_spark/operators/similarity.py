@@ -792,6 +792,7 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_ANN_IVF_KMEANS,
             "IVF ANN over a Lloyd's-k-means inverted file (oracle "
             "replays the unrolled iterations in SQL)",
+            eager=True,
         ),
     )
 }

@@ -874,5 +874,6 @@ SPECS: dict[str, QuerySpec] = {
         "sketch_quantile_hdr_prices", sketch_quantile_hdr_prices,
         ORACLE_HDR,
         "HDR-histogram quantile sketch p50/p90/p99 vs exact, integer-only",
+        eager=True,
     ),
 }

@@ -901,10 +901,12 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec(
             "text_unigram_logprob", text_unigram_logprob, ORACLE_UNIGRAM,
             "mean unigram ln-prob per doc (perplexity-proxy quality)",
+            eager=True,
         ),
         QuerySpec(
             "text_bigram_logprob", text_bigram_logprob, ORACLE_BIGRAM,
             "mean add-one-smoothed bigram conditional ln-prob per doc",
+            eager=True,
         ),
         QuerySpec(
             "text_char_entropy", text_char_entropy, ORACLE_CHAR_ENTROPY,

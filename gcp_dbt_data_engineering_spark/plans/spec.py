@@ -41,6 +41,12 @@ class QuerySpec:
     #: to the oracle's one-shot SELECT; bench.py reports the two kinds
     #: in separate sections)
     kind: str = "query"
+    #: True when the BUILDER itself runs Spark actions (iterative
+    #: loops, scalar count() literals, driver-side centroid syncs) —
+    #: the returned DataFrame is only the tail of the computation, so
+    #: bench.py must rebuild such specs every pass instead of timing
+    #: warm re-executions of the held tail plan.
+    eager: bool = False
 
 
 def money_sum(expr: Column, name: str) -> Column:

@@ -35,6 +35,11 @@ RUNTIME_CONF: dict[str, str] = {
     # as bigint nanoseconds and the registry rebuilds the timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ~120 specs x several codegen units each overflow the default
+    # 100-entry generated-class cache, so every bench pass re-Janino-
+    # compiles everything; a long-lived production driver wants the
+    # same headroom.
+    "spark.sql.codegen.cache.maxEntries": "4096",
     # This sandbox shows rare multi-10s single-task freezes (scheduler-level,
     # not compute). Aggressive speculation re-launches a straggler copy and
     # takes the first finisher — near-free on healthy runs, bounds the damage
