@@ -772,29 +772,37 @@ def sketch_quantile_hdr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     cum = buckets.withColumn("cum", F.sum("n").over(wb))
-    n_total = cents.count()
+    # total row count N derived from the bucket table (SUM of counts)
+    # and the rank for each quantile computed lazily from it — the
+    # whole spec is one lazy plan, no scalar-count driver action
+    total = buckets.agg(F.sum("n").alias("__N"))
+    qs = spark.createDataFrame(
+        list(HDR_QUANTILES), "quantile string, num long, den long"
+    )
+    ranks = (
+        qs.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "quantile",
+            "CAST((__N * num + den - 1) DIV den AS BIGINT) AS rank",
+        )
+    )
+    # estimate: smallest bucket whose cumulative count reaches rank
+    # (min over struct(bucket_id, lo) — bucket_id unique, so this IS
+    # the first qualifying bucket)
+    est = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("quantile", "rank")
+        .agg(F.min(F.struct("bucket_id", "lo")).alias("s"))
+        .selectExpr("quantile", "rank", "s.lo AS est_cents")
+    )
     exact = cents.selectExpr("v").withColumn(
         "rn", F.row_number().over(Window.orderBy("v"))
     )
-    out = None
-    for label, num, den in HDR_QUANTILES:
-        rank = (n_total * num + den - 1) // den
-        est = (
-            cum.filter(F.col("cum") >= rank)
-            .orderBy("bucket_id")
-            .limit(1)
-            .selectExpr(
-                f"'{label}' AS quantile",
-                f"CAST({rank} AS BIGINT) AS rank",
-                "lo AS est_cents",
-            )
-        )
-        tru = exact.filter(F.col("rn") == rank).selectExpr(
-            f"'{label}' AS quantile", "v AS true_cents"
-        )
-        row = est.join(tru, "quantile")
-        out = row if out is None else out.unionByName(row)
-    return out.selectExpr(
+    tru = exact.join(
+        F.broadcast(ranks), exact.rn == F.col("rank")
+    ).selectExpr("quantile", "v AS true_cents")
+    return est.join(tru, "quantile").selectExpr(
         "quantile",
         "rank",
         "est_cents",
@@ -874,6 +882,5 @@ SPECS: dict[str, QuerySpec] = {
         "sketch_quantile_hdr_prices", sketch_quantile_hdr_prices,
         ORACLE_HDR,
         "HDR-histogram quantile sketch p50/p90/p99 vs exact, integer-only",
-        eager=True,
     ),
 }

@@ -660,12 +660,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"explode({th.words('text', 'spark')}) AS w"
     )
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    total = tok.count()  # scalar N: one count job, reused as a literal
+    # corpus token total N derived from the (small) vocab aggregate and
+    # broadcast as a 1-row relation — keeps the whole spec one lazy
+    # plan (no scalar-count driver action; ReuseExchange shares the
+    # vocab shuffle between the total and the score join)
+    total = F.broadcast(vocab.agg(F.sum("n_w").alias("__N")))
     scored = (
         tok.join(vocab, "w")
+        .crossJoin(total)
         .selectExpr(
             "doc_id",
-            f"CAST(ln(CAST(n_w AS DOUBLE) / CAST({total} AS DOUBLE))"
+            "CAST(ln(CAST(n_w AS DOUBLE) / CAST(__N AS DOUBLE))"
             " AS DECIMAL(28,9)) AS lp",
         )
         .groupBy("doc_id")
@@ -728,15 +733,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = doc_tok.groupBy("w").agg(F.sum("c_doc_w").alias("c_a"))
     pair = doc_pair.groupBy("a", "b").agg(F.sum("c_doc").alias("c_ab"))
-    vocab_v = uni.count()  # scalar V literal (count of aggregated rows)
+    # vocab size V as a broadcast 1-row relation — no scalar-count
+    # driver action, the whole spec stays one lazy plan
+    vocab_v = F.broadcast(uni.agg(F.count(F.lit(1)).alias("__V")))
     scored = (
         doc_pair.join(pair, ["a", "b"])
         .join(uni, F.col("a") == F.col("w"))
+        .crossJoin(vocab_v)
         .selectExpr(
             "doc_id",
             "c_doc",
-            f"CAST(ln(CAST(c_ab + 1 AS DOUBLE)"
-            f" / CAST(c_a + {vocab_v} AS DOUBLE))"
+            "CAST(ln(CAST(c_ab + 1 AS DOUBLE)"
+            " / CAST(c_a + __V AS DOUBLE))"
             " AS DECIMAL(28,9)) AS lp",
         )
         .groupBy("doc_id")
@@ -901,12 +909,10 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec(
             "text_unigram_logprob", text_unigram_logprob, ORACLE_UNIGRAM,
             "mean unigram ln-prob per doc (perplexity-proxy quality)",
-            eager=True,
         ),
         QuerySpec(
             "text_bigram_logprob", text_bigram_logprob, ORACLE_BIGRAM,
             "mean add-one-smoothed bigram conditional ln-prob per doc",
-            eager=True,
         ),
         QuerySpec(
             "text_char_entropy", text_char_entropy, ORACLE_CHAR_ENTROPY,
