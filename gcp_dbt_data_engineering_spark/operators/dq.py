@@ -744,11 +744,13 @@ def route_notifications(
     out: list[dict[str, Any]] = []
     fails = [r for r in results_rows if r["verdict"] == "FAIL"]
     warns = [r for r in results_rows if r["verdict"] == "WARN"]
+    table = config.get("table_name", "?")
     if fails and notif.get("on_failure"):
         out.append(
             {
                 "recipients": list(notif["on_failure"]),
                 "level": "failure",
+                "table": table,
                 "tests": sorted(r["test_name"] for r in fails),
             }
         )
@@ -757,6 +759,7 @@ def route_notifications(
             {
                 "recipients": list(notif["on_warning"]),
                 "level": "warning",
+                "table": table,
                 "tests": sorted(r["test_name"] for r in warns),
             }
         )
@@ -807,6 +810,76 @@ class FileSender:
 
         with open(self.path, "a") as f:
             f.write(json.dumps(payload, sort_keys=True) + "\n")
+
+
+class SmtpSender:
+    """Email delivery — the transport the reference actually configures
+    (``example_templates.yaml:6-8`` routes ``on_failure``/``on_warning``
+    to recipient lists).
+
+    Each payload becomes a real RFC-5322 message (stdlib
+    ``EmailMessage``): recipients from the payload's routed list,
+    severity-prefixed subject, a human-readable summary plus the full
+    JSON payload as body. Delivery goes through a pluggable
+    ``transport(from_addr, to_addrs, message_bytes)`` — by default a
+    one-shot ``smtplib.SMTP`` session (host/port from the
+    constructor); tests and sandboxes inject a capturing transport, so
+    the message CONSTRUCTION (the part that can silently rot) is fully
+    exercised without a network.
+    """
+
+    def __init__(
+        self,
+        from_addr: str = "dq-engine@localhost",
+        host: str = "localhost",
+        port: int = 25,
+        transport: Any | None = None,
+    ):
+        self.from_addr = from_addr
+        self.host = host
+        self.port = port
+        self.transport = transport or self._smtp_transport
+        self.sent: list[Any] = []
+
+    def _smtp_transport(
+        self, from_addr: str, to_addrs: list[str], message: bytes
+    ) -> None:  # pragma: no cover - needs a live SMTP host
+        import smtplib
+
+        with smtplib.SMTP(self.host, self.port) as s:
+            s.sendmail(from_addr, to_addrs, message)
+
+    def build_message(self, payload: dict[str, Any]):
+        import json
+        from email.message import EmailMessage
+
+        msg = EmailMessage()
+        level = payload.get("level", "notice")
+        tests = payload.get("tests", [])
+        msg["From"] = self.from_addr
+        msg["To"] = ", ".join(payload.get("recipients", []))
+        msg["Subject"] = (
+            f"[DQ {level.upper()}] {payload.get('table', '?')}: "
+            f"{len(tests)} test(s) {level}"
+        )
+        body = [
+            f"Data-quality {level} for table {payload.get('table', '?')}",
+            "",
+            "Tests: " + ", ".join(tests),
+            "",
+            "Full payload:",
+            json.dumps(payload, sort_keys=True, indent=1),
+        ]
+        msg.set_content("\n".join(body))
+        return msg
+
+    def send(self, payload: dict[str, Any]) -> None:
+        recipients = payload.get("recipients", [])
+        if not recipients:
+            return  # nothing routed: the reference sends nothing too
+        msg = self.build_message(payload)
+        self.transport(self.from_addr, list(recipients), bytes(msg))
+        self.sent.append(msg)
 
 
 def deliver_notifications(

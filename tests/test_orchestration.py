@@ -179,3 +179,35 @@ def test_due_jobs_skips_unsatisfiable_schedule():
         )
     ]
     assert got == ["good"]
+
+
+def test_smtp_sender_builds_real_messages():
+    """The email transport the reference configures: payloads become
+    RFC-5322 messages with routed recipients and a severity subject;
+    delivery goes through the injectable transport so the message
+    construction is exercised without a network."""
+    from gcp_dbt_data_engineering_spark.operators.dq import SmtpSender
+
+    delivered = []
+    s = SmtpSender(
+        from_addr="dq@example.org",
+        transport=lambda f, to, msg: delivered.append((f, to, msg)),
+    )
+    s.send(
+        {
+            "recipients": ["data-team@team.com", "tx@team.com"],
+            "level": "failure",
+            "table": "raw.transactions",
+            "tests": ["completeness_rut", "uniqueness_rut_code"],
+        }
+    )
+    s.send({"recipients": [], "level": "warning", "tests": []})  # no-op
+    assert len(delivered) == 1
+    frm, to, raw = delivered[0]
+    assert frm == "dq@example.org"
+    assert to == ["data-team@team.com", "tx@team.com"]
+    text = raw.decode()
+    assert "Subject: [DQ FAILURE] raw.transactions: 2 test(s) failure" in text
+    assert "completeness_rut" in text and "uniqueness_rut_code" in text
+    assert "From: dq@example.org" in text
+    assert "To: data-team@team.com, tx@team.com" in text
