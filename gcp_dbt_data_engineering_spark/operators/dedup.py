@@ -287,6 +287,107 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}
 
 
 # ---------------------------------------------------------------------------
+# 2b. containment join — asymmetric set similarity (quote inclusion)
+# ---------------------------------------------------------------------------
+
+#: containment threshold as an exact rational (same integer-prefix
+#: arithmetic rationale as JACCARD_T_NUM/DEN)
+CONTAIN_T_NUM, CONTAIN_T_DEN = 9, 10
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where >= 90% of one doc's shingles appear in another —
+    the ASYMMETRIC near-dup Jaccard misses.
+
+    C(A→B) = |A∩B| / |A|: a short document quoted or embedded inside
+    a longer one has high containment but low Jaccard (the union is
+    dominated by B), so a Jaccard-threshold dedup keeps both copies.
+    Containment is the standard complement (quote inclusion, page
+    boilerplate around a reused article, sub-document plagiarism).
+
+    Plan — prefix-filtered, exact recall:
+
+    - Only the CONTAINED side is prefix-pruned: if C(A→B) >= t, A
+      shares >= ceil(t*|A|) shingles with B, so A's first
+      |A| - ceil(t*|A|) + 1 shingles under the global (df, h) order
+      must contain a shared one; the container side indexes all its
+      shingles (no symmetric prune exists for containment). The df
+      ordering keeps boilerplate shingles out of prefixes — the same
+      hot-key defense as the Jaccard PPJoin.
+    - Size filter inside the join: i <= nb, so t_num*na <= t_den*nb.
+    - Exact verification on the full sets: integer test
+      t_den*i >= t_num*na (no float threshold wobble); the reported
+      ``containment`` is one double division.
+
+    Output is directional: (contained_doc, container_doc) — both
+    directions can appear, and exact duplicates appear twice with
+    containment 1.0. The oracle runs the naive all-co-shingle-pairs
+    plan; outputs are identical.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_rows(spark, sf_dir)
+    tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        sh.join(freq, "h")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.expr(f"rnk <= n - ({tn} * n + {tn}) DIV {td} + 1"))
+        .select(
+            F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("na")
+        )
+    )
+    full_b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    sz_b = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    cands = (
+        pref.join(full_b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .join(F.broadcast(sz_b.selectExpr("doc_id AS doc_b", "nb")), "doc_b")
+        .filter(F.expr(f"{tn} * na <= {td} * nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+        .filter(F.expr(f"{td} * i >= {tn} * na"))
+        .selectExpr(
+            "doc_a AS contained_doc",
+            "doc_b AS container_doc",
+            "CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment",
+        )
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_sql_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) AS containment
+FROM inter
+JOIN sz x ON doc_a = x.doc_id
+WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * x.n
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3. MinHash + banded LSH, exact-Jaccard verification
 # ---------------------------------------------------------------------------
 
@@ -807,6 +908,11 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("dedup_exact", dedup_exact, ORACLE_DEDUP_EXACT),
         QuerySpec(
             "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD
+        ),
+        QuerySpec(
+            "dedup_containment", dedup_containment, ORACLE_CONTAINMENT,
+            "asymmetric containment join C(A->B)>=0.9 — quote-inclusion "
+            "near-dups Jaccard misses; prefix-filtered, exact recall",
         ),
         QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, ORACLE_MINHASH_LSH),
         QuerySpec("dedup_simhash", dedup_simhash, ORACLE_SIMHASH),

@@ -799,6 +799,48 @@ def props_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured stats through Spark 4's VARIANT type.
+
+    ``parse_json`` ingests each ``props`` document once into the
+    binary VARIANT encoding; ``variant_get`` then does typed,
+    shredding-friendly path access — the open-format answer (Parquet
+    VARIANT, Delta/Iceberg shredded columns) to "JSON columns at
+    100 TB", where repeated ``get_json_object`` re-parses the string
+    per path. Per event_type: count, sum/min/max of the numeric
+    ``$.k`` field. Values match the string-path specs exactly; only
+    the access path differs.
+    """
+    ev = spread(_t(spark, sf_dir, "events"))
+    return (
+        ev.selectExpr(
+            "event_type",
+            "variant_get(parse_json(props), '$.k', 'bigint') AS k",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_PROPS_VARIANT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_min,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
 ORACLE_PROPS_UDTF = """
 WITH kv AS (
   SELECT unnest(json_keys(props)) AS k,
@@ -817,6 +859,9 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("events_props_udtf_stats", events_props_udtf_stats,
                   ORACLE_PROPS_UDTF,
                   "dynamic JSON map explode + per-key aggregate, pure JVM"),
+        QuerySpec("events_props_variant_stats", events_props_variant_stats,
+                  ORACLE_PROPS_VARIANT,
+                  "Spark 4 VARIANT parse_json/variant_get typed access"),
         QuerySpec("events_salted_dim_join", events_salted_dim_join,
                   ORACLE_SALTED_JOIN,
                   "skew-safe salted fact-to-dim join == unsalted oracle"),

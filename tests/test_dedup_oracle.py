@@ -124,3 +124,28 @@ def test_ppjoin_matches_naive_join(spark):
         for r in SPECS["dedup_ngram_jaccard"].spark(spark, SF).collect()
     }
     assert ppjoin == naive and len(naive) >= 10
+
+
+def test_containment_mutual_pairs_are_jaccard_pairs(spark):
+    """Provable cross-operator invariant: if C(A→B) >= 0.9 AND
+    C(B→A) >= 0.9 then i >= 0.9*max(na, nb), so
+    J = i/(na+nb-i) >= 0.9/(2-0.9) ≈ 0.818 > 0.8 — every MUTUAL
+    containment pair must appear in the Jaccard-0.8 join. Catches a
+    broken candidate stage in either operator."""
+    pairs = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in SPECS["dedup_containment"].spark(spark, SF).collect()
+    }
+    assert pairs, "generator plants near-dups at sf0.01"
+    assert all(v >= 0.9 for v in pairs.values())
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_ngram_jaccard"].spark(spark, SF).collect()
+    }
+    mutual = {
+        (min(a, b), max(a, b))
+        for (a, b) in pairs
+        if (b, a) in pairs
+    }
+    assert mutual, "corpus has symmetric near-dups"
+    assert mutual <= jac
