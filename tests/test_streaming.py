@@ -95,6 +95,41 @@ def test_stateful_user_totals_equals_batch(spark):
     )
 
 
+def test_transform_with_state_equals_legacy_api(spark):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor +
+    RocksDB state store) computes the same per-user running totals as
+    the legacy applyInPandasWithState operator — the migration path
+    for custom stateful logic is value-identical. Skips where
+    google.protobuf (the API's wire protocol) is unavailable — this
+    sandbox has no protobuf and installs are off-limits."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_user_totals_stream,
+        run_user_totals_tws,
+    )
+
+    legacy = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_user_totals_stream(
+            spark, SF, query_name="t_tws_legacy"
+        ).collect()
+    }
+    tws = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_user_totals_tws(
+            spark, SF, query_name="t_tws_new"
+        ).collect()
+    }
+    assert set(tws) == set(legacy) and len(tws) == 150
+    assert all(tws[k][0] == legacy[k][0] for k in legacy)
+    assert all(
+        abs(tws[k][1] - legacy[k][1]) <= 1e-6 * max(1.0, abs(legacy[k][1]))
+        for k in legacy
+    )
+
+
 def test_streaming_dq_equals_batch_dq(spark):
     """foreachBatch + DQEngine over the stream == batch DQ run."""
     from gcp_dbt_data_engineering_spark.operators.dq import (
