@@ -715,6 +715,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical keep id (= component_id, the min doc_id), member count,
     and max member id.
     """
+    labels = _cluster_labels(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id → label) at the min-label-propagation fixpoint — the
+    factored iterative core of :func:`dedup_cluster_components`,
+    reused by the keep-decision spec."""
     pairs = _jaccard_pair_list(spark, sf_dir)
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
@@ -746,9 +757,48 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.groupBy(F.col("label").alias("component_id")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("doc_id").alias("max_doc"),
+    return labels
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup DECISION: per near-dup cluster, keep the
+    richest member, drop the rest.
+
+    Composes the pipeline end-to-end: pair list → connected
+    components (:func:`_cluster_labels`) → a keep policy. Policy here
+    is "keep the member with the most DISTINCT shingles" (the
+    keep-longest rule production dedups default to — boilerplate
+    wrappers and truncated copies lose to the fullest text), ties to
+    the smallest doc_id. One arg-max per component via a struct MAX —
+    no window, one hash aggregate over (component, member) rows.
+
+    Output: component_id, member count, kept doc + its shingle count,
+    and how many docs the decision drops. Singletons keep themselves
+    with n_dropped = 0.
+    """
+    labels = _cluster_labels(spark, sf_dir)
+    sh = _shingle_rows(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    members = labels.join(sz, "doc_id", "left").selectExpr(
+        "label AS component_id",
+        "doc_id",
+        "COALESCE(n, CAST(0 AS BIGINT)) AS n",
+    )
+    return (
+        members.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("MAX(named_struct('n', n, 'neg_id', -doc_id))").alias(
+                "best"
+            ),
+        )
+        .selectExpr(
+            "component_id",
+            "n_docs",
+            "-best.neg_id AS keep_doc",
+            "best.n AS keep_n_shingles",
+            "n_docs - 1 AS n_dropped",
+        )
     )
 
 
@@ -889,6 +939,43 @@ FROM comp GROUP BY component_id
 """
 
 
+ORACLE_KEEP_BEST = f"""
+WITH RECURSIVE {_sql_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY node),
+members AS (
+  SELECT c.component_id, c.doc_id, COALESCE(z.n, 0) AS n
+  FROM comp c LEFT JOIN sz z ON c.doc_id = z.doc_id),
+ranked AS (
+  SELECT component_id, doc_id, n,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY n DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component_id) AS n_docs
+  FROM members)
+SELECT component_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS keep_doc,
+       CAST(n AS BIGINT) AS keep_n_shingles,
+       CAST(n_docs - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -903,6 +990,14 @@ SPECS: dict[str, QuerySpec] = {
             dedup_graph_pagerank,
             _oracle_pagerank(),
             "3-iter PageRank on the near-dup graph; quantized exact sums",
+            eager=True,
+        ),
+        QuerySpec(
+            "dedup_keep_best",
+            dedup_keep_best,
+            ORACLE_KEEP_BEST,
+            "end-to-end dedup decision: per cluster keep the member "
+            "with the most distinct shingles, ties to smallest id",
             eager=True,
         ),
         QuerySpec("dedup_exact", dedup_exact, ORACLE_DEDUP_EXACT),
