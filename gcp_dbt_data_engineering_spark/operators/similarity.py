@@ -502,13 +502,17 @@ def _kmeans_centroids(vecs: DataFrame, k: int, iters: int):
 
     import numpy as np
 
-    n = vecs.count()
-    stride = n // k
+    # stride = n DIV k as a broadcast scalar INSIDE the plan, so seed
+    # selection is ONE job instead of a count job + a filter job
+    stride_df = F.broadcast(
+        vecs.agg(F.expr(f"CAST(COUNT(*) DIV {k} AS BIGINT) AS stride"))
+    )
     seed_rows = (
-        vecs.filter(
-            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+        vecs.crossJoin(stride_df)
+        .filter(
+            F.expr(f"vec_id % stride = 0 AND vec_id DIV stride < {k}")
         )
-        .selectExpr(f"CAST(vec_id DIV {stride} AS BIGINT) AS cid", "q")
+        .selectExpr("CAST(vec_id DIV stride AS BIGINT) AS cid", "q")
         .collect()
     )
     cent = {int(r["cid"]): np.array(r["q"], dtype=np.int64) for r in seed_rows}
