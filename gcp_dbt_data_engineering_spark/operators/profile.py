@@ -163,8 +163,17 @@ def _column_stats(parts: list[tuple[DataFrame, str, dict[str, str]]]) -> DataFra
         F.col("distinct_count").cast("bigint").alias("distinct_count"),
         "min_num",
         "max_num",
-        F.when(numeric, mean).alias("avg_num"),
-        F.when(numeric, stddev).alias("stddev_num"),
+        # derived stats round through DECIMAL(28,6): at sf0.1 the
+        # DECIMAL(30,8)->DOUBLE cast of the big sum-of-squares differs
+        # by 1 ulp between engines (DuckDB's int128 conversion), which
+        # sqrt propagates into the 12th digit of stddev. micro-rounding
+        # absorbs it (same libm-margin contract as the text scores).
+        F.when(numeric, mean.cast("decimal(28,6)").cast("double")).alias(
+            "avg_num"
+        ),
+        F.when(
+            numeric, stddev.cast("decimal(28,6)").cast("double")
+        ).alias("stddev_num"),
         "min_str",
         "max_str",
     )
@@ -251,9 +260,12 @@ SELECT {"/*+ BROADCAST(b) */" if str_sel else ""} a.table_name,
        CAST(distinct_count AS BIGINT) AS distinct_count,
        min_num, max_num,
        CASE WHEN dtype IN ({numeric_in}) AND {n} > 0
-            THEN __sum / {n} END AS avg_num,
+            THEN CAST(CAST(__sum / {n} AS DECIMAL(28,6)) AS DOUBLE)
+       END AS avg_num,
        CASE WHEN dtype IN ({numeric_in}) AND {n} > 1
-            THEN sqrt(greatest({var}, 0.0)) END AS stddev_num,
+            THEN CAST(CAST(sqrt(greatest({var}, 0.0)) AS DECIMAL(28,6))
+                      AS DOUBLE)
+       END AS stddev_num,
        {b_cols}
 FROM a{b_join}
 """
@@ -391,15 +403,16 @@ def _oracle_table_profile(table: str) -> str:
             min_num = f"MIN({d})"
             max_num = f"MAX({d})"
             avg = (
-                f"CASE WHEN COUNT({c}) > 0 THEN "
-                f"CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}) END"
+                f"CASE WHEN COUNT({c}) > 0 THEN CAST(CAST("
+                f"CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c})"
+                f" AS DECIMAL(28,6)) AS DOUBLE) END"
             )
             stddev = (
-                f"CASE WHEN COUNT({c}) > 1 THEN sqrt(greatest("
+                f"CASE WHEN COUNT({c}) > 1 THEN CAST(CAST(sqrt(greatest("
                 f"(CAST(SUM(CAST({d}*{d} AS DECIMAL(30,8))) AS DOUBLE)"
                 f" - CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE)"
                 f" * CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}))"
-                f" / (COUNT({c}) - 1), 0.0)) END"
+                f" / (COUNT({c}) - 1), 0.0)) AS DECIMAL(28,6)) AS DOUBLE) END"
             )
             min_str = max_str = "CAST(NULL AS VARCHAR)"
         else:
