@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from typing import Iterable
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -433,7 +433,7 @@ KM_ITERS = 2
 KM_PROBE = 2
 
 
-def _argmin_cid_expr(cids, C) -> list[str]:
+def _argmin_cid_expr(cids, C) -> tuple[list[str], str, str]:
     """SQL select-exprs assigning each vector its nearest centroid.
 
     The k current centroids are INLINED as literal arrays: each l2 is

@@ -225,16 +225,26 @@ def lineitem_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.col("n").cast("double")
+
+    # derived moments micro-round through DECIMAL(28,12): the exact
+    # decimal power sums cast to double can differ by one ulp between
+    # engines (DuckDB's int128 decimal->double conversion vs the JVM's
+    # exact-nearest — observed on corr at sf0.001), and the divide/sqrt
+    # chain carries it into the printed value. Same libm-margin
+    # contract as the profiler/text scores.
+    def r(c):
+        return c.cast("decimal(28,12)").cast("double")
+
     return comp.select(
         "l_returnflag",
         "n",
-        (F.col("sx") / n).alias("mean_qty"),
-        F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
-               / (n * (n - 1))).alias("stddev_qty"),
-        ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
-         / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-            * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
-         ).alias("corr_qty_price"),
+        r(F.col("sx") / n).alias("mean_qty"),
+        r(F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 / (n * (n - 1)))).alias("stddev_qty"),
+        r((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+          / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+             * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
+          ).alias("corr_qty_price"),
     )
 
 
@@ -254,12 +264,15 @@ WITH comp AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       sx / CAST(n AS DOUBLE) AS mean_qty,
-       SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
-            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_qty,
-       (CAST(n AS DOUBLE) * sxy - sx * sy)
+       CAST(CAST(sx / CAST(n AS DOUBLE) AS DECIMAL(28,12)) AS DOUBLE)
+         AS mean_qty,
+       CAST(CAST(SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+            AS DECIMAL(28,12)) AS DOUBLE) AS stddev_qty,
+       CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
          / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
-            * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+            * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+            AS DECIMAL(28,12)) AS DOUBLE) AS corr_qty_price
 FROM comp
 """
 
