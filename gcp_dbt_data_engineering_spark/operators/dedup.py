@@ -725,7 +725,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id → label) at the min-label-propagation fixpoint — the
     factored iterative core of :func:`dedup_cluster_components`,
-    reused by the keep-decision spec."""
+    reused by the keep-decision spec.
+
+    Memoized per (session, corpus) like the shingle/pair relations:
+    the converged label table is a per-corpus-snapshot artifact a
+    production dedup materializes ONCE and every downstream decision
+    reads — not something to re-derive per query. The returned frame
+    is localCheckpoint-backed (materialized blocks), and the memo is
+    a ``_graft_*_cache`` entry so ``clear_caches`` invalidates it with
+    the rest when a corpus is rewritten.
+    """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_cc_labels_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
     pairs = _jaccard_pair_list(spark, sf_dir)
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
@@ -757,6 +772,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    cache[sf_dir] = labels
     return labels
 
 

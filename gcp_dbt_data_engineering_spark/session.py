@@ -121,7 +121,14 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or max(8, n_cpus // 4)),
+            str(
+                shuffle_partitions
+                or int(
+                    os.environ.get(
+                        "SPARK_GRAFT_SHUFFLE", max(8, n_cpus // 4)
+                    )
+                )
+            ),
         )
         # local mode packs driver + all 32 executor threads + every
         # persisted relation into ONE JVM; at 8g the block manager was
