@@ -734,6 +734,73 @@ def run_countmin_stream(
     return spark.table(query_name)
 
 
+def run_hdr_bucket_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "hdr_stream"
+) -> DataFrame:
+    """HDR quantile-sketch bucket build as a Structured Stream.
+
+    The (bucket → count) table is a pure count aggregate, so it
+    streams in complete output mode and micro-batches merge by the
+    same per-bucket sum that merges executors' partials — a live
+    latency/value-distribution sketch over a firehose with O(#buckets)
+    state. Built over ``events.value`` cents (the streaming source
+    here); stream == batch asserted in tests/test_streaming.py.
+    """
+    from ..operators.sketch import hdr_buckets
+
+    cents = _event_stream(spark, sf_dir).selectExpr(
+        "CAST(CAST(value AS DECIMAL(22,6)) * 100 AS BIGINT) AS v"
+    )
+    buckets = hdr_buckets(cents, "v")
+    query = (
+        buckets.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_bloom_word_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "bloom_stream"
+) -> DataFrame:
+    """Bloom-filter word build as a Structured Stream.
+
+    The batch builder dedups keys first; a stream skips that (chained
+    stateful aggregations aren't allowed in complete mode) and relies
+    on OR being idempotent — duplicate keys set the same bits, so the
+    streamed word table equals the batch one exactly. With HLL (max),
+    count-min (sum), and HDR (sum) this puts all four sketch-merge
+    algebras under streaming state: the filter stays queryable
+    mid-stream as a live membership pre-filter.
+    """
+    from ..operators.sketch import BLOOM_WORD, bloom_positions
+
+    words = (
+        bloom_positions(
+            _event_stream(spark, sf_dir).select("user_id"), "user_id"
+        )
+        .selectExpr(
+            f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            " AS bit",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    query = (
+        words.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (

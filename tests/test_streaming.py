@@ -261,3 +261,49 @@ def test_countmin_stream_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 300
+
+
+def test_hdr_bucket_stream_equals_batch(spark):
+    """Streamed HDR quantile buckets == batch build over the same
+    cents column (sum-merge algebra under streaming state)."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import hdr_buckets
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_hdr_bucket_stream,
+    )
+
+    streamed = {
+        (r.bucket_id, r.lo): r.n
+        for r in run_hdr_bucket_stream(spark, SF, query_name="t_hdr").collect()
+    }
+    cents = load_table(spark, SF, "events").selectExpr(
+        "CAST(CAST(value AS DECIMAL(22,6)) * 100 AS BIGINT) AS v"
+    )
+    batch = {
+        (r.bucket_id, r.lo): r.n for r in hdr_buckets(cents, "v").collect()
+    }
+    assert streamed == batch and len(batch) > 5
+
+
+def test_bloom_word_stream_equals_batch(spark):
+    """Streamed Bloom words (no pre-dedup; OR is idempotent) == the
+    batch distinct-key build, bit for bit."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import bloom_words
+    from gcp_dbt_data_engineering_spark.sources import load_table
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_bloom_word_stream,
+    )
+
+    streamed = {
+        r.word: r.bits
+        for r in run_bloom_word_stream(
+            spark, SF, query_name="t_bloom"
+        ).collect()
+    }
+    batch = {
+        r.word: r.bits
+        for r in bloom_words(
+            load_table(spark, SF, "events"), "user_id"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 10
