@@ -56,15 +56,37 @@ def _w(j: str, d: str) -> str:
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE})"
-        " AS BIGINT)) AS q",
-    ).selectExpr(
-        "vec_id",
-        "q",
-        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS nn",
+    """(vec_id, q, nn): int64-quantized vectors + exact norms.
+
+    Memoized + persisted per (session, corpus) with the same
+    ``_graft_*_cache`` discipline as the dedup shingle relation: the
+    quantized table is the input artifact every similarity spec (brute
+    force, LSH, IVF, k-means IVF, embedding near-dup) reads several
+    times per query — a production deployment materializes it once per
+    corpus snapshot; ``clear_caches`` invalidates it on rewrite.
+    """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_quantized_cache", {}
     )
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
+    df = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {QSCALE}) AS BIGINT)) AS q",
+        )
+        .selectExpr(
+            "vec_id",
+            "q",
+            "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS nn",
+        )
+        .persist()
+    )
+    cache[sf_dir] = df
+    return df
 
 
 _SQL_QUANTIZED = f"""
