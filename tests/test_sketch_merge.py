@@ -139,3 +139,59 @@ def test_hdr_estimate_error_bound(spark):
     for r in sketch_quantile_hdr_prices(spark, SF).collect():
         assert r.est_cents <= r.true_cents
         assert r.true_cents < r.est_cents * (1 + 2.0 ** -HDR_B)
+
+
+def _hdr_py(v: int):
+    """Python mirror of _hdr_bucket_exprs — parity asserted against
+    the SQL in test_hdr_bucket_sql_parity."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import HDR_B, HDR_W
+
+    bi = max(v.bit_length() - 1 - HDR_B, 0)
+    return bi, bi * HDR_W + (v >> bi), (v >> bi) << bi
+
+
+def test_hdr_bucket_property_bounds():
+    """Structural invariants on arbitrary values: lower bound never
+    exceeds v; error bounded by 2^-B above the exact range; exact
+    below it; bucket id nondecreasing in v (order-preserving, so the
+    cumulative walk is a valid quantile estimator)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_dbt_data_engineering_spark.operators.sketch import HDR_B
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**62))
+    def check(v):
+        _, bid, lo = _hdr_py(v)
+        assert lo <= v
+        if v < 1 << (HDR_B + 1):
+            assert lo == v
+        elif v > 0:
+            assert (v - lo) / v <= 2.0 ** -HDR_B
+        _, bid2, _ = _hdr_py(v + 1)
+        assert bid2 >= bid
+
+    check()
+
+
+def test_hdr_bucket_sql_parity(spark):
+    """The Python mirror above == the SQL expressions, over a batch of
+    adversarial values (powers of two ± 1, range boundaries)."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        _hdr_bucket_exprs,
+    )
+
+    vals = sorted(
+        {0, 1, 2, 62, 63, 64, 65, 127, 128}
+        | {(1 << k) + d for k in range(5, 62, 7) for d in (-1, 0, 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    _, bid, lo = _hdr_bucket_exprs("v")
+    got = {
+        r.v: (r.bid, r.lo)
+        for r in df.selectExpr("v", f"{bid} AS bid", f"{lo} AS lo").collect()
+    }
+    for v in vals:
+        _, pbid, plo = _hdr_py(v)
+        assert got[v] == (pbid, plo), v
