@@ -262,7 +262,19 @@ def _assets_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoders. ``src_len`` carries the media-body byte length (the
     oracles' ``byte_len``). No shuffle: synthesis and decode are
     map-only stages over the same partitioning.
+
+    Memoized + persisted per (session, corpus): the encoded asset
+    table IS the corpus for the multimodal specs (in production the
+    payloads arrive already containerized; re-synthesizing per query
+    would be re-ingesting). Same ``_graft_*_cache`` discipline as the
+    shingle/quantized relations; ``clear_caches`` invalidates it.
     """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_assets_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -295,11 +307,13 @@ def _assets_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["asset_id", "media_type", "src_len", "payload"]
             )
 
-    return _assets(spark, sf_dir).mapInPandas(
+    df = _assets(spark, sf_dir).mapInPandas(
         synth,
         schema="asset_id bigint, media_type string, src_len bigint,"
         " payload binary",
-    )
+    ).persist()
+    cache[sf_dir] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
