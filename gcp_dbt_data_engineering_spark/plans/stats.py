@@ -568,9 +568,81 @@ FROM fr
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis — the measurement you run BEFORE choosing a
+# skew strategy (broadcast / salting / AQE skew-join thresholds).
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 5
+
+
+def events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of candidate shuffle keys on the fact table.
+
+    For each candidate join/aggregation key (user_id, event_type):
+    distinct-key count, max and p99-ish top-frequency mass, the share
+    of all rows held by the top-``SKEW_TOP`` keys, and the
+    max/mean frequency ratio — exactly the numbers that decide
+    whether a key needs broadcast (few keys), salting (top-k mass
+    dominates), or nothing. Plan: one count aggregate per key, a tiny
+    window over the per-key counts for the top-k mass, all exact
+    integers plus two fixed-order double divisions. At 100 TB this is
+    a routine pre-flight costing one map-side-combined pass per key.
+    """
+    from ..sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    out = None
+    for key in ("user_id", "event_type"):
+        counts = ev.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.orderBy(F.desc("n"), F.asc("k"))
+        ranked = counts.withColumn("rnk", F.row_number().over(w))
+        row = ranked.agg(
+            F.lit(key).alias("key_column"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_freq"),
+            F.sum(F.when(F.col("rnk") <= SKEW_TOP, F.col("n")).otherwise(0))
+            .alias("topk_rows"),
+        ).selectExpr(
+            "key_column",
+            "n_keys",
+            "max_freq",
+            f"CAST(topk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+            " AS topk_mass",
+            "CAST(max_freq AS DOUBLE)"
+            " / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))"
+            " AS max_over_mean",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_KEY_SKEW = "\nUNION ALL\n".join(
+    f"""SELECT '{key}' AS key_column,
+       COUNT(*) AS n_keys,
+       MAX(n) AS max_freq,
+       CAST(SUM(CASE WHEN rnk <= {SKEW_TOP} THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS topk_mass,
+       CAST(MAX(n) AS DOUBLE)
+         / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         AS max_over_mean
+FROM (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, k ASC) AS rnk
+  FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS n
+        FROM events GROUP BY 1))"""
+    for key in ("user_id", "event_type")
+)
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("events_key_skew_stats", events_key_skew_stats,
+                  ORACLE_KEY_SKEW,
+                  "join-key skew pre-flight: top-k mass, max/mean ratio"),
         QuerySpec("orders_decile_stats", orders_decile_stats,
                   ORACLE_DECILES,
                   "ntile(10) price deciles per priority, unique tiebreak"),

@@ -105,3 +105,27 @@ def test_greedy_pack_spark_matches_reference_corners(spark):
         (6, "t", 1),
     ]
     _run(spark, rows)
+
+
+def test_greedy_pack_randomized_instances(spark):
+    """300 random docs across 7 sources with adversarial token-count
+    distribution (zeros, budget-sized, oversized, heavy tail) — the
+    JVM lambda must match the pure-Python replay on all of them in
+    one batch. Seeded: deterministic, no flake."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(300):
+        source = f"s{rng.randrange(7)}"
+        r = rng.random()
+        if r < 0.1:
+            n = 0
+        elif r < 0.2:
+            n = PACK_BUDGET + rng.randrange(0, 200)
+        elif r < 0.3:
+            n = rng.choice([PACK_BUDGET, PACK_BUDGET - 1, 1])
+        else:
+            n = rng.randrange(1, 180)
+        rows.append((i, source, n))
+    _run(spark, rows)
