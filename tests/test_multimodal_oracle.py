@@ -104,3 +104,33 @@ def test_codec_rejects_foreign_payloads():
         decode_audio(encode_bmp(4, 4, b""))
     with pytest.raises(ValueError):
         decode_video(encode_wav(8000, 10, b""))
+
+
+def test_codec_round_trip_fuzz():
+    """Randomized round-trips: whatever encode writes, decode reads
+    back, across the parameter space (dims up to 4k, rates, frame
+    counts, arbitrary body bytes including RIFF-like noise)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=4096),
+        h=st.integers(min_value=1, max_value=4096),
+        sr=st.integers(min_value=1, max_value=192_000),
+        ns=st.integers(min_value=0, max_value=10**7),
+        nf=st.integers(min_value=0, max_value=10**6),
+        fps=st.integers(min_value=1, max_value=120),
+        body=st.binary(max_size=64),
+    )
+    def check(w, h, sr, ns, nf, fps, body):
+        img = mm.decode_image(mm.encode_bmp(w, h, body))
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+        wav = mm.decode_audio(mm.encode_wav(sr, ns, body))
+        assert (wav["sample_rate"], wav["n_samples"]) == (sr, ns)
+        assert wav["duration_s"] == ns / sr
+        avi = mm.decode_video(mm.encode_avi(w, h, nf, fps, body))
+        assert (avi["width"], avi["height"], avi["n_frames"]) == (w, h, nf)
+        assert avi["duration_s"] == nf / fps
+
+    check()
