@@ -75,3 +75,36 @@ def test_generate_docs_manifest_and_catalog(spark, tmp_path):
     assert json.load(open(jpath))["manifest"]["my_second_dbt_model"][
         "depends_on"
     ] == ["my_first_dbt_model"]
+
+
+def test_from_dir_end_to_end(spark, tmp_path):
+    """The on-disk workflow a dbt user actually migrates with: a
+    models/ directory of .sql files + schema.yml -> ModelGraph.from_dir
+    -> run -> docs. Files are the reference's own two models."""
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    (mdir / "my_first_dbt_model.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "with source_data as (\n"
+        "    select 1 as id\n    union all\n    select null as id\n)\n"
+        "select * from source_data"
+    )
+    (mdir / "my_second_dbt_model.sql").write_text(
+        "select * from {{ ref('my_first_dbt_model') }} where id = 1"
+    )
+    (mdir / "schema.yml").write_text(SCHEMA_YML)
+
+    graph = ModelGraph.from_dir(
+        str(mdir), warehouse_dir=str(tmp_path / "wh")
+    )
+    out = graph.run(spark)
+    assert sorted(out) == ["my_first_dbt_model", "my_second_dbt_model"]
+    assert [r.id for r in out["my_second_dbt_model"].collect()] == [1]
+
+    info = load_schema_info((mdir / "schema.yml").read_text())
+    docs = generate_docs(graph, spark, info)
+    assert docs["manifest"]["my_second_dbt_model"]["depends_on"] == [
+        "my_first_dbt_model"
+    ]
+    md = render_markdown(docs)
+    assert "A starter dbt model" in md
