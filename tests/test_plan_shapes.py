@@ -1,0 +1,65 @@
+"""Physical-plan shape regression net.
+
+The scale story lives in plan SHAPES — how many shuffles a spec pays,
+whether small sides broadcast, that nothing degenerates into a
+cartesian product. These budgets pin the measured shape of a
+representative spec set at sf0.01 so a future 'works but shuffles
+twice as much' change fails loudly. Budgets are (max exchanges,
+min broadcasts); counts come from the executed-plan string.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+#: spec -> (max Exchange nodes, min BroadcastHashJoin nodes)
+BUDGETS = {
+    # single-pass aggregate over one fact scan: exactly one shuffle
+    "pricing_summary": (1, 0),
+    "dedup_exact": (1, 0),
+    "split_train_val_test": (1, 0),
+    # hierarchical greedy pack: the whole shard/pack/stitch pipeline
+    # rides ONE source-keyed exchange
+    "pack_sequences_greedy": (1, 0),
+    # star join: every dim side must broadcast
+    "revenue_by_region": (5, 4),
+    "shipping_priority_top10": (3, 2),
+    # 7 FK edges, one scan each + parent distincts: bounded fan-out,
+    # all 7 parent sides broadcast at this SF
+    "dq_referential_integrity": (21, 7),
+    # map explode + per-key agg + countDistinct expand
+    "events_props_udtf_stats": (3, 0),
+    "text_token_stats": (2, 0),
+    # sketch build + empty-bucket fill + exact-distinct rider
+    "sketch_hll_distinct_users": (6, 1),
+    # benchmark side broadcast, corpus side streams
+    "contamination_external_bench": (6, 1),
+    "events_key_skew_stats": (4, 0),
+}
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as e
+
+    spec = e._all_specs()[name]
+    return (
+        spec.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_shape_budget(spark, name):
+    p = _plan(spark, name)
+    max_exch, min_bcast = BUDGETS[name]
+    assert p.count("CartesianProduct") == 0
+    got_exch = p.count("Exchange")
+    got_bcast = p.count("BroadcastHashJoin")
+    assert got_exch <= max_exch, (
+        f"{name}: {got_exch} exchanges > budget {max_exch}"
+    )
+    assert got_bcast >= min_bcast, (
+        f"{name}: {got_bcast} broadcast joins < required {min_bcast}"
+    )
+    assert "Scan parquet" in p or "FileScan" in p  # really reads files
