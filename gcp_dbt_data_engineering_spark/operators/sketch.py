@@ -6,16 +6,20 @@ MERGEABLE (max per register, bit-or per word, sum per counter), so at
 100 TB each executor folds its partition into a few KB of state and the
 shuffle carries sketch states, not rows. These four are the standard
 kit a training-data pipeline runs continuously (cardinality tracking,
-membership pre-filters before expensive joins, heavy-hitter detection):
+membership pre-filters before expensive joins, heavy-hitter
+detection, quantile tracking):
 
 - ``sketch_hll_distinct_users``  — HyperLogLog register build + raw
-  estimator (Flajolet et al. 2007).
+  estimator (Flajolet et al. 2007), avalanched hash (see _hll_hash).
 - ``sketch_bloom_customer_filter`` — Bloom filter build over one
   relation, probe of another, with the realized false-positive set.
 - ``sketch_countmin_heavy_users`` — count-min sketch (Cormode &
   Muthukrishnan 2005) vs true counts for the top keys.
 - ``sketch_kmv_distinct_users`` — k-minimum-values (theta-sketch
   ancestor) distinct-count estimate.
+- ``sketch_quantile_hdr_prices`` — HDR-histogram quantile sketch
+  (hdrhistogram.org design): bit-length bucketing, relative error
+  bounded by 2^-B, merge by per-bucket sum.
 
 Engine-stable math contract (the driver hash-compares against DuckDB):
 
@@ -34,7 +38,9 @@ Engine-stable math contract (the driver hash-compares against DuckDB):
 - No libm transcendentals anywhere (the textbook small/large-range
   corrections need ln() — libm-dependent — so the spec reports the RAW
   estimator plus the empty-bucket count a production wrapper would
-  feed into the correction).
+  feed into the correction; tests/test_sketch_merge.py pins both the
+  raw-regime accuracy and the client-side linear-counting correction
+  against true cardinalities).
 
 Reference parity: the reference repo has no sketch surface (its DQ
 design counts exactly — /root/reference/tests/dq_sql_notes.md); these
