@@ -103,6 +103,27 @@ sh AS (SELECT DISTINCT doc_id, h
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
 
 
+def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, rnk, n): each doc's shingles ranked by the GLOBAL
+    (document-frequency, hash) order, plus the doc's shingle count.
+
+    The prefix-filter index both set-similarity joins cut their
+    prefixes from (Jaccard keeps rnk <= n - ceil(t*n) + 1, containment
+    likewise with its own t). Memoized + persisted per (session,
+    corpus) like the shingle relation itself — it is the same
+    materialize-once index artifact, two windows downstream of it.
+    """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_ranked_shingle_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
+    df = _rank_shingle_frame(_shingle_rows(spark, sf_dir)).persist()
+    cache[sf_dir] = df
+    return df
+
+
 def _jaccard_pairs(
     pairs: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
@@ -177,7 +198,31 @@ JACCARD_T_NUM, JACCARD_T_DEN = 4, 5
 JACCARD_T = JACCARD_T_NUM / JACCARD_T_DEN
 
 
-def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
+def _rank_shingle_frame(sh: DataFrame) -> DataFrame:
+    """The (doc_id, h, rnk, n) ranking for an arbitrary shingle frame —
+    the computation :func:`_ranked_shingles` memoizes per corpus;
+    exposed separately so tests can drive synthetic frames."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "h")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .select("doc_id", "h", "rnk", "n")
+    )
+
+
+def _ppjoin_candidates(
+    sh: DataFrame, ranked: DataFrame | None = None
+) -> DataFrame:
     """Prefix-filtered candidate pairs (Bayardo et al., WWW'07; PPJoin).
 
     For Jaccard >= t, any qualifying pair overlaps each member in
@@ -205,25 +250,11 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
     with the prefix filter alone -> far fewer after size+position,
     which is what the verification join's cost scales with.
     """
-    from pyspark.sql import Window
-
-    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    pref = (
-        sh.join(freq, "h")
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "h")
-            ),
+    pref = (ranked if ranked is not None else _rank_shingle_frame(sh)).filter(
+        F.expr(
+            f"rnk <= n - ({JACCARD_T_NUM} * n + {JACCARD_T_NUM})"
+            f" DIV {JACCARD_T_DEN} + 1"
         )
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(
-            F.expr(
-                f"rnk <= n - ({JACCARD_T_NUM} * n + {JACCARD_T_NUM})"
-                f" DIV {JACCARD_T_DEN} + 1"
-            )
-        )
-        .select("doc_id", "h", "rnk", "n")
     )
     a = pref.select(
         F.col("doc_id").alias("doc_a"),
@@ -268,7 +299,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy crawl".
     """
     sh = _shingle_rows(spark, sf_dir)
-    return _jaccard_pairs(_ppjoin_candidates(sh), sh, JACCARD_T)
+    return _jaccard_pairs(
+        _ppjoin_candidates(sh, _ranked_shingles(spark, sf_dir)),
+        sh,
+        JACCARD_T,
+    )
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -324,20 +359,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment 1.0. The oracle runs the naive all-co-shingle-pairs
     plan; outputs are identical.
     """
-    from pyspark.sql import Window
-
     sh = _shingle_rows(spark, sf_dir)
     tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
-    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     pref = (
-        sh.join(freq, "h")
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "h")
-            ),
-        )
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        _ranked_shingles(spark, sf_dir)
         .filter(F.expr(f"rnk <= n - ({tn} * n + {tn}) DIV {td} + 1"))
         .select(
             F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("na")
