@@ -14,6 +14,11 @@ strategies a large-scale training-data pipeline needs:
                                pigeonhole-exact for hamming <= 4.
 - ``dedup_embedding_cosine`` — near-dup pairs by cosine over quantized
                                int64 embeddings, blocked by ``label``.
+- ``dedup_containment``      — asymmetric containment join (quote
+                               inclusion; prefix-filtered, exact recall).
+- ``dedup_cluster_components`` / ``dedup_keep_best`` — connected
+                               components over the near-dup graph and
+                               the per-cluster keep decision.
 
 Correctness: every hash is portable integer arithmetic (see
 ``texthash.py``) so the DuckDB oracle reproduces Spark's output

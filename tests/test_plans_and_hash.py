@@ -262,12 +262,28 @@ def test_sketch_plans_stay_hash_aggregated_and_broadcast(spark):
 def test_ppjoin_candidate_filters_in_join(spark):
     """The PPJoin size+position prunes must run as Filter over the
     prefix equi-join (no extra joins for the size lookup)."""
+    from gcp_dbt_data_engineering_spark.operators import texthash as th
     from gcp_dbt_data_engineering_spark.operators.dedup import (
+        SHINGLE_N,
         _ppjoin_candidates,
-        _shingle_rows,
     )
+    from gcp_dbt_data_engineering_spark.sources import load_table
 
-    plan = _plan(_ppjoin_candidates(_shingle_rows(spark, SF)))
+    # fresh, un-memoized shingle frame: the session-level persist memos
+    # (shingle + ranked index) change cached-statistics-driven join
+    # strategy choices and therefore plan-string node counts depending
+    # on which tests ran first; the structural claim under test is
+    # about the PLAN SHAPE, so build it from an uncached frame.
+    sh = (
+        load_table(spark, SF, "documents")
+        .selectExpr(
+            "doc_id",
+            f"{th.shingle_hashes('text', SHINGLE_N, 'spark')} AS hs",
+        )
+        .selectExpr("doc_id", "explode(hs) AS h")
+        .distinct()
+    )
+    plan = _plan(_ppjoin_candidates(sh))
     # joins: freq⋈sh (appears on both self-join sides) + the self-join
     # on h = 3 physical joins; formatted mode mentions each node twice
     # (tree + details), so the string count is ≤ 6. na/nb/ra/rb must
