@@ -44,7 +44,7 @@ def _summary() -> dict:
     return {
         "n_specs": d.get("n_specs"),
         "n_pass": d.get("n_pass"),
-        "n_weak": d.get("n_weak"),
+        "n_rows_only": d.get("n_rows_only"),
         "n_fail": d.get("n_fail"),
     }
 
