@@ -7,18 +7,32 @@ artifact keeps only a tail of stdout, so the committed file is the
 auditable record — VERDICT r2 item 3).
 
 Methodology:
-- pass 1 builds every spec's DataFrame and executes it — the COLD
-  cost (Catalyst analysis + AQE planning + codegen compile +
-  broadcast builds + execution), recorded per query as spark_cold_s.
-  Passes 2+ re-execute the HELD DataFrame: the prepared-query steady
-  state every deployed job runs in (plan built once, serving every
-  execution — at 100 TB plan cost amortizes to nothing); re-execution
-  still re-reads parquet and re-shuffles, it only skips re-planning,
-  re-compiling, and broadcast rebuilds. Headline spark time = min
-  over the warm re-executions; passes run in different seeded-shuffle
-  orders so one expensive predecessor can't poison a spec's min
-  (run_orders recorded in the detail file). Materialization specs
-  run their full rebuild pipeline every pass.
+- a dedicated COLD pass runs first: before EACH spec,
+  ``clear_caches(spark)`` drops every session memo (persisted
+  shingle/pair/cluster/quantized corpus relations), so spark_cold_s
+  is the genuine one-shot cost — Catalyst analysis + AQE planning +
+  codegen compile + broadcast builds + any memo rebuild + execution.
+- then a BUILD pass (not recorded) rebuilds every spec once with the
+  memos allowed to persist, and WARM passes re-execute the HELD
+  DataFrames: the prepared-query steady state every deployed job runs
+  in (plan built once, corpus artifacts materialized once, serving
+  every execution — at 100 TB plan+artifact cost amortizes to
+  nothing); re-execution still re-reads parquet and re-shuffles, it
+  only skips re-planning, re-compiling, and broadcast/memo rebuilds.
+  Headline spark time = min over the warm re-executions; passes run
+  in different seeded-shuffle orders so one expensive predecessor
+  can't poison a spec's min (run_orders recorded in the detail file).
+  Materialization specs run their full rebuild pipeline every pass;
+  "eager" specs (iterative builders) are rebuilt every pass — their
+  warm number is a MEMO-WARM rebuild (persisted corpus inputs, fresh
+  iteration work), stated as such here.
+- asymmetry, stated plainly: the warm numbers read persisted
+  memoized relations while the DuckDB oracle re-executes its full
+  SQL (including shingle CTEs) every pass. That mirrors how a
+  resident engine amortizes corpus artifacts, but it is unequal
+  per-pass work — the genuinely-equal-work comparison is
+  spark_cold_s (memos cleared per spec) vs duckdb_s, reported
+  per-query and as cold_total_s.
 - the DuckDB oracle of every SQL-expressible spec is timed the same
   way (min over 2 passes) unless BENCH_DUCKDB=0.
 - specs are split by QuerySpec.kind: "materialization" specs rebuild
@@ -64,24 +78,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(8).mapInArrow(lambda it: it, "id long").count()
 
-    # Each pass visits the specs in a DIFFERENT deterministic order
-    # (seeded shuffle), so a spec's min-of-N can't be systematically
-    # poisoned by the same expensive predecessor every pass
-    # (cache-eviction / JIT interleave effects — VERDICT r3 item 8).
-    # The exact per-pass orders are recorded in BENCH_detail.json.
-    # Timing model: pass 1 BUILDS each spec's DataFrame and runs it
-    # (cold: Catalyst analysis + AQE planning + codegen compile +
-    # broadcast builds + execution — recorded per query as
-    # spark_cold_s); passes 2+ re-execute the HELD DataFrame — the
-    # steady state of any deployed job, where the plan is built once
-    # and serves every run (at 100 TB plan cost amortizes to nothing;
-    # re-execution still re-reads parquet and re-shuffles, it only
-    # skips re-planning/re-compiling and broadcast rebuilds). The
-    # headline spark time is the min over warm re-executions;
-    # DuckDB's timing (min of 2 full executes, planner included) is
-    # unchanged. Materialization specs run their full rebuild pipeline
-    # every pass (their builder IS the work), so cold==warm for them.
+    # Timing model (see module docstring): a dedicated COLD pass with
+    # clear_caches() before EACH spec (genuine one-shot cost incl. memo
+    # rebuild — ADVICE r4: the old scheme let "cold" rebuilds hit
+    # session memos populated earlier in the pass); then a BUILD pass
+    # (unrecorded, memos persist) and WARM passes over the held
+    # DataFrames. Each pass visits specs in a DIFFERENT deterministic
+    # order (seeded shuffle) so one expensive predecessor can't poison
+    # a spec's min; orders recorded in BENCH_detail.json.
     import random
+
+    from gcp_dbt_data_engineering_spark.session import clear_caches
 
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
@@ -89,6 +96,19 @@ def main() -> None:
     counts: dict[str, int] = {}
     held: dict[str, object] = {}
     run_orders: list[list[str]] = []
+
+    if os.environ.get("BENCH_COLD", "1") != "0":
+        order = sorted(specs)
+        random.Random(20_260_813).shuffle(order)
+        run_orders.append(order)
+        for name in order:
+            clear_caches(spark)
+            t0 = time.perf_counter()
+            df = specs[name].spark(spark, sf_dir)
+            counts[name] = len(df.collect())
+            cold_s[name] = round(time.perf_counter() - t0, 4)
+        clear_caches(spark)
+
     for p in range(passes):
         order = sorted(specs)
         random.Random(20_260_814 + p).shuffle(order)
@@ -98,25 +118,21 @@ def main() -> None:
             # definition; eager specs perform Spark actions inside the
             # builder (iterative loops, scalar-count literals), so the
             # held tail DataFrame alone would under-count them — they
-            # are rebuilt and timed cold every pass too.
-            always_cold = (
+            # are rebuilt every pass (memo-warm: persisted corpus
+            # inputs, fresh iteration work).
+            always_rebuild = (
                 specs[name].kind == "materialization"
                 or getattr(specs[name], "eager", False)
             )
-            rebuild = name not in held or always_cold
+            rebuild = name not in held or always_rebuild
             t0 = time.perf_counter()
             if rebuild:
                 held[name] = specs[name].spark(spark, sf_dir)
             counts[name] = len(held[name].collect())
             dt = time.perf_counter() - t0
-            if rebuild:
-                cold_s[name] = round(min(cold_s.get(name, dt), dt), 4)
-                if always_cold:
-                    timings[name] = round(
-                        min(timings.get(name, dt), dt), 4
-                    )
-            else:
-                timings[name] = round(min(timings.get(name, dt), dt), 4)
+            if p == 0 and not always_rebuild:
+                continue  # build pass: populates memos, holds the DF
+            timings[name] = round(min(timings.get(name, dt), dt), 4)
 
     for name in specs:  # passes=1 fallback: no warm run happened
         timings.setdefault(name, cold_s.get(name, 0.0))
@@ -179,14 +195,24 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": passes,
         "methodology": {
-            "timing": "pass 1 builds each DataFrame and runs it "
-            "(spark_cold_s: analysis+AQE+codegen+broadcast+exec); "
-            "passes 2+ re-execute the held DataFrame (prepared-query "
-            "steady state: re-reads/re-shuffles, skips re-planning); "
+            "timing": "cold pass first with clear_caches() before "
+            "EACH spec (spark_cold_s: analysis+AQE+codegen+broadcast"
+            "+memo-rebuild+exec — genuine one-shot cost); then an "
+            "unrecorded build pass (memos persist) and warm passes "
+            "re-executing the held DataFrame (prepared-query steady "
+            "state: re-reads/re-shuffles, skips re-planning); "
             "headline spark_s = min over warm re-executions; "
-            "materializations run their full pipeline every pass. "
-            "Each pass visits specs in a different seeded-shuffle "
-            "order (seeds 20260814+pass).",
+            "materializations and eager iterative specs rebuild every "
+            "pass — their spark_s is a MEMO-WARM rebuild (persisted "
+            "corpus inputs, fresh iteration work). Each pass visits "
+            "specs in a different seeded-shuffle order (seeds "
+            "20260813 cold, 20260814+pass warm).",
+            "asymmetry": "warm spark_s reads persisted memoized "
+            "relations while duckdb_s re-executes the full SQL "
+            "(including shingle CTEs) every pass — resident-engine "
+            "amortization, unequal per-pass work. The equal-work "
+            "comparison is spark_cold_s (memos cleared per spec) vs "
+            "duckdb_s; see sections.queries.cold_total_s.",
             "warmup": "fact-table count + one mapInArrow action "
             "(Python-worker spin-up excluded from per-spec time)",
             "run_orders": run_orders,
@@ -198,6 +224,18 @@ def main() -> None:
                 "spark_s": q_total,
                 "duckdb_s": dq_total,
                 "ratio": round(q_total / dq_total, 2) if dq_total else None,
+                "cold_total_s": round(
+                    sum(v for n, v in cold_s.items() if n not in mat), 4
+                ),
+                "cold_ratio": (
+                    round(
+                        sum(v for n, v in cold_s.items() if n not in mat)
+                        / dq_total,
+                        2,
+                    )
+                    if dq_total and cold_s
+                    else None
+                ),
                 "plan_s": round(
                     sum(v for n, v in plan_s.items() if n not in mat), 4
                 ),

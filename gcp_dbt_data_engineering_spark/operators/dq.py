@@ -1191,7 +1191,8 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM (
   SELECT '{fk_name}' AS fk,
          COUNT(*) AS child_rows,
-         SUM(CASE WHEN pa.__p IS NULL THEN 1 ELSE 0 END) AS orphan_rows
+         COALESCE(SUM(CASE WHEN pa.__p IS NULL THEN 1 ELSE 0 END), 0)
+           AS orphan_rows
   FROM (SELECT {ckey} AS __c FROM {child}) ch
   LEFT JOIN (SELECT DISTINCT {pkey} AS __p FROM {parent}) pa
     ON ch.__c = pa.__p

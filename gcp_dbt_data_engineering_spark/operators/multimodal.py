@@ -169,7 +169,13 @@ def decode_video(payload: bytes) -> dict:
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", payload, pos)
             if cid == b"LIST":
-                walk(pos + 12, min(end, pos + 8 + size))
+                # Only recurse into header lists (hdrl/strl). The movi
+                # list holds the raw frame body — arbitrary bytes that
+                # could contain aligned 'avih'/'strh' patterns and
+                # clobber the parsed header fields.
+                ltype = payload[pos + 8:pos + 12]
+                if ltype in (b"hdrl", b"strl"):
+                    walk(pos + 12, min(end, pos + 8 + size))
             elif cid == b"avih":
                 vals = struct.unpack_from("<IIIIIIIIII", payload, pos + 8)
                 n_frames, width, height = vals[4], vals[8], vals[9]

@@ -60,9 +60,22 @@ def _hash_sample(df: DataFrame, n: int) -> DataFrame:
     a count cap instead of a rate). ``orderBy(hash).limit(n)`` plans
     as TakeOrderedAndProject: per-partition top-n + driver merge, at
     most n rows leave any partition.
+
+    The key is md5 over per-column md5 digests (fixed 32-hex-char
+    blocks), not ``concat_ws`` over raw values: ``concat_ws`` skips
+    NULLs, so ('x', NULL) and (NULL, 'x') would collide and the
+    straddling tie would resolve by partition order. Per-column
+    hashing keeps the key an injective function of the row's values
+    (NULL encoded as a distinct literal block), so membership really
+    is engine- and partitioning-independent.
     """
     key = F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+        F.concat(
+            *[
+                F.coalesce(F.md5(F.col(c).cast("string")), F.lit("~null~"))
+                for c in df.columns
+            ]
+        )
     )
     return (
         df.withColumn("__sk", key)

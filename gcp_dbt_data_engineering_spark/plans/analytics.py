@@ -809,13 +809,15 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB", where repeated ``get_json_object`` re-parses the string
     per path. Per event_type: count, sum/min/max of the numeric
     ``$.k`` field. Values match the string-path specs exactly; only
-    the access path differs.
+    the access path differs. ``try_variant_get`` (not ``variant_get``)
+    so a non-integral ``$.k`` becomes NULL like the oracle's
+    TRY_CAST, instead of a runtime error.
     """
     ev = spread(_t(spark, sf_dir, "events"))
     return (
         ev.selectExpr(
             "event_type",
-            "variant_get(parse_json(props), '$.k', 'bigint') AS k",
+            "try_variant_get(parse_json(props), '$.k', 'bigint') AS k",
         )
         .groupBy("event_type")
         .agg(
