@@ -441,23 +441,100 @@ INTO NAME metric VALUE value
 
 # ---------------------------------------------------------------------------
 # ntile deciles — the tiling window family (ntile/percent_rank), with a
-# unique-key tiebreak so both engines tile identically.
+# unique-key tiebreak so both engines tile identically. Implemented as
+# a DISTRIBUTED two-phase rank, not ntile-over-a-priority-partition:
+# o_orderpriority has 5 values, so a window partitioned on it gives one
+# task per priority holding that priority's FULL sort — at 100× scale,
+# 5 tasks sort the whole table (VERDICT r4 item 1). Instead:
+#   1. equi-width price buckets per priority (bounds from one cheap
+#      5-row agg, broadcast back) — rows with equal price share a
+#      bucket, so cross-bucket order == price order;
+#   2. per-(priority, bucket) row_number — every sort bounded by one
+#      bucket's occupancy, hundreds of independent tasks;
+#   3. bucket row-counts (a ≤ priority×B row relation) prefix-summed
+#      into per-bucket offsets; global rank = offset + in-bucket rank;
+#   4. ntile's exact assignment law applied arithmetically to the
+#      rank: with n rows, base = n div 10, rem = n mod 10, the first
+#      rem tiles hold base+1 rows — pure integer math, no window.
 # ---------------------------------------------------------------------------
+
+_DECILE_BUCKETS = 64  # per priority; size ≈ rows/(5·64) per sort task.
+# At 100 TB you'd raise this so each bucket's sort fits an executor —
+# the shape stays identical, only the constant changes.
+
 
 def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority price deciles: row counts + bounds + revenue.
 
     ``ntile`` assigns by row position, so ties in the order column make
-    tiling ambiguous — the ORDER BY carries the unique ``o_orderkey``
-    tiebreak (spec.py determinism rules). One shuffle + one sort per
-    priority partition, then a hash aggregate on (priority, decile).
+    tiling ambiguous — the rank carries the unique ``o_orderkey``
+    tiebreak (spec.py determinism rules). See the block comment above
+    for the distributed two-phase-rank shape; results are exactly
+    NTILE(10) OVER (PARTITION BY priority ORDER BY price, orderkey).
     """
-    od = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    B = _DECILE_BUCKETS
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    bounds = od.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("__lo"),
+        F.max("o_totalprice").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = (
+        (F.col("__hi") - F.col("__lo")).cast("double") / F.lit(float(B))
+    )
+    b = (
+        od.join(F.broadcast(bounds), "o_orderpriority")
+        .withColumn(
+            "__bkt",
+            F.least(
+                F.lit(B - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("o_totalprice") - F.col("__lo")).cast("double")
+                        / F.greatest(width, F.lit(1e-12))
+                    ).cast("int"),
+                ),
+            ),
+        )
+    )
+    # offsets: tiny relation (≤ 5·B rows) — the window here sorts ≤ B
+    # rows per priority, not the table.
+    counts = b.groupBy("o_orderpriority", "__bkt").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "o_orderpriority",
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("o_orderpriority", "__bkt").orderBy(
         F.asc("o_totalprice"), F.asc("o_orderkey")
     )
+    ranked = (
+        b.join(F.broadcast(offsets), ["o_orderpriority", "__bkt"])
+        .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
+    )
+    # ntile(10) assignment law, arithmetically from (rn, n) — exact
+    # integer `div`, no float truncation at any n. greatest(base, 1)
+    # keeps the unselected branch divisor nonzero when n < 10 (ANSI).
+    decile = F.expr(
+        "CASE WHEN __rn <= (__n % 10) * ((__n div 10) + 1)"
+        " THEN (__rn + (__n div 10)) div ((__n div 10) + 1)"
+        " ELSE (__n % 10)"
+        "  + (__rn - (__n % 10) * ((__n div 10) + 1)"
+        "     + greatest(__n div 10, 1) - 1) div greatest(__n div 10, 1)"
+        " END"
+    )
     return (
-        od.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("o_orderpriority", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

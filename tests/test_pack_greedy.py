@@ -129,3 +129,37 @@ def test_greedy_pack_randomized_instances(spark):
             n = rng.randrange(1, 180)
         rows.append((i, source, n))
     _run(spark, rows)
+
+
+def test_two_phase_prefix_sum_equals_window_on_skew(spark):
+    """The distributed two-phase scan must equal the plain per-source
+    window prefix sum, including on a 90 %-hot source (the regime the
+    rewrite targets) and with non-contiguous doc_ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gcp_dbt_data_engineering_spark.operators.pipeline import (
+        two_phase_prefix_sum,
+    )
+
+    rows = [
+        (i * 7 + 3, "hot" if i % 10 else f"cold{i % 3}", (i * 37) % 90 + 1)
+        for i in range(1500)
+    ]
+    toks = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = toks.withColumn(
+        "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select("doc_id", "start")
+    got = two_phase_prefix_sum(
+        toks, "source", "doc_id", "n_tokens", "start"
+    ).select("doc_id", "start")
+    assert sorted(map(tuple, ref.collect())) == sorted(
+        map(tuple, got.collect())
+    )

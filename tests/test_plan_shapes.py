@@ -20,9 +20,12 @@ BUDGETS = {
     "pricing_summary": (1, 0),
     "dedup_exact": (1, 0),
     "split_train_val_test": (1, 0),
-    # hierarchical greedy pack: the whole shard/pack/stitch pipeline
-    # rides ONE source-keyed exchange
-    "pack_sequences_greedy": (1, 0),
+    # hierarchical greedy pack on two two-phase prefix scans (r5): each
+    # scan pays one full-data (part,bucket) exchange + a narrow
+    # map-side-partial totals exchange + a tiny offset-stitch exchange
+    # + an offsets BroadcastExchange, and the pack/bin rollups add two
+    # more — no exchange carries a per-source sequential sort anymore
+    "pack_sequences_greedy": (30, 2),
     # star join: every dim side must broadcast
     "revenue_by_region": (5, 4),
     "shipping_priority_top10": (3, 2),
@@ -63,3 +66,30 @@ def test_plan_shape_budget(spark, name):
         f"{name}: {got_bcast} broadcast joins < required {min_bcast}"
     )
     assert "Scan parquet" in p or "FileScan" in p  # really reads files
+
+
+#: specs rewritten from low-cardinality window partitions (VERDICT r4
+#: items 1/2) to two-phase distributed scans: every window over the
+#: full-size relation must include the __bkt bucket column in its
+#: partition spec; only the tiny offset-stitch windows (over __bn /
+#: __bsum partial-count relations) may partition on the raw key.
+TWO_PHASE_SPECS = [
+    "orders_decile_stats",
+    "pack_sequences_chunked",
+    "pack_sequences_greedy",
+]
+
+
+@pytest.mark.parametrize("name", TWO_PHASE_SPECS)
+def test_no_low_cardinality_window_partition(spark, name):
+    p = _plan(spark, name)
+    assert "ntile" not in p  # decile rewrite: no ntile window at all
+    for line in p.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        if "__bsum" in line or "__bn#" in line:
+            continue  # offset stitch over the tiny per-bucket relation
+        assert "__bkt" in line, (
+            f"{name}: full-relation window without bucket column: "
+            f"{line.strip()[:160]}"
+        )
