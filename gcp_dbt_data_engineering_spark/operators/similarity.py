@@ -455,112 +455,95 @@ KM_ITERS = 2
 KM_PROBE = 2
 
 
-def _argmin_cid_expr(cids, C) -> tuple[list[str], str, str]:
-    """SQL select-exprs assigning each vector its nearest centroid.
+#: argmin fold over an ascending-cid ``__cents`` array-of-structs
+#: column: each centroid's exact-int64 l2 is computed once by
+#: ``transform``, then ``aggregate`` folds with a strict ``<`` — first
+#: minimum wins, i.e. ties break to the smallest centroid id, matching
+#: numpy argmin and the oracle's ORDER BY l2, cid.
+_ARGMIN_FOLD = (
+    "aggregate(transform(__cents, c -> named_struct("
+    " 'cid', c.cid,"
+    " 'l2', aggregate(zip_with(q, c.cv, (x, y) -> (x - y) * (x - y)),"
+    "       CAST(0 AS BIGINT), (acc, v) -> acc + v))),"
+    " named_struct('cid', CAST(-1 AS BIGINT),"
+    "              'l2', CAST(9223372036854775807 AS BIGINT)),"
+    " (best, s) -> CASE WHEN s.l2 < best.l2 THEN s ELSE best END"
+    ").cid AS cid"
+)
 
-    The k current centroids are INLINED as literal arrays: each l2 is
-    a JVM zip_with/aggregate fold, the winner is picked with
-    ``least`` + an ordered CASE (first minimum == smallest centroid
-    id, matching both numpy argmin and the oracle's ORDER BY l2, cid).
-    No join, no Python — assignment is a map-only projection, so the
-    only thing ever shuffled per iteration is the map-side-combined
-    (cid, dim) partial-sum table (k x dim rows per partition).
-    """
-    l2s = []
-    for j, c in enumerate(cids):
-        lit = "array(" + ",".join(f"{int(v)}L" for v in C[j]) + ")"
-        l2s.append(
-            f"aggregate(zip_with(q, {lit}, (x, y) -> (x - y) * (x - y)),"
-            f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS l2_{j}"
-        )
-    m = "least(" + ", ".join(f"l2_{j}" for j in range(len(cids))) + ")"
-    case = (
-        "CASE "
-        + " ".join(
-            f"WHEN l2_{j} = __m THEN CAST({int(c)} AS BIGINT)"
-            for j, c in enumerate(cids)
-        )
-        + " END AS cid"
+
+def _cents_one_row(cents: DataFrame) -> DataFrame:
+    """Collapse a (cid, cv) centroid relation to ONE row holding the
+    ascending-cid array-of-structs that ``_ARGMIN_FOLD`` consumes —
+    ``array_sort`` on structs orders by the leading field (cid)."""
+    return cents.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('cid', cid, 'cv', cv)))"
+        ).alias("__cents")
     )
-    return l2s, m, case
 
 
-def _assign_cids(vecs: DataFrame, cids, C, extra_cols=("q",)) -> DataFrame:
-    l2s, m, case = _argmin_cid_expr(cids, C)
+def _assign_cids(vecs: DataFrame, cents: DataFrame, extra_cols=("q",)):
+    """Nearest-centroid assignment as a map-only projection: the k
+    centroids ride in as a broadcast ONE-ROW array column; vectors
+    never shuffle and no literal is inlined into the expression tree
+    (an earlier form unrolled one l2 fold per centroid — at k=8,
+    dim=64 Janino compile of the generated code dominated the spec's
+    wall-clock)."""
     return (
-        vecs.selectExpr(*extra_cols, *l2s)
-        .selectExpr(*extra_cols, f"{m} AS __m", *(
-            f"l2_{j}" for j in range(len(cids))
-        ))
-        .selectExpr(*extra_cols, case)
+        vecs.crossJoin(F.broadcast(_cents_one_row(cents)))
+        .selectExpr(*extra_cols, _ARGMIN_FOLD)
     )
 
 
-def _kmeans_centroids(vecs: DataFrame, k: int, iters: int):
-    """Fit k centroids with Lloyd's algorithm, fully deterministic
-    and fully JVM-side.
+def _kmeans_cents_df(vecs: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd's k-means as ONE declarative plan — no driver sync at all.
 
-    Distributed shape: each iteration is ONE map-only pass — nearest
-    centroid via inlined-literal l2 folds (``_argmin_cid_expr``), then
-    posexplode to (cid, dim, x) and a hash aggregate whose map-side
-    combine reduces every partition to k x dim partial rows before the
-    (tiny) shuffle — followed by a metadata-sized centroid collect
-    (the same driver-side sync every distributed k-means, including
-    MLlib's, performs per iteration). The vectors never leave the
-    executors and no Python worker is involved (the previous
-    mapInPandas form paid an Arrow round-trip per iteration that
-    dominated this spec's bench time).
+    Each iteration: assignment via the broadcast-centroid argmin fold
+    (map-only over the vectors), then recenter as posexplode →
+    (cid, dim) hash aggregate whose map-side combine reduces every
+    partition to k x dim partial rows before the tiny shuffle, folded
+    back to (cid, cv) arrays. Iterations chain lazily — the k-row
+    centroid relation flows between them as a broadcast, so the whole
+    fit is one job with no collect anywhere (the previous form
+    collected centroids per iteration, the MLlib-style driver sync;
+    at 2 iterations that was 3 sequential driver round-trips of pure
+    scheduling constant).
 
     Determinism: seeds are the k evenly-strided vec_ids; distances and
-    sums are exact int64; new centroids are floor(sum / count); ties
-    break to the smallest centroid id. The DuckDB oracle replays the
-    same iterations unrolled as SQL CTEs, bit-for-bit.
-
-    Returns (cids, C): sorted cluster ids and the matching int64
-    centroid matrix. Clusters that lose all members disappear, in both
-    engines alike.
+    sums are exact int64; new centroids are floor(double(sum)/count);
+    ties break to the smallest centroid id. The DuckDB oracle replays
+    the same iterations unrolled as SQL CTEs, bit-for-bit. Clusters
+    that lose all members disappear, in both engines alike.
     """
-    import math
-
-    import numpy as np
-
-    # stride = n DIV k as a broadcast scalar INSIDE the plan, so seed
-    # selection is ONE job instead of a count job + a filter job
     stride_df = F.broadcast(
         vecs.agg(F.expr(f"CAST(COUNT(*) DIV {k} AS BIGINT) AS stride"))
     )
-    seed_rows = (
+    cents = (
         vecs.crossJoin(stride_df)
-        .filter(
-            F.expr(f"vec_id % stride = 0 AND vec_id DIV stride < {k}")
-        )
-        .selectExpr("CAST(vec_id DIV stride AS BIGINT) AS cid", "q")
-        .collect()
+        .filter(F.expr(f"vec_id % stride = 0 AND vec_id DIV stride < {k}"))
+        .selectExpr("CAST(vec_id DIV stride AS BIGINT) AS cid", "q AS cv")
     )
-    cent = {int(r["cid"]): np.array(r["q"], dtype=np.int64) for r in seed_rows}
-
     for _ in range(iters):
-        cids = np.array(sorted(cent), dtype=np.int64)
-        C = np.stack([cent[int(c)] for c in cids])
-        agg = (
-            _assign_cids(vecs, cids, C)
+        cents = (
+            _assign_cids(vecs, cents)
             .select("cid", F.posexplode("q").alias("i", "x"))
             .groupBy("cid", "i")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        cent = {}
-        for r in agg:
-            cent.setdefault(int(r["cid"]), {})[int(r["i"])] = int(
-                math.floor(float(r["s"]) / float(r["cnt"]))
+            .agg(
+                F.expr(
+                    "CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*))"
+                    " AS BIGINT)"
+                ).alias("v")
             )
-        cent = {
-            c: np.array([dims[i] for i in sorted(dims)], dtype=np.int64)
-            for c, dims in cent.items()
-        }
-
-    cids = np.array(sorted(cent), dtype=np.int64)
-    return cids, np.stack([cent[int(c)] for c in cids])
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "named_struct('i', i, 'v', v))), s -> s.v)"
+                ).alias("cv")
+            )
+        )
+    return cents
 
 
 def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,21 +558,16 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage — iteration assignment, recenter sums, final
     membership — is JVM expression code; no Python workers anywhere
-    in this spec. The quantize lineage is cheap enough that re-running
-    it per iteration beats eager materialization here (measured: a
-    localCheckpoint cost more than it saved); on a real cluster with
-    an expensive upstream you'd persist(DISK_ONLY) the quantized
-    table before the loop instead.
+    in this spec, and since r5 no driver sync either: the whole fit +
+    probe + re-rank is ONE declarative plan (``_kmeans_cents_df``),
+    with the k-row centroid relation flowing between iterations as a
+    broadcast. The quantized input is the persisted per-corpus memo.
     """
     base = _quantized(spark, sf_dir)
-    cids, C = _kmeans_centroids(base, K_CLUSTERS, KM_ITERS)
+    cents = _kmeans_cents_df(base, K_CLUSTERS, KM_ITERS)
 
     members = _assign_cids(
-        base.select("vec_id", "q"), cids, C, extra_cols=("vec_id",)
-    )
-    cents = spark.createDataFrame(
-        [(int(c), [int(x) for x in C[j]]) for j, c in enumerate(cids)],
-        schema="cid bigint, cv array<bigint>",
+        base.select("vec_id", "q"), cents, extra_cols=("vec_id",)
     )
 
     queries = base.filter((F.col("vec_id") % QUERY_MOD) == 0).selectExpr(
@@ -816,9 +794,9 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec(
             "similarity_ann_ivf_kmeans", similarity_ann_ivf_kmeans,
             ORACLE_ANN_IVF_KMEANS,
-            "IVF ANN over a Lloyd's-k-means inverted file (oracle "
-            "replays the unrolled iterations in SQL)",
-            eager=True,
+            "IVF ANN over a Lloyd's-k-means inverted file, fit as one "
+            "declarative zero-collect plan (oracle replays the "
+            "unrolled iterations in SQL)",
         ),
     )
 }
