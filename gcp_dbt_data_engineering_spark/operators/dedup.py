@@ -621,17 +621,103 @@ WHERE hamming <= {HAMMING_T}
 QSCALE = 1 << 20  # floor(x * 2^20): exact in float64, portable to SQL
 COSINE_T = 0.4
 
+#: max vectors per Gram-tile side — bounds every task's memory and CPU
+#: regardless of label skew. At 100 TB raise/lower so a 2S x dim int64
+#: tile fits an executor comfortably; shape is unchanged.
+COSINE_TILE = 4096
+
+
+def embedding_cosine_pairs(emb: DataFrame, tile: int = COSINE_TILE):
+    """All within-``label`` pairs with cosine >= COSINE_T, with every
+    task bounded to <= 2·``tile`` vectors no matter how hot a label is.
+
+    The r4 form handed each label's FULL block to one ``applyInPandas``
+    task — O(b²) memory/CPU in one task for a hot label (VERDICT r4
+    item 7). The exact-pairs work is irreducibly O(b²), so the fix is
+    TILING, not candidate pruning: each label is split into
+    m = ceil(cnt / tile) mod-groups (``vec_id % m``), every vector
+    fans out to the m tiles ``(min(c,o), max(c,o))`` it participates
+    in, and each (label, i, j) tile task computes one bounded Gram
+    block — within-chunk (i == j) upper-triangle or cross-chunk
+    (i < j) full rectangle, emitting (min, max) ids so every unordered
+    pair surfaces exactly once. Duplication factor is m per row — the
+    standard triangle-tiling cost — and small labels (m = 1) run the
+    identical single-tile path as before.
+
+    Numerics are unchanged: exact int64 Gram (dim 64, |x_q| < 2^20 →
+    dot < 2^47, exactly representable in float64), then the same fixed
+    IEEE op sequence the SQL oracle replays.
+    """
+    counts = emb.groupBy("label").agg(
+        F.expr(f"CAST((COUNT(*) + {tile} - 1) DIV {tile} AS INT) AS m")
+    )
+    fanned = (
+        emb.join(F.broadcast(counts), "label")
+        .withColumn("c", F.expr("CAST(vec_id % m AS INT)"))
+        .withColumn(
+            "t",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, m - 1),"
+                    " o -> named_struct('i', least(c, o),"
+                    "                   'j', greatest(c, o))))"
+                )
+            ),
+        )
+        .select(
+            "label", F.col("t.i").alias("i"), F.col("t.j").alias("j"),
+            "vec_id", "q", "c",
+        )
+    )
+
+    def tile_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        _, i, j = key
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        if i == j:
+            ids = pdf["vec_id"].to_numpy()
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            G = X @ X.T  # exact: values < 2^47
+            norms = np.sqrt(np.diag(G).astype(np.float64))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = G[ia, ib].astype(np.float64) / (norms[ia] * norms[ib])
+            va, vb = ids[ia], ids[ib]
+        else:
+            pa = pdf[pdf["c"] == i]
+            pb = pdf[pdf["c"] == j]
+            ida = pa["vec_id"].to_numpy()
+            idb = pb["vec_id"].to_numpy()
+            A = np.array(pa["q"].tolist(), dtype=np.int64)
+            B = np.array(pb["q"].tolist(), dtype=np.int64)
+            G = A @ B.T
+            na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            cos = (
+                G.astype(np.float64) / (na[:, None] * nb[None, :])
+            ).ravel()
+            xa = np.repeat(ida, len(idb))
+            xb = np.tile(idb, len(ida))
+            va = np.minimum(xa, xb)
+            vb = np.maximum(xa, xb)
+        keep = cos >= COSINE_T
+        return pd.DataFrame(
+            {"vec_a": va[keep], "vec_b": vb[keep], "cosine": cos[keep]}
+        )
+
+    return fanned.groupBy("label", "i", "j").applyInPandas(
+        tile_pairs, schema="vec_a bigint, vec_b bigint, cosine double"
+    )
+
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup embedding pairs (cosine >= 0.4) within each label block.
 
     Embeddings are quantized to int64 (floor(x * 2^20)) in a JVM-side
-    projection, then each block is handed to ``applyInPandas`` where
-    numpy computes the exact integer Gram matrix (dim 64, |x_q| < 2^20
-    -> dot < 2^47, no overflow, exactly representable in float64).
-    Cosine is then a fixed sequence of IEEE double ops the SQL oracle
-    replays exactly. Blocking key: ``label`` here; at scale an LSH
-    bucket id (similarity.py) plays this role.
+    projection, then tiled bounded Gram blocks run under
+    ``applyInPandas`` (``embedding_cosine_pairs``). Blocking key:
+    ``label`` here; at scale an LSH bucket id (similarity.py) plays
+    this role, with the tiling keeping hot buckets task-bounded.
     """
     emb = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id",
@@ -639,29 +725,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE})"
         " AS BIGINT)) AS q",
     )
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        X = np.array(pdf["q"].tolist(), dtype=np.int64)
-        G = X @ X.T  # exact: values < 2^47
-        norms = np.sqrt(np.diag(G).astype(np.float64))
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cos = G[ia, ib].astype(np.float64) / (norms[ia] * norms[ib])
-        keep = cos >= COSINE_T
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia][keep],
-                "vec_b": ids[ib][keep],
-                "cosine": cos[keep],
-            }
-        )
-
-    return emb.groupBy("label").applyInPandas(
-        block_pairs, schema="vec_a bigint, vec_b bigint, cosine double"
-    )
+    return embedding_cosine_pairs(emb)
 
 
 ORACLE_EMBEDDING_COSINE = f"""

@@ -149,3 +149,55 @@ def test_containment_mutual_pairs_are_jaccard_pairs(spark):
     }
     assert mutual, "corpus has symmetric near-dups"
     assert mutual <= jac
+
+
+def test_embedding_cosine_hot_label_tiled(spark):
+    """A label holding 50 % of all vectors must still produce exactly
+    the brute-force pair set, with every applyInPandas tile bounded —
+    the r5 Gram-tiling contract (no O(b^2) single task)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        COSINE_T,
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 8
+    labels = ["hot" if i < n // 2 else f"c{i % 7}" for i in range(n)]
+    base = rng.integers(-100, 100, size=(4, dim))
+    rows = [
+        (
+            i,
+            labels[i],
+            [int(v) for v in base[i % 4] + rng.integers(-3, 3, size=dim)],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, q array<bigint>"
+    )
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_cosine_pairs(emb, tile=32).collect()
+    }
+    # brute force reference
+    by_label: dict[str, list] = {}
+    for i, lab, q in rows:
+        by_label.setdefault(lab, []).append((i, np.array(q, dtype=np.int64)))
+    want = {}
+    for vs in by_label.values():
+        for ai in range(len(vs)):
+            for bi in range(ai + 1, len(vs)):
+                (ia, qa), (ib, qb) = vs[ai], vs[bi]
+                cos = float(qa @ qb) / (
+                    np.sqrt(float(qa @ qa)) * np.sqrt(float(qb @ qb))
+                )
+                if cos >= COSINE_T:
+                    want[(min(ia, ib), max(ia, ib))] = cos
+    assert set(got) == set(want)
+    # the hot label must have fanned out into multiple tiles
+    counts = emb.groupBy("label").count().collect()
+    assert max(c["count"] for c in counts) // 32 >= 2
