@@ -79,26 +79,105 @@ class Model:
 
 
 class ModelGraph:
-    """Load, topo-sort, and materialize a set of SQL models."""
+    """Load, topo-sort, and materialize a set of SQL models.
+
+    Also carries the rest of the dbt project surface the reference
+    declares in ``dbt_project.yml``:
+
+    - **seeds** (``seed-paths``, dbt_project.yml:17): csv files loaded
+      as tables BEFORE any model runs (``dbt seed``); models ``ref()``
+      them like any node. ``seeds`` maps name → csv path; an optional
+      per-seed schema string pins column types (dbt's ``column_types``
+      — without it both engines would lean on csv inference).
+    - **compiled target/** (``target-path``, dbt_project.yml:22):
+      ``run`` persists every model's rendered SQL (ephemerals
+      included, matching ``dbt compile``) plus a manifest of resolved
+      configs — the debugging artifact a dbt user greps first.
+    - **clean** (``clean-targets``, dbt_project.yml:23-25): drops the
+      target and warehouse dirs.
+    """
 
     def __init__(
         self,
         models: dict[str, str],
         defaults: dict | None = None,
         warehouse_dir: str = "/root/repo/.artifacts/warehouse",
+        seeds: dict[str, str] | None = None,
+        seed_schemas: dict[str, str] | None = None,
+        target_dir: str | None = None,
     ):
         self.models = {n: Model(n, sql) for n, sql in models.items()}
         self.defaults = {"materialized": "view", **(defaults or {})}
         self.warehouse_dir = warehouse_dir
+        self.seeds = dict(seeds or {})
+        self.seed_schemas = dict(seed_schemas or {})
+        self.target_dir = target_dir
 
     @classmethod
-    def from_dir(cls, path: str, **kw) -> "ModelGraph":
+    def from_dir(cls, path: str, seed_path: str | None = None, **kw):
         models = {}
         for fn in sorted(os.listdir(path)):
             if fn.endswith(".sql"):
                 with open(os.path.join(path, fn)) as f:
                     models[fn[:-4]] = f.read()
-        return cls(models, **kw)
+        seeds = {}
+        if seed_path and os.path.isdir(seed_path):
+            for fn in sorted(os.listdir(seed_path)):
+                if fn.endswith(".csv"):
+                    seeds[fn[:-4]] = os.path.join(seed_path, fn)
+        return cls(models, seeds=seeds, **kw)
+
+    def seed(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """``dbt seed``: load every csv seed as a warehouse table.
+
+        One executor-parallel csv read per seed (seeds are small by
+        dbt convention — reference data, not facts), written to
+        parquet in the warehouse dir and registered so models can
+        ``ref()`` them. Returns name → DataFrame.
+        """
+        out: dict[str, DataFrame] = {}
+        for name, path in sorted(self.seeds.items()):
+            schema = self.seed_schemas.get(name)
+            reader = spark.read.option("header", "true")
+            if schema:
+                reader = reader.schema(schema)
+            else:
+                reader = reader.option("inferSchema", "true")
+            df = reader.csv(path)
+            wpath = f"{self.warehouse_dir}/{name}"
+            df.write.mode("overwrite").parquet(wpath)
+            df = spark.read.parquet(wpath)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+
+    def clean(self) -> None:
+        """``dbt clean``: drop the target and warehouse artifacts."""
+        import shutil
+
+        for d in (self.target_dir, self.warehouse_dir):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _write_compiled(self, compiled: dict[str, tuple[str, dict]]) -> None:
+        """Persist rendered SQL + resolved configs (``dbt compile``)."""
+        if not self.target_dir:
+            return
+        import json
+
+        cdir = os.path.join(self.target_dir, "compiled")
+        os.makedirs(cdir, exist_ok=True)
+        manifest = {}
+        for name, (sql, cfg) in compiled.items():
+            with open(os.path.join(cdir, f"{name}.sql"), "w") as f:
+                f.write(sql + "\n")
+            manifest[name] = {
+                "config": cfg,
+                "refs": self.models[name].refs,
+                "compiled_path": f"compiled/{name}.sql",
+            }
+        with open(os.path.join(self.target_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
 
     def topo_order(self) -> list[str]:
         ts = TopologicalSorter(
@@ -117,12 +196,17 @@ class ModelGraph:
         """
         out: dict[str, DataFrame] = {}
         ephemeral: dict[str, str] = {}
+        compiled: dict[str, tuple[str, dict]] = {}
+
+        if self.seeds:
+            out.update(self.seed(spark))
 
         def resolve(n: str) -> str:
             return f"({ephemeral[n]})" if n in ephemeral else n
 
         for name in self.topo_order():
             sql, cfg = self.models[name].render(self.defaults, resolve)
+            compiled[name] = (sql, cfg)
             mat = cfg.get("materialized", "view")
             if mat == "ephemeral":
                 ephemeral[name] = sql
@@ -289,6 +373,7 @@ class ModelGraph:
             else:
                 raise ValueError(f"unknown materialization {mat!r} for {name}")
             out[name] = df
+        self._write_compiled(compiled)
         return out
 
 
@@ -637,6 +722,79 @@ GROUP BY t.o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# dbt seed front-end: the reference declares seed-paths
+# (dbt_project.yml:17) with an empty seeds/ dir — this supplies the
+# `dbt seed` materialization: csv → warehouse table → ref()-able node.
+# ---------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..")
+)
+SEED_CSV_PATH = os.path.join(_REPO_ROOT, "seeds", "country_codes.csv")
+
+#: dbt column_types for the seed — pinned so neither engine leans on
+#: csv type inference.
+SEED_SCHEMAS = {
+    "country_codes": "code string, country string, region_key bigint"
+}
+
+SEED_PROJECT_MODELS: dict[str, str] = {
+    "stg_countries": """
+{{ config(materialized='ephemeral') }}
+select code, country, region_key from {{ ref('country_codes') }}
+""",
+    "mart_region_countries": """
+{{ config(materialized='table') }}
+select r.r_name as region_name,
+       count(*) as n_countries,
+       min(s.code) as first_code
+from {{ ref('stg_countries') }} s
+join region r on s.region_key = r.r_regionkey
+group by r.r_name
+""",
+}
+
+
+def dbt_seed_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt seed`` → ``dbt run``: a csv seed ref()'d through an
+    ephemeral staging model into a table mart joined against the
+    warehouse ``region`` table.
+
+    Exercises the full seed surface: csv load with pinned column
+    types, parquet materialization, DAG membership (the mart's ref
+    chain passes through an ephemeral inline), and compiled-SQL
+    target output.
+    """
+    register_all(spark, sf_dir, ("region",))
+    g = ModelGraph(
+        SEED_PROJECT_MODELS,
+        seeds={"country_codes": SEED_CSV_PATH},
+        seed_schemas=SEED_SCHEMAS,
+        target_dir=f"{_REPO_ROOT}/.artifacts/target",
+    )
+    out = g.run(spark)
+    return out["mart_region_countries"].select(
+        "region_name", "n_countries", "first_code"
+    )
+
+
+ORACLE_SEED_MODELS = f"""
+WITH country_codes AS (
+  SELECT * FROM read_csv('{SEED_CSV_PATH}', header=true,
+    columns={{'code': 'VARCHAR', 'country': 'VARCHAR',
+              'region_key': 'BIGINT'}})),
+stg_countries AS (
+  SELECT code, country, region_key FROM country_codes)
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_countries,
+       MIN(s.code) AS first_code
+FROM stg_countries s
+JOIN region r ON s.region_key = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dbt_example_models": QuerySpec(
         "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
@@ -664,6 +822,12 @@ SPECS: dict[str, QuerySpec] = {
         "model_merge_customer_state", model_merge_customer_state,
         ORACLE_MERGE,
         "merge (unique_key upsert) materialization in 4 keyed batches",
+        kind="materialization",
+    ),
+    "dbt_seed_models": QuerySpec(
+        "dbt_seed_models", dbt_seed_models, ORACLE_SEED_MODELS,
+        "dbt seed: csv -> warehouse table -> ref() through an "
+        "ephemeral into a table mart (seed-paths, dbt_project.yml:17)",
         kind="materialization",
     ),
 }
