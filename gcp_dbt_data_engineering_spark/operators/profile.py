@@ -415,16 +415,26 @@ def _oracle_table_profile(table: str) -> str:
             d = f"CAST({c} AS DOUBLE)"
             min_num = f"MIN({d})"
             max_num = f"MAX({d})"
+            # VARCHAR hop on every decimal->double (spec.sql_dec2dbl):
+            # DuckDB's direct cast drifts 1 ulp past ~15 significant
+            # digits (sumsq crosses that at sf1); the string route
+            # matches Spark's BigDecimal.doubleValue exactly.
+            s1 = (
+                f"CAST(CAST(SUM(CAST({d} AS DECIMAL(22,6)))"
+                f" AS VARCHAR) AS DOUBLE)"
+            )
+            s2 = (
+                f"CAST(CAST(SUM(CAST({d}*{d} AS DECIMAL(30,8)))"
+                f" AS VARCHAR) AS DOUBLE)"
+            )
             avg = (
                 f"CASE WHEN COUNT({c}) > 0 THEN CAST(CAST("
-                f"CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c})"
+                f"{s1} / COUNT({c})"
                 f" AS DECIMAL(28,6)) AS DOUBLE) END"
             )
             stddev = (
                 f"CASE WHEN COUNT({c}) > 1 THEN CAST(CAST(sqrt(greatest("
-                f"(CAST(SUM(CAST({d}*{d} AS DECIMAL(30,8))) AS DOUBLE)"
-                f" - CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE)"
-                f" * CAST(SUM(CAST({d} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({c}))"
+                f"({s2} - {s1} * {s1} / COUNT({c}))"
                 f" / (COUNT({c}) - 1), 0.0)) AS DECIMAL(28,6)) AS DOUBLE) END"
             )
             min_str = max_str = "CAST(NULL AS VARCHAR)"

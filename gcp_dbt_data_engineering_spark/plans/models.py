@@ -565,13 +565,13 @@ stg_customers AS (
 fct_customer_orders AS (
   SELECT c.c_custkey, c.c_name, c.c_mktsegment,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS lifetime_value
+         CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS lifetime_value
   FROM stg_orders o JOIN stg_customers c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
 )
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(lifetime_value AS DECIMAL(22,6))) AS DOUBLE) AS segment_value
+       CAST(CAST(SUM(CAST(lifetime_value AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS segment_value
 FROM fct_customer_orders
 GROUP BY c_mktsegment
 """
@@ -637,7 +637,7 @@ ORACLE_INCREMENTAL = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -715,8 +715,8 @@ last_b AS (SELECT o_custkey, MAX(b) AS b FROM batched GROUP BY o_custkey)
 SELECT t.o_custkey,
        COUNT(*) AS n_orders,
        CAST(CAST(MAX(t.o_orderdate) AS DATE) AS VARCHAR) AS last_order,
-       CAST(SUM(CAST(t.o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
-         AS total_spend
+       CAST(CAST(SUM(CAST(t.o_totalprice AS DECIMAL(22,6))) AS VARCHAR)
+            AS DOUBLE) AS total_spend
 FROM batched t JOIN last_b USING (o_custkey, b)
 GROUP BY t.o_custkey
 """

@@ -62,12 +62,29 @@ def money_avg(expr: Column, name: str) -> Column:
 
 
 # SQL-side twins (DuckDB dialect == ANSI here)
+def sql_dec2dbl(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE for DuckDB oracle text.
+
+    DuckDB's direct decimal→double cast converts the scaled integer
+    and divides — two roundings, up to 1 ulp off once the exact
+    decimal exceeds ~15 significant digits (first seen at sf1:
+    pricing_summary sum_charge 43579985256.939670 → ...674 direct vs
+    ...67 correct). Routing through the exact VARCHAR text makes the
+    conversion a single strtod, which is correctly rounded — matching
+    Spark's BigDecimal.doubleValue (round-half-even, correct) at every
+    magnitude. Same value below 15 digits, right value above.
+    """
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_money_sum(expr: str, name: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,6))) AS DOUBLE) AS {name}"
+    return (
+        sql_dec2dbl(f"SUM(CAST({expr} AS DECIMAL(22,6)))") + f" AS {name}"
+    )
 
 
 def sql_money_avg(expr: str, name: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(22,6))) AS DOUBLE)"
-        f" / COUNT(*) AS {name}"
+        sql_dec2dbl(f"SUM(CAST({expr} AS DECIMAL(22,6)))")
+        + f" / COUNT(*) AS {name}"
     )

@@ -147,9 +147,9 @@ SELECT o_year,
        {sql_money_sum("CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0.0 END",
                       "china_revenue")},
        {sql_money_sum("rev", "total_revenue")},
-       CAST(SUM(CAST(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0.0 END
-                AS DECIMAL(22,6))) AS DOUBLE)
-         / CAST(SUM(CAST(rev AS DECIMAL(22,6))) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0.0 END
+                AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(rev AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM base
 GROUP BY o_year
 """
@@ -252,14 +252,23 @@ ORACLE_MOMENTS = """
 WITH comp AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+         -- VARCHAR hop: DuckDB's direct decimal->double is up to 1 ulp
+         -- off past ~15 significant digits (syy hits 18 at sf1); the
+         -- string route is a single correctly-rounded strtod, matching
+         -- Spark's BigDecimal.doubleValue bit-for-bit (spec.sql_dec2dbl)
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS sxy
   FROM lineitem
   GROUP BY l_returnflag
 )

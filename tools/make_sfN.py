@@ -1,0 +1,125 @@
+"""Synthesize a larger scale factor from sf0.1 by key-offset replication.
+
+The driver ships sf0.001/0.01/0.1 only; the 100 TB story needs at least
+one measured 10x point to turn "local constants vanish at scale" into a
+curve (VERDICT r4 item 6). Replica r (r = 0 is the identity copy) adds
+a per-key-domain stride to every key column, so
+
+- all FK edges (dq.FK_EDGES) stay orphan-free,
+- key cardinalities really grow 10x (no artificial hot keys),
+- dims (region, nation) stay fixed, like a real warehouse.
+
+Document text gets a per-replica suffix (n_chars adjusted to stay
+consistent) so the dedup family sees realistic near-dups rather than
+45 exact twins per doc; embeddings replicate verbatim (identical
+vectors tie-break deterministically by id in both engines).
+
+Everything is written with pyarrow, preserving the exact source arrow
+schema (notably events.ts timestamp[ns]) so both engines read the
+replica exactly like the original.
+
+Run:  python tools/make_sfN.py [factor=10] [src=/root/testdata/sf0.1]
+writes /root/repo/.artifacts/sf<factor*src_sf>/ parquet tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+#: per-key-domain strides, far above each domain's max key
+OFF = {
+    "custkey": 10_000_000,
+    "suppkey": 1_000_000,
+    "partkey": 10_000_000,
+    "orderkey": 100_000_000,
+    "event_id": 100_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 10_000_000,
+    "vec_id": 1_000_000,
+}
+
+#: table -> {column: stride-name}
+KEYED = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+DIMS = ("region", "nation")
+
+
+def _shift(col: pa.ChunkedArray, delta: int) -> pa.ChunkedArray:
+    return pc.add(col, pa.scalar(delta, type=col.type))
+
+
+def replicate(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        pq.write_table(
+            pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet"
+        )
+        print(f"{t}: copied")
+    for t, keys in KEYED.items():
+        base = pq.read_table(f"{src}/{t}.parquet")
+        reps = []
+        for r in range(factor):
+            tbl = base
+            for colname, dom in keys.items():
+                idx = tbl.schema.get_field_index(colname)
+                tbl = tbl.set_column(
+                    idx,
+                    tbl.schema.field(idx),
+                    _shift(tbl.column(idx), r * OFF[dom]),
+                )
+            if t == "documents" and r > 0:
+                suffix = f" rep{r}"
+                ti = tbl.schema.get_field_index("text")
+                ni = tbl.schema.get_field_index("n_chars")
+                new_text = pc.binary_join_element_wise(
+                    tbl.column(ti).cast(pa.string()), suffix
+                )
+                tbl = tbl.set_column(
+                    ti, tbl.schema.field(ti), new_text.cast(tbl.schema.field(ti).type)
+                )
+                tbl = tbl.set_column(
+                    ni,
+                    tbl.schema.field(ni),
+                    pc.add(tbl.column(ni), len(suffix)),
+                )
+            reps.append(tbl)
+        out = pa.concat_tables(reps)
+        pq.write_table(out, f"{dst}/{t}.parquet")
+        print(f"{t}: {base.num_rows} -> {out.num_rows}")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    src_sf = float(src.rstrip("/").rsplit("sf", 1)[-1])
+    sf = src_sf * factor
+    tag = f"sf{int(sf) if sf == int(sf) else sf}"
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".artifacts",
+        tag,
+    )
+    replicate(src, dst, factor)
+    print(dst)
+
+
+if __name__ == "__main__":
+    main()
