@@ -9,10 +9,17 @@ a per-key-domain stride to every key column, so
 - key cardinalities really grow 10x (no artificial hot keys),
 - dims (region, nation) stay fixed, like a real warehouse.
 
-Document text gets a per-replica suffix (n_chars adjusted to stay
-consistent) so the dedup family sees realistic near-dups rather than
-45 exact twins per doc; embeddings replicate verbatim (identical
-vectors tie-break deterministically by id in both engines).
+Document text is perturbed per replica: every 5th word becomes a
+replica+position token ("r<r>p<i%17>"), so ~60 % of each doc's 3-gram
+shingles change and cross-replica Jaccard/containment falls below the
+dedup thresholds. A plain suffix was not enough — it left every doc
+with 9 near-identical twins, and one ~100-doc identical group in the
+source corpus became a ~1000-doc near-clique whose PageRank oracle
+spilled >80 GB in DuckDB. Real 10x corpora add mostly-new text; this
+keeps the dedup pair counts scaling ~linearly with sf. n_chars is
+recomputed from the new text. Embeddings replicate verbatim
+(identical vectors tie-break deterministically by id in both
+engines).
 
 Everything is written with pyarrow, preserving the exact source arrow
 schema (notably events.ts timestamp[ns]) so both engines read the
@@ -86,19 +93,34 @@ def replicate(src: str, dst: str, factor: int) -> None:
                     _shift(tbl.column(idx), r * OFF[dom]),
                 )
             if t == "documents" and r > 0:
-                suffix = f" rep{r}"
                 ti = tbl.schema.get_field_index("text")
                 ni = tbl.schema.get_field_index("n_chars")
-                new_text = pc.binary_join_element_wise(
-                    tbl.column(ti).cast(pa.string()), suffix
-                )
+
+                def perturb(s: str) -> str:
+                    ws = s.split(" ")
+                    for i in range(0, len(ws), 5):
+                        ws[i] = f"r{r}p{i % 17}"
+                    return " ".join(ws)
+
+                new_texts = [
+                    perturb(v) if v is not None else None
+                    for v in tbl.column(ti).to_pylist()
+                ]
                 tbl = tbl.set_column(
-                    ti, tbl.schema.field(ti), new_text.cast(tbl.schema.field(ti).type)
+                    ti,
+                    tbl.schema.field(ti),
+                    pa.array(new_texts, type=tbl.schema.field(ti).type),
                 )
                 tbl = tbl.set_column(
                     ni,
                     tbl.schema.field(ni),
-                    pc.add(tbl.column(ni), len(suffix)),
+                    pa.array(
+                        [
+                            len(v) if v is not None else None
+                            for v in new_texts
+                        ],
+                        type=tbl.schema.field(ni).type,
+                    ),
                 )
             reps.append(tbl)
         out = pa.concat_tables(reps)
