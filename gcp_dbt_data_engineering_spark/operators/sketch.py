@@ -488,21 +488,43 @@ def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     words = bloom_words(orders, "o_custkey")
     actual = orders.selectExpr("o_custkey AS a_key").distinct()
+    # The whole 512-byte filter folds to ONE row (a 128-word array) and
+    # broadcasts; each customer then tests its k bits as a map-only
+    # projection — no explode, no per-key groupBy, no shuffle of the
+    # probe side. (The previous form exploded k rows per key and
+    # shuffled them back through a bool_and groupBy — at 100 TB that
+    # shuffles the big side, the exact thing a pre-join Bloom probe
+    # exists to avoid.)
+    n_words = BLOOM_BITS // BLOOM_WORD
+    warr = words.agg(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " w -> coalesce(element_at(map_from_entries("
+            "collect_list(struct(CAST(word AS INT) AS key, bits AS value))"
+            "), w), CAST(0 AS BIGINT)))"
+        ).alias("warr")
+    )
+
+    def _bit_test(i: int) -> str:
+        pos = f"((h1 + {i} * h2) % {BLOOM_BITS})"
+        return (
+            f"((element_at(warr, CAST({pos} div {BLOOM_WORD} AS INT) + 1)"
+            f" div shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({pos} % {BLOOM_WORD} AS INT))) % 2) = 1"
+        )
+
     probe = (
-        bloom_positions(cust.select("c_custkey"), "c_custkey")
+        cust.selectExpr(
+            "c_custkey",
+            f"{_h1('c_custkey')} AS h1",
+            f"{_h2('c_custkey')} AS h2",
+        )
+        .crossJoin(F.broadcast(warr))
         .selectExpr(
             "c_custkey",
-            f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
-            f"CAST(pos % {BLOOM_WORD} AS INT) AS bit_idx",
+            " AND ".join(_bit_test(i) for i in range(BLOOM_K))
+            + " AS bloom_member",
         )
-        .join(F.broadcast(words), "word", "left")
-        .selectExpr(
-            "c_custkey",
-            "COALESCE((bits div shiftleft(CAST(1 AS BIGINT), bit_idx)) % 2,"
-            " 0) = 1 AS bit_set",
-        )
-        .groupBy("c_custkey")
-        .agg(F.expr("bool_and(bit_set)").alias("bloom_member"))
     )
     return (
         probe.join(

@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread
-from .spec import QuerySpec, money_avg, money_sum, sql_money_avg, sql_money_sum
+from .spec import (
+    QuerySpec,
+    money_avg,
+    money_sum,
+    money_sum_if,
+    sql_money_avg,
+    sql_money_sum,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -645,34 +652,38 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     added/removed/changed/same and carries both sides' metrics. The
     windows overlap so all four classes occur.
 
-    Scale posture: two partial aggregates then one full-outer
-    shuffle-hash join on the key — at 100 TB both sides are
-    pre-aggregated (one row per key) before the join, so the shuffle
-    carries keys not facts. No broadcast: both sides are key-cardinality.
+    Scale posture: ONE scan of the window union + ONE key shuffle —
+    both snapshots fold into a single conditional aggregation, with
+    per-side absence recovered as NULL (a key present in a window
+    always has >= 1 order, so NULLIF(count, 0) is exact; the
+    conditional decimal SUM is NULL over an empty side by itself).
+    The r4 form pre-aggregated each window separately and full-outer
+    joined — same answer, but two scans and three shuffles where one
+    of each suffices. The oracle keeps the textbook full-outer SQL,
+    re-proving the fold equivalent on every gate run.
     """
     orders = _t(spark, sf_dir, "orders")
 
-    def snap(lo: str, hi: str) -> DataFrame:
+    def _in(win) -> F.Column:
+        lo, hi = win
         return (
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
-            )
-            .groupBy("o_custkey")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                money_sum(F.col("o_totalprice"), "spend"),
-            )
+            F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz")
+        ) & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+
+    in_a, in_b = _in(CDC_A), _in(CDC_B)
+    agg = (
+        orders.filter(in_a | in_b)
+        .groupBy("o_custkey")
+        .agg(
+            F.nullif(
+                F.count(F.when(in_a, F.lit(1))), F.lit(0)
+            ).alias("a_orders"),
+            money_sum_if(in_a, F.col("o_totalprice"), "a_spend"),
+            F.nullif(
+                F.count(F.when(in_b, F.lit(1))), F.lit(0)
+            ).alias("b_orders"),
+            money_sum_if(in_b, F.col("o_totalprice"), "b_spend"),
         )
-    a = snap(*CDC_A).select(
-        F.col("o_custkey").alias("k"),
-        F.col("n_orders").alias("a_orders"),
-        F.col("spend").alias("a_spend"),
-    )
-    b = snap(*CDC_B).select(
-        F.col("o_custkey").alias("k"),
-        F.col("n_orders").alias("b_orders"),
-        F.col("spend").alias("b_spend"),
     )
     status = (
         F.when(F.col("a_orders").isNull(), "added")
@@ -684,16 +695,13 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("same")
     )
-    return (
-        a.join(b, "k", "full_outer")
-        .select(
-            F.col("k").alias("o_custkey"),
-            status.alias("diff_status"),
-            "a_orders",
-            "a_spend",
-            "b_orders",
-            "b_spend",
-        )
+    return agg.select(
+        "o_custkey",
+        status.alias("diff_status"),
+        "a_orders",
+        "a_spend",
+        "b_orders",
+        "b_spend",
     )
 
 

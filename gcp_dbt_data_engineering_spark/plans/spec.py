@@ -54,6 +54,17 @@ def money_sum(expr: Column, name: str) -> Column:
     return F.sum(expr.cast("decimal(22,6)")).cast("double").alias(name)
 
 
+def money_sum_if(cond: Column, expr: Column, name: str) -> Column:
+    """Conditional ``money_sum``: NULL (not 0) when no row matches —
+    the fold that lets one aggregation replace a per-side
+    aggregate + outer join (see orders_snapshot_diff)."""
+    return (
+        F.sum(F.when(cond, expr.cast("decimal(22,6)")))
+        .cast("double")
+        .alias(name)
+    )
+
+
 def money_avg(expr: Column, name: str) -> Column:
     """Engine-stable AVG: exact decimal sum → double → / count."""
     return (
