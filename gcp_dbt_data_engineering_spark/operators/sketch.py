@@ -783,8 +783,11 @@ def sketch_quantile_hdr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational rank arithmetic); the bucket's LOWER BOUND is the
     deterministic reported estimate, so estimate <= true <
     estimate*(1+2^-B) for values above the exact range. The exact
-    quantile rides along (one row_number pass) for error inspection —
-    at 100 TB you drop it; the sketch is the product.
+    quantile rides along for error inspection — ranked by the
+    distributed two-phase scan (pipeline.two_phase_prefix_sum over a
+    1-literal, so every sort is bucket-bounded; the r4 form
+    row_numbered the whole table in one task). At 100 TB you drop the
+    rider; the sketch is the product.
     """
     orders = load_table(spark, sf_dir, "orders")
     # double -> DECIMAL(22,6) -> cents: the repo money rule (a raw
@@ -824,9 +827,18 @@ def sketch_quantile_hdr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("bucket_id", "lo")).alias("s"))
         .selectExpr("quantile", "rank", "s.lo AS est_cents")
     )
-    exact = cents.selectExpr("v").withColumn(
-        "rn", F.row_number().over(Window.orderBy("v"))
-    )
+    from .pipeline import two_phase_prefix_sum
+
+    # global rank without a global sort: exclusive prefix COUNT per
+    # value order (ties share v, so the arbitrary in-tie order cannot
+    # change which v sits at a given rank — the only thing joined on).
+    exact = two_phase_prefix_sum(
+        cents.selectExpr("v", "'all' AS __g", "1 AS __one"),
+        "__g",
+        "v",
+        "__one",
+        "__rank0",
+    ).selectExpr("v", "__rank0 + 1 AS rn")
     tru = exact.join(
         F.broadcast(ranks), exact.rn == F.col("rank")
     ).selectExpr("quantile", "v AS true_cents")

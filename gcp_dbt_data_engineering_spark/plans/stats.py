@@ -670,10 +670,14 @@ def events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all rows held by the top-``SKEW_TOP`` keys, and the
     max/mean frequency ratio — exactly the numbers that decide
     whether a key needs broadcast (few keys), salting (top-k mass
-    dominates), or nothing. Plan: one count aggregate per key, a tiny
-    window over the per-key counts for the top-k mass, all exact
-    integers plus two fixed-order double divisions. At 100 TB this is
-    a routine pre-flight costing one map-side-combined pass per key.
+    dominates), or nothing. Plan: one count aggregate per key; the
+    top-k mass comes from ``orderBy().limit(k)`` — TakeOrdered, a
+    per-partition top-k + driver merge of k·partitions rows — NOT a
+    global row_number window (which would sort EVERY distinct key in
+    one task: at 100 TB with 1e9 users, that task is the job; the r4
+    form had exactly that window). All exact integers plus two
+    fixed-order double divisions. A routine pre-flight costing one
+    map-side-combined pass per key.
     """
     from ..sources import load_table as _lt
 
@@ -683,16 +687,17 @@ def events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = ev.groupBy(F.col(key).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("n")
         )
-        w = Window.orderBy(F.desc("n"), F.asc("k"))
-        ranked = counts.withColumn("rnk", F.row_number().over(w))
-        row = ranked.agg(
+        topk = (
+            counts.orderBy(F.desc("n"), F.asc("k"))
+            .limit(SKEW_TOP)
+            .agg(F.sum("n").alias("topk_rows"))
+        )
+        row = counts.agg(
             F.lit(key).alias("key_column"),
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("n").alias("n_rows"),
             F.max("n").alias("max_freq"),
-            F.sum(F.when(F.col("rnk") <= SKEW_TOP, F.col("n")).otherwise(0))
-            .alias("topk_rows"),
-        ).selectExpr(
+        ).crossJoin(F.broadcast(topk)).selectExpr(
             "key_column",
             "n_keys",
             "max_freq",
