@@ -132,17 +132,20 @@ def test_rollup_cascade_scans_facts_once(spark):
     assert "Expand" in plan  # the grouping-sets pass over hourly rows
 
 
-def test_snapshot_diff_preaggregates_before_full_outer(spark):
-    """CDC diff: both sides must reduce to one row per key BEFORE the
-    full-outer join — the shuffle carries keys, not facts."""
+def test_snapshot_diff_is_single_conditional_aggregation(spark):
+    """CDC diff (r5 fold): both snapshots come from ONE conditional
+    aggregation over the window union — one scan, one key shuffle, NO
+    join of any kind (the r4 form pre-aggregated each window and
+    full-outer joined: two scans, three shuffles)."""
     from gcp_dbt_data_engineering_spark.plans.analytics import (
         orders_snapshot_diff,
     )
 
     plan = _plan(orders_snapshot_diff(spark, SF))
-    assert "FullOuter" in plan
-    # partial+final aggregate per side = at least 4 HashAggregates
-    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+    # partial + final of the single aggregate (the explain string may
+    # print the tree twice under AdaptiveSparkPlan)
+    assert 2 <= plan.count("HashAggregate") <= 4
     assert "CartesianProduct" not in plan
 
 
