@@ -163,3 +163,37 @@ def test_two_phase_prefix_sum_equals_window_on_skew(spark):
     assert sorted(map(tuple, ref.collect())) == sorted(
         map(tuple, got.collect())
     )
+
+
+def test_two_phase_prefix_sum_negative_and_sparse_order(spark):
+    """Truncating div is monotone over negatives too — the bucket map
+    must preserve order for any integral order column, including
+    negative and widely-sparse ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gcp_dbt_data_engineering_spark.operators.pipeline import (
+        two_phase_prefix_sum,
+    )
+
+    rows = [
+        ((i - 50) * 9973, "s" if i % 4 else "t", i % 7 + 1)
+        for i in range(100)
+    ]
+    toks = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = toks.withColumn(
+        "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select("doc_id", "start")
+    got = two_phase_prefix_sum(
+        toks, "source", "doc_id", "n_tokens", "start", bucket_width=64
+    ).select("doc_id", "start")
+    assert sorted(map(tuple, ref.collect())) == sorted(
+        map(tuple, got.collect())
+    )
