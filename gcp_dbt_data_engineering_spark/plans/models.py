@@ -185,18 +185,105 @@ class ModelGraph:
         )
         return list(ts.static_order())
 
-    def run(self, spark: SparkSession) -> dict[str, DataFrame]:
-        """Materialize every model in dependency order; returns name→DF.
+    def _edges(self) -> dict[str, list[str]]:
+        """name → upstream model refs (within this graph)."""
+        return {
+            n: [r for r in m.refs if r in self.models]
+            for n, m in self.models.items()
+        }
+
+    def _node_tags(self, name: str) -> set[str]:
+        _, cfg = self.models[name].render(self.defaults)
+        return {
+            t.strip()
+            for t in str(cfg.get("tags", "")).replace(",", " ").split()
+            if t.strip()
+        }
+
+    def select_nodes(
+        self, select: str | None = None, exclude: str | None = None
+    ) -> set[str]:
+        """dbt node selection: ``dbt run --select ... --exclude ...``.
+
+        Supported selector tokens (space-separated tokens union, like
+        dbt): ``name`` (exact), ``name+`` (the node plus descendants),
+        ``+name`` (the node plus ancestors), ``+name+`` (both), and
+        ``tag:x`` (models whose ``{{ config(tags='...') }}`` carries
+        the tag). ``exclude`` subtracts its own selection afterwards.
+        Unknown names select nothing, matching dbt's warning-and-skip.
+        Graph traversal is driver-side over the model DAG — node
+        counts, not data, so scale is irrelevant here.
+        """
+        edges = self._edges()
+        children: dict[str, set[str]] = {n: set() for n in edges}
+        for n, ups in edges.items():
+            for u in ups:
+                children[u].add(n)
+
+        def walk(start: str, nbrs: dict) -> set[str]:
+            seen, stack = set(), [start]
+            while stack:
+                cur = stack.pop()
+                if cur in seen:
+                    continue
+                seen.add(cur)
+                stack.extend(nbrs.get(cur, ()))
+            return seen
+
+        def one(token: str) -> set[str]:
+            if token.startswith("tag:"):
+                tag = token[4:]
+                return {
+                    n for n in self.models if tag in self._node_tags(n)
+                }
+            anc = token.startswith("+")
+            desc = token.endswith("+")
+            name = token.strip("+")
+            if name not in self.models:
+                return set()
+            picked = {name}
+            if anc:
+                picked |= walk(name, {n: set(u) for n, u in edges.items()})
+            if desc:
+                picked |= walk(name, children)
+            return picked
+
+        def parse(spec: str | None) -> set[str]:
+            if not spec:
+                return set()
+            out: set[str] = set()
+            for token in spec.split():
+                out |= one(token)
+            return out
+
+        selected = parse(select) if select else set(self.models)
+        return selected - parse(exclude)
+
+    def run(
+        self,
+        spark: SparkSession,
+        select: str | None = None,
+        exclude: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Materialize every (selected) model in dependency order;
+        returns name→DF.
 
         Ephemeral models (dbt's 4th materialization) are never
         executed or registered: their rendered SQL inlines as a
         parenthesized subquery wherever downstream models ref() them
         (topo order guarantees the text exists before any consumer
         renders). They do not appear in the returned dict.
+
+        ``select``/``exclude`` follow dbt selector syntax
+        (``select_nodes``). Like dbt, only selected nodes RUN —
+        non-ephemeral upstreams must already exist (built by a prior
+        run or registered as sources); ephemeral ancestors of selected
+        nodes always render so their text can inline.
         """
         out: dict[str, DataFrame] = {}
         ephemeral: dict[str, str] = {}
         compiled: dict[str, tuple[str, dict]] = {}
+        selected = self.select_nodes(select, exclude)
 
         if self.seeds:
             out.update(self.seed(spark))
@@ -206,11 +293,15 @@ class ModelGraph:
 
         for name in self.topo_order():
             sql, cfg = self.models[name].render(self.defaults, resolve)
-            compiled[name] = (sql, cfg)
             mat = cfg.get("materialized", "view")
             if mat == "ephemeral":
+                # always rendered: a selected descendant may inline it
                 ephemeral[name] = sql
+                compiled[name] = (sql, cfg)
                 continue
+            if name not in selected:
+                continue
+            compiled[name] = (sql, cfg)
             df = spark.sql(sql)
             if mat == "view":
                 df.createOrReplaceTempView(name)

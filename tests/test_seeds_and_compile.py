@@ -95,3 +95,48 @@ def test_seed_fixture_exists_and_ref_resolves(spark, tmp_path):
     out = g.run(spark)
     assert out["n_rows"].collect()[0]["n"] == 15
     assert dict(out["country_codes"].dtypes)["region_key"] == "bigint"
+
+
+def test_dbt_node_selection(spark, tmp_path):
+    """dbt run --select / --exclude selector parity: name+, +name,
+    tag:, union of tokens, exclusion — and ephemeral ancestors always
+    render so selected descendants can inline them."""
+    models = {
+        "raw": "{{ config(materialized='ephemeral', tags='base') }}"
+        " select 1 as x union all select 2 as x",
+        "stg": "{{ config(tags='base silver') }}"
+        " select x from {{ ref('raw') }}",
+        "mart_a": "{{ config(tags='gold') }}"
+        " select sum(x) as s from {{ ref('stg') }}",
+        "mart_b": "select max(x) as m from {{ ref('stg') }}",
+    }
+
+    def graph():
+        return ModelGraph(models, warehouse_dir=str(tmp_path / "wh"))
+
+    g = graph()
+    # selector algebra (driver-side, no execution)
+    assert g.select_nodes("stg+") == {"stg", "mart_a", "mart_b"}
+    assert g.select_nodes("+mart_a") == {"mart_a", "stg", "raw"}
+    assert g.select_nodes("+stg+") == {"raw", "stg", "mart_a", "mart_b"}
+    assert g.select_nodes("tag:gold") == {"mart_a"}
+    assert g.select_nodes("tag:base") == {"raw", "stg"}
+    assert g.select_nodes("mart_a mart_b") == {"mart_a", "mart_b"}
+    assert g.select_nodes(None, exclude="mart_b") == {
+        "raw", "stg", "mart_a",
+    }
+    assert g.select_nodes("nope") == set()
+
+    # full run then a selected re-run of one descendant: stg's view
+    # exists from the full run, so `mart_a` alone can rebuild
+    out = graph().run(spark)
+    assert sorted(out) == ["mart_a", "mart_b", "stg"]  # raw is ephemeral
+    out2 = graph().run(spark, select="mart_a")
+    assert sorted(out2) == ["mart_a"]
+    assert out2["mart_a"].collect()[0]["s"] == 3
+
+    # selecting the chain from scratch in a fresh-named graph works
+    # because +mart_b pulls stg (and raw inlines as ephemeral)
+    out3 = graph().run(spark, select="+mart_b")
+    assert sorted(out3) == ["mart_b", "stg"]
+    assert out3["mart_b"].collect()[0]["m"] == 2
