@@ -53,6 +53,70 @@ from .spec import QuerySpec
 _CONFIG_RE = re.compile(r"\{\{\s*config\s*\((.*?)\)\s*\}\}", re.DOTALL)
 _REF_RE = re.compile(r"\{\{\s*ref\s*\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}")
 _KWARG_RE = re.compile(r"(\w+)\s*=\s*['\"]?([A-Za-z0-9_,\- ]+)['\"]?")
+_MACRO_DEF_RE = re.compile(
+    r"\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}",
+    re.DOTALL,
+)
+
+
+def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
+    """``{% macro name(a, b) %}body{% endmacro %}`` → name → (params,
+    body). The reference declares ``macro-paths`` (dbt_project.yml:18)
+    with an empty macros/ dir; this supplies the surface for the
+    subset real starter projects use — positional text-substitution
+    macros (no control flow, which the reference never introduces)."""
+    out = {}
+    for name, params, body in _MACRO_DEF_RE.findall(text):
+        plist = [p.strip() for p in params.split(",") if p.strip()]
+        out[name] = (plist, body.strip())
+    return out
+
+
+def expand_macros(
+    sql: str, macros: dict[str, tuple[list[str], str]], max_depth: int = 10
+) -> str:
+    """Expand ``{{ name(arg, ...) }}`` call sites textually, like dbt
+    renders macros at compile time. String-literal args drop their
+    quotes (Jinja renders the VALUE); bare args pass through as text.
+    Iterates so macros may call macros; depth-capped against cycles."""
+    if not macros:
+        return sql
+    call_re = re.compile(
+        r"\{\{\s*(" + "|".join(map(re.escape, macros)) + r")\s*\(([^)]*)\)\s*\}\}"
+    )
+
+    def sub(m: re.Match) -> str:
+        name, argtext = m.group(1), m.group(2)
+        params, body = macros[name]
+        args = [a.strip() for a in argtext.split(",")] if argtext.strip() else []
+        vals = []
+        for a in args:
+            if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"":
+                a = a[1:-1]
+            vals.append(a)
+        rendered = body
+        for p, a in zip(params, vals):
+            rendered = re.sub(
+                r"\{\{\s*" + re.escape(p) + r"\s*\}\}", a, rendered
+            )
+
+        # params also flow into NESTED macro calls as bare identifiers
+        # ({{ inner(p) }}): substitute them inside remaining {{ ... }}
+        # expression segments only — never in the SQL text itself.
+        def in_calls(m2: re.Match) -> str:
+            seg = m2.group(0)
+            for p, a in zip(params, vals):
+                seg = re.sub(r"\b" + re.escape(p) + r"\b", a, seg)
+            return seg
+
+        return re.sub(r"\{\{[^}]+\}\}", in_calls, rendered)
+
+    for _ in range(max_depth):
+        new = call_re.sub(sub, sql)
+        if new == sql:
+            return new
+        sql = new
+    return sql
 
 
 @dataclass
@@ -105,27 +169,96 @@ class ModelGraph:
         seeds: dict[str, str] | None = None,
         seed_schemas: dict[str, str] | None = None,
         target_dir: str | None = None,
+        dir_defaults: dict[str, dict] | None = None,
+        model_dirs: dict[str, str] | None = None,
+        macros: dict[str, tuple[list[str], str]] | None = None,
+        analyses: dict[str, str] | None = None,
     ):
-        self.models = {n: Model(n, sql) for n, sql in models.items()}
+        self.macros = dict(macros or {})
+        self.models = {
+            n: Model(n, expand_macros(sql, self.macros))
+            for n, sql in models.items()
+        }
         self.defaults = {"materialized": "view", **(defaults or {})}
         self.warehouse_dir = warehouse_dir
         self.seeds = dict(seeds or {})
         self.seed_schemas = dict(seed_schemas or {})
         self.target_dir = target_dir
+        #: subdir path → config overrides (dbt_project.yml `models:`
+        #: block, `+materialized:` style — leading '+' accepted)
+        self.dir_defaults = {
+            d: {k.lstrip("+"): v for k, v in cfg.items()}
+            for d, cfg in (dir_defaults or {}).items()
+        }
+        #: model name → relative subdir ("" at model-paths root)
+        self.model_dirs = dict(model_dirs or {})
+        #: analyses (dbt analysis-paths): compiled to target/, NEVER run
+        self.analyses = {
+            n: expand_macros(sql, self.macros)
+            for n, sql in (analyses or {}).items()
+        }
 
     @classmethod
-    def from_dir(cls, path: str, seed_path: str | None = None, **kw):
-        models = {}
-        for fn in sorted(os.listdir(path)):
-            if fn.endswith(".sql"):
-                with open(os.path.join(path, fn)) as f:
-                    models[fn[:-4]] = f.read()
+    def from_dir(
+        cls,
+        path: str,
+        seed_path: str | None = None,
+        macro_path: str | None = None,
+        analysis_path: str | None = None,
+        **kw,
+    ):
+        """Load a dbt-project-shaped tree: ``models/**/*.sql`` (subdir
+        recorded for per-directory config), ``seeds/*.csv``,
+        ``macros/*.sql`` macro definitions, ``analyses/*.sql``."""
+        models, model_dirs = {}, {}
+        for root, _dirs, files in sorted(os.walk(path)):
+            rel = os.path.relpath(root, path)
+            rel = "" if rel == "." else rel
+            for fn in sorted(files):
+                if fn.endswith(".sql"):
+                    with open(os.path.join(root, fn)) as f:
+                        models[fn[:-4]] = f.read()
+                    model_dirs[fn[:-4]] = rel
         seeds = {}
         if seed_path and os.path.isdir(seed_path):
             for fn in sorted(os.listdir(seed_path)):
                 if fn.endswith(".csv"):
                     seeds[fn[:-4]] = os.path.join(seed_path, fn)
-        return cls(models, seeds=seeds, **kw)
+        macros: dict[str, tuple[list[str], str]] = {}
+        if macro_path and os.path.isdir(macro_path):
+            for fn in sorted(os.listdir(macro_path)):
+                if fn.endswith(".sql"):
+                    with open(os.path.join(macro_path, fn)) as f:
+                        macros.update(parse_macros(f.read()))
+        analyses = {}
+        if analysis_path and os.path.isdir(analysis_path):
+            for fn in sorted(os.listdir(analysis_path)):
+                if fn.endswith(".sql"):
+                    with open(os.path.join(analysis_path, fn)) as f:
+                        analyses[fn[:-4]] = f.read()
+        return cls(
+            models,
+            seeds=seeds,
+            model_dirs=model_dirs,
+            macros=macros,
+            analyses=analyses,
+            **kw,
+        )
+
+    def _defaults_for(self, name: str) -> dict:
+        """Graph defaults layered with the LONGEST-prefix matching
+        per-directory config — dbt's models-block resolution order
+        (project default < directory < inline ``{{ config() }}``)."""
+        cfg = dict(self.defaults)
+        mdir = self.model_dirs.get(name, "")
+        best = None
+        for d in self.dir_defaults:
+            if mdir == d or mdir.startswith(d + os.sep) or d == "":
+                if best is None or len(d) > len(best):
+                    best = d
+        if best is not None:
+            cfg.update(self.dir_defaults[best])
+        return cfg
 
     def seed(self, spark: SparkSession) -> dict[str, DataFrame]:
         """``dbt seed``: load every csv seed as a warehouse table.
@@ -159,8 +292,13 @@ class ModelGraph:
             if d:
                 shutil.rmtree(d, ignore_errors=True)
 
-    def _write_compiled(self, compiled: dict[str, tuple[str, dict]]) -> None:
-        """Persist rendered SQL + resolved configs (``dbt compile``)."""
+    def _write_compiled(
+        self,
+        compiled: dict[str, tuple[str, dict]],
+        analyses: dict[str, str] | None = None,
+    ) -> None:
+        """Persist rendered SQL + resolved configs (``dbt compile``);
+        analyses land under compiled/analyses/, models in compiled/."""
         if not self.target_dir:
             return
         import json
@@ -176,6 +314,17 @@ class ModelGraph:
                 "refs": self.models[name].refs,
                 "compiled_path": f"compiled/{name}.sql",
             }
+        if analyses:
+            adir = os.path.join(cdir, "analyses")
+            os.makedirs(adir, exist_ok=True)
+            for name, sql in analyses.items():
+                with open(os.path.join(adir, f"{name}.sql"), "w") as f:
+                    f.write(sql + "\n")
+                manifest[f"analysis:{name}"] = {
+                    "config": {"materialized": "analysis"},
+                    "refs": _REF_RE.findall(self.analyses[name]),
+                    "compiled_path": f"compiled/analyses/{name}.sql",
+                }
         with open(os.path.join(self.target_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
 
@@ -193,7 +342,7 @@ class ModelGraph:
         }
 
     def _node_tags(self, name: str) -> set[str]:
-        _, cfg = self.models[name].render(self.defaults)
+        _, cfg = self.models[name].render(self._defaults_for(name))
         return {
             t.strip()
             for t in str(cfg.get("tags", "")).replace(",", " ").split()
@@ -292,7 +441,9 @@ class ModelGraph:
             return f"({ephemeral[n]})" if n in ephemeral else n
 
         for name in self.topo_order():
-            sql, cfg = self.models[name].render(self.defaults, resolve)
+            sql, cfg = self.models[name].render(
+                self._defaults_for(name), resolve
+            )
             mat = cfg.get("materialized", "view")
             if mat == "ephemeral":
                 # always rendered: a selected descendant may inline it
@@ -464,7 +615,14 @@ class ModelGraph:
             else:
                 raise ValueError(f"unknown materialization {mat!r} for {name}")
             out[name] = df
-        self._write_compiled(compiled)
+        # analyses: compiled with the same ref/macro pipeline, written
+        # to target/, never executed (dbt analysis-paths semantics,
+        # dbt_project.yml:15)
+        analyses_compiled = {
+            n: Model(n, sql).render(self._defaults_for(n), resolve)[0]
+            for n, sql in self.analyses.items()
+        }
+        self._write_compiled(compiled, analyses_compiled)
         return out
 
 
@@ -499,7 +657,14 @@ where id = 1
 
 
 def run_example_project(spark: SparkSession) -> dict[str, DataFrame]:
-    return ModelGraph(EXAMPLE_MODELS).run(spark)
+    # defaults mirror the reference's per-directory config
+    # (`example: +materialized: table`, dbt_project.yml:42): under real
+    # dbt BOTH example models are tables — model 1 restates it inline,
+    # model 2 inherits it. An earlier port ran model 2 as a view
+    # (identical rows, different materialization).
+    return ModelGraph(
+        EXAMPLE_MODELS, defaults={"materialized": "table"}
+    ).run(spark)
 
 
 def dbt_example_models(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,3 +140,83 @@ def test_dbt_node_selection(spark, tmp_path):
     out3 = graph().run(spark, select="+mart_b")
     assert sorted(out3) == ["mart_b", "stg"]
     assert out3["mart_b"].collect()[0]["m"] == 2
+
+
+def test_macros_analyses_and_dir_defaults(spark, tmp_path):
+    """The last dbt_project.yml-declared paths: macros/ (text-
+    substitution macro expansion, nested), analyses/ (compiled to
+    target/, never executed), and the models: per-directory config
+    block with longest-prefix resolution and inline-config override."""
+    import json
+    import os
+
+    proj = tmp_path / "proj"
+    (proj / "models" / "example").mkdir(parents=True)
+    (proj / "models" / "example" / "deep").mkdir()
+    (proj / "macros").mkdir()
+    (proj / "analyses").mkdir()
+    (proj / "seeds").mkdir()
+
+    (proj / "macros" / "helpers.sql").write_text(
+        "{% macro cents(col) %}CAST({{ col }} * 100 AS BIGINT){% endmacro %}\n"
+        "{% macro cents_sum(col) %}SUM({{ cents(col) }}){% endmacro %}\n"
+    )
+    (proj / "models" / "base.sql").write_text(
+        "select 1.5 as amount union all select 2.25 as amount"
+    )
+    (proj / "models" / "example" / "mid.sql").write_text(
+        "select {{ cents_sum('amount') }} as total_cents"
+        " from {{ ref('base') }}"
+    )
+    (proj / "models" / "example" / "deep" / "leaf.sql").write_text(
+        "{{ config(materialized='view') }}"
+        " select total_cents from {{ ref('mid') }}"
+    )
+    (proj / "analyses" / "audit.sql").write_text(
+        "select {{ cents('amount') }} as c from {{ ref('base') }}"
+    )
+
+    g = ModelGraph.from_dir(
+        str(proj / "models"),
+        macro_path=str(proj / "macros"),
+        analysis_path=str(proj / "analyses"),
+        warehouse_dir=str(tmp_path / "wh"),
+        target_dir=str(tmp_path / "target"),
+        dir_defaults={
+            "example": {"+materialized": "table"},
+            "example/deep".replace("/", os.sep): {"materialized": "merge"},
+        },
+    )
+    out = g.run(spark)
+    # nested macro expanded through two levels
+    assert out["mid"].collect()[0]["total_cents"] == 375
+    # dir config: mid (example/) is a table on disk
+    assert (tmp_path / "wh" / "mid").is_dir()
+    # inline config beats the deepest dir default (merge would have
+    # required unique_key and failed)
+    assert out["leaf"].collect()[0]["total_cents"] == 375
+    assert not (tmp_path / "wh" / "leaf").exists()  # view, not table
+    # analyses: compiled, never executed, refs + macros rendered
+    compiled = (
+        tmp_path / "target" / "compiled" / "analyses" / "audit.sql"
+    ).read_text()
+    assert "CAST(amount * 100 AS BIGINT)" in compiled
+    assert "{{" not in compiled
+    manifest = json.loads((tmp_path / "target" / "manifest.json").read_text())
+    assert manifest["analysis:audit"]["refs"] == ["base"]
+    assert "audit" not in out
+
+
+def test_example_models_both_materialize_as_tables(spark):
+    """Reference parity: under `example: +materialized: table`
+    (dbt_project.yml:42) BOTH example models are tables — model 2
+    inherits the directory default (an earlier port ran it as view)."""
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        run_example_project,
+    )
+
+    out = run_example_project(spark)
+    import os
+
+    for name in ("my_first_dbt_model", "my_second_dbt_model"):
+        assert os.path.isdir(f"/root/repo/.artifacts/warehouse/{name}")
