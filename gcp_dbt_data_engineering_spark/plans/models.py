@@ -453,168 +453,7 @@ class ModelGraph:
             if name not in selected:
                 continue
             compiled[name] = (sql, cfg)
-            df = spark.sql(sql)
-            if mat == "view":
-                df.createOrReplaceTempView(name)
-            elif mat == "table":
-                path = f"{self.warehouse_dir}/{name}"
-                df.write.mode("overwrite").parquet(path)
-                df = spark.read.parquet(path)
-                df.createOrReplaceTempView(name)
-            elif mat == "incremental":
-                path = f"{self.warehouse_dir}/{name}"
-                part = cfg.get("partition_by")
-                if not part:
-                    raise ValueError(f"incremental model {name} needs partition_by")
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                # repartition by the partition column first: otherwise
-                # every shuffle partition writes a sliver into every
-                # output partition (30 dirs x 8 files here) and commit
-                # overhead dominates; one task per partition writes one
-                # file. Same rule at cluster scale, plus a range/hash
-                # split within hot partitions if one day >> executors.
-                writer = (
-                    df.repartition(F.col(part))
-                    .write.mode("overwrite")
-                    .partitionBy(part)
-                )
-                # dynamic mode: only partitions present in df are replaced
-                writer.parquet(path)
-                df = spark.read.parquet(path)
-                df.createOrReplaceTempView(name)
-            elif mat == "merge":
-                # dbt's incremental unique_key strategy: rows in this
-                # batch REPLACE existing rows with the same key, all
-                # other existing rows survive. Without a transactional
-                # table format the upsert is anti-join + union into a
-                # staged snapshot, then an atomic directory swap (you
-                # cannot overwrite a parquet dir Spark is lazily
-                # reading from). On Delta/Iceberg this branch becomes
-                # a real MERGE INTO with file-level pruning on the
-                # key — this seam is where that engine plugs in.
-                import shutil
-
-                path = f"{self.warehouse_dir}/{name}"
-                key = cfg.get("unique_key")
-                if not key:
-                    raise ValueError(f"merge model {name} needs unique_key")
-                keys = [k.strip() for k in key.split(",")]
-                merged = df
-                if os.path.exists(path):
-                    existing = spark.read.parquet(path)
-                    survivors = existing.join(
-                        df.select(*keys).distinct(), on=keys, how="left_anti"
-                    )
-                    merged = survivors.unionByName(df)
-                staging = f"{path}__staging"
-                merged.write.mode("overwrite").parquet(staging)
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(staging, path)
-                df = spark.read.parquet(path)
-                df.createOrReplaceTempView(name)
-            elif mat == "snapshot":
-                # dbt snapshot, timestamp strategy (SCD2): the
-                # reference declares snapshots/ (dbt_project.yml:19)
-                # but ships none — this supplies the materialization.
-                # A source row whose updated_at is newer than the open
-                # version's closes it (valid_to = new updated_at) and
-                # opens a new version; replaying a batch is a no-op
-                # (equal updated_at is not newer). Same staged-swap
-                # write as merge; on Delta/Iceberg this becomes
-                # MERGE INTO with a key-pruned file scan.
-                import shutil
-
-                from pyspark.sql import functions as SF
-
-                path = f"{self.warehouse_dir}/{name}"
-                key = cfg.get("unique_key")
-                updated = cfg.get("updated_at")
-                if not key or not updated:
-                    raise ValueError(
-                        f"snapshot model {name} needs unique_key + updated_at"
-                    )
-                # dbt snapshot semantics assume one row per unique_key
-                # per batch; a batch carrying several versions of a key
-                # would open multiple valid_to-NULL rows and
-                # double-close the prior version on the next run. Keep
-                # only the latest updated_at per key (window, one
-                # shuffle on the key — same key the joins below shuffle
-                # on anyway). Ties on (key, updated_at) with DIFFERENT
-                # payloads would otherwise pick an arbitrary survivor
-                # (dbt errors on such batches); a stable hash of the
-                # remaining columns makes the survivor deterministic
-                # across runs and partitionings.
-                from pyspark.sql.window import Window as _W
-
-                _payload = [c for c in df.columns if c not in (key, updated)]
-                _rn = SF.row_number().over(
-                    _W.partitionBy(key).orderBy(
-                        SF.col(updated).desc(),
-                        *(
-                            [SF.xxhash64(*_payload).desc()]
-                            if _payload
-                            else []
-                        ),
-                    )
-                )
-                df = (
-                    df.withColumn("__rn", _rn)
-                    .filter(SF.col("__rn") == 1)
-                    .drop("__rn")
-                )
-                src = df.withColumn(
-                    "valid_from", SF.col(updated)
-                ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))
-                if os.path.exists(path):
-                    snap = spark.read.parquet(path)
-                    is_open = SF.col("valid_to").isNull()
-                    closed = snap.filter(~is_open)
-                    opened = snap.filter(is_open)
-                    newer = src.select(
-                        SF.col(key).alias("__k"),
-                        SF.col(updated).alias("__new_upd"),
-                    )
-                    joined = opened.join(
-                        newer, opened[key] == SF.col("__k"), "left"
-                    )
-                    still_open = joined.filter(
-                        SF.col("__new_upd").isNull()
-                        | (SF.col("__new_upd") <= SF.col(updated))
-                    ).select(*snap.columns)
-                    now_closed = joined.filter(
-                        SF.col("__new_upd") > SF.col(updated)
-                    ).withColumn("valid_to", SF.col("__new_upd")).select(
-                        *snap.columns
-                    )
-                    # new versions: keys that closed a row or are new
-                    prior_upd = opened.select(
-                        SF.col(key).alias("__pk"),
-                        SF.col(updated).alias("__prior_upd"),
-                    )
-                    fresh = (
-                        src.join(prior_upd, src[key] == SF.col("__pk"), "left")
-                        .filter(
-                            SF.col("__prior_upd").isNull()
-                            | (SF.col(updated) > SF.col("__prior_upd"))
-                        )
-                        .select(*src.columns)
-                    )
-                    merged = closed.unionByName(still_open).unionByName(
-                        now_closed
-                    ).unionByName(fresh)
-                else:
-                    merged = src
-                staging = f"{path}__staging"
-                merged.write.mode("overwrite").parquet(staging)
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(staging, path)
-                df = spark.read.parquet(path)
-                df.createOrReplaceTempView(name)
-            else:
-                raise ValueError(f"unknown materialization {mat!r} for {name}")
-            out[name] = df
+            out[name] = self._materialize(spark, name, sql, cfg)
         # analyses: compiled with the same ref/macro pipeline, written
         # to target/, never executed (dbt analysis-paths semantics,
         # dbt_project.yml:15)
@@ -625,6 +464,282 @@ class ModelGraph:
         self._write_compiled(compiled, analyses_compiled)
         return out
 
+    def _materialize(self, spark, name, sql, cfg) -> DataFrame:
+        """Execute one rendered model and materialize per its config;
+        returns the registered result DataFrame. Shared by ``run`` and
+        ``build``."""
+        mat = cfg.get("materialized", "view")
+        df = spark.sql(sql)
+        if mat == "view":
+            df.createOrReplaceTempView(name)
+        elif mat == "table":
+            path = f"{self.warehouse_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+        elif mat == "incremental":
+            path = f"{self.warehouse_dir}/{name}"
+            part = cfg.get("partition_by")
+            if not part:
+                raise ValueError(f"incremental model {name} needs partition_by")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            # repartition by the partition column first: otherwise
+            # every shuffle partition writes a sliver into every
+            # output partition (30 dirs x 8 files here) and commit
+            # overhead dominates; one task per partition writes one
+            # file. Same rule at cluster scale, plus a range/hash
+            # split within hot partitions if one day >> executors.
+            writer = (
+                df.repartition(F.col(part))
+                .write.mode("overwrite")
+                .partitionBy(part)
+            )
+            # dynamic mode: only partitions present in df are replaced
+            writer.parquet(path)
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+        elif mat == "merge":
+            # dbt's incremental unique_key strategy: rows in this
+            # batch REPLACE existing rows with the same key, all
+            # other existing rows survive. Without a transactional
+            # table format the upsert is anti-join + union into a
+            # staged snapshot, then an atomic directory swap (you
+            # cannot overwrite a parquet dir Spark is lazily
+            # reading from). On Delta/Iceberg this branch becomes
+            # a real MERGE INTO with file-level pruning on the
+            # key — this seam is where that engine plugs in.
+            import shutil
+
+            path = f"{self.warehouse_dir}/{name}"
+            key = cfg.get("unique_key")
+            if not key:
+                raise ValueError(f"merge model {name} needs unique_key")
+            keys = [k.strip() for k in key.split(",")]
+            merged = df
+            if os.path.exists(path):
+                existing = spark.read.parquet(path)
+                survivors = existing.join(
+                    df.select(*keys).distinct(), on=keys, how="left_anti"
+                )
+                merged = survivors.unionByName(df)
+            staging = f"{path}__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(staging, path)
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+        elif mat == "snapshot":
+            # dbt snapshot, timestamp strategy (SCD2): the
+            # reference declares snapshots/ (dbt_project.yml:19)
+            # but ships none — this supplies the materialization.
+            # A source row whose updated_at is newer than the open
+            # version's closes it (valid_to = new updated_at) and
+            # opens a new version; replaying a batch is a no-op
+            # (equal updated_at is not newer). Same staged-swap
+            # write as merge; on Delta/Iceberg this becomes
+            # MERGE INTO with a key-pruned file scan.
+            import shutil
+
+            from pyspark.sql import functions as SF
+
+            path = f"{self.warehouse_dir}/{name}"
+            key = cfg.get("unique_key")
+            updated = cfg.get("updated_at")
+            if not key or not updated:
+                raise ValueError(
+                    f"snapshot model {name} needs unique_key + updated_at"
+                )
+            # dbt snapshot semantics assume one row per unique_key
+            # per batch; a batch carrying several versions of a key
+            # would open multiple valid_to-NULL rows and
+            # double-close the prior version on the next run. Keep
+            # only the latest updated_at per key (window, one
+            # shuffle on the key — same key the joins below shuffle
+            # on anyway). Ties on (key, updated_at) with DIFFERENT
+            # payloads would otherwise pick an arbitrary survivor
+            # (dbt errors on such batches); a stable hash of the
+            # remaining columns makes the survivor deterministic
+            # across runs and partitionings.
+            from pyspark.sql.window import Window as _W
+
+            _payload = [c for c in df.columns if c not in (key, updated)]
+            _rn = SF.row_number().over(
+                _W.partitionBy(key).orderBy(
+                    SF.col(updated).desc(),
+                    *(
+                        [SF.xxhash64(*_payload).desc()]
+                        if _payload
+                        else []
+                    ),
+                )
+            )
+            df = (
+                df.withColumn("__rn", _rn)
+                .filter(SF.col("__rn") == 1)
+                .drop("__rn")
+            )
+            src = df.withColumn(
+                "valid_from", SF.col(updated)
+            ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))
+            if os.path.exists(path):
+                snap = spark.read.parquet(path)
+                is_open = SF.col("valid_to").isNull()
+                closed = snap.filter(~is_open)
+                opened = snap.filter(is_open)
+                newer = src.select(
+                    SF.col(key).alias("__k"),
+                    SF.col(updated).alias("__new_upd"),
+                )
+                joined = opened.join(
+                    newer, opened[key] == SF.col("__k"), "left"
+                )
+                still_open = joined.filter(
+                    SF.col("__new_upd").isNull()
+                    | (SF.col("__new_upd") <= SF.col(updated))
+                ).select(*snap.columns)
+                now_closed = joined.filter(
+                    SF.col("__new_upd") > SF.col(updated)
+                ).withColumn("valid_to", SF.col("__new_upd")).select(
+                    *snap.columns
+                )
+                # new versions: keys that closed a row or are new
+                prior_upd = opened.select(
+                    SF.col(key).alias("__pk"),
+                    SF.col(updated).alias("__prior_upd"),
+                )
+                fresh = (
+                    src.join(prior_upd, src[key] == SF.col("__pk"), "left")
+                    .filter(
+                        SF.col("__prior_upd").isNull()
+                        | (SF.col(updated) > SF.col("__prior_upd"))
+                    )
+                    .select(*src.columns)
+                )
+                merged = closed.unionByName(still_open).unionByName(
+                    now_closed
+                ).unionByName(fresh)
+            else:
+                merged = src
+            staging = f"{path}__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(staging, path)
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+        else:
+            raise ValueError(f"unknown materialization {mat!r} for {name}")
+        return df
+
+
+    def build(
+        self,
+        spark: SparkSession,
+        schema_tests: dict | None = None,
+        select: str | None = None,
+        exclude: str | None = None,
+    ) -> list[dict]:
+        """``dbt build``: seed → model → test in ONE DAG-ordered pass
+        with per-node status and dbt's failure isolation — a node whose
+        upstream errored is SKIPPED, siblings keep running.
+
+        ``schema_tests``: {model: {column: ["unique", "not_null"]}}
+        (schema.yml shape); each test runs right after its model
+        materializes, like dbt build's interleaved test execution.
+        Returns one status dict per node:
+        {"node", "kind", "status": success|error|skipped|pass|fail,
+         "detail"}.
+        """
+        results: list[dict] = []
+        failed: set[str] = set()
+        selected = self.select_nodes(select, exclude)
+        tests = schema_tests or {}
+
+        for name, path in sorted(self.seeds.items()):
+            try:
+                schema = self.seed_schemas.get(name)
+                reader = spark.read.option("header", "true")
+                reader = (
+                    reader.schema(schema)
+                    if schema
+                    else reader.option("inferSchema", "true")
+                )
+                df = reader.csv(path)
+                wpath = f"{self.warehouse_dir}/{name}"
+                df.write.mode("overwrite").parquet(wpath)
+                spark.read.parquet(wpath).createOrReplaceTempView(name)
+                results.append(
+                    {"node": name, "kind": "seed", "status": "success",
+                     "detail": None}
+                )
+            except Exception as exc:  # noqa: BLE001 - per-node isolation
+                failed.add(name)
+                results.append(
+                    {"node": name, "kind": "seed", "status": "error",
+                     "detail": str(exc)[:300]}
+                )
+
+        ephemeral: dict[str, str] = {}
+
+        def resolve(n: str) -> str:
+            return f"({ephemeral[n]})" if n in ephemeral else n
+
+        edges = self._edges()
+        for name in self.topo_order():
+            sql, cfg = self.models[name].render(
+                self._defaults_for(name), resolve
+            )
+            if cfg.get("materialized") == "ephemeral":
+                ephemeral[name] = sql
+                continue
+            if name not in selected:
+                continue
+            ups = set(edges.get(name, ())) | (
+                set(self.models[name].refs) & set(self.seeds)
+            )
+            if ups & failed:
+                failed.add(name)
+                results.append(
+                    {"node": name, "kind": "model", "status": "skipped",
+                     "detail": f"upstream failed: {sorted(ups & failed)}"}
+                )
+                continue
+            try:
+                self._materialize(spark, name, sql, cfg)
+                results.append(
+                    {"node": name, "kind": "model", "status": "success",
+                     "detail": None}
+                )
+            except Exception as exc:  # noqa: BLE001 - per-node isolation
+                failed.add(name)
+                results.append(
+                    {"node": name, "kind": "model", "status": "error",
+                     "detail": str(exc)[:300]}
+                )
+                continue
+            for col, tnames in tests.get(name, {}).items():
+                for t in tnames:
+                    if t == "unique":
+                        q = (
+                            f"SELECT COUNT(*) AS n FROM (SELECT {col} "
+                            f"FROM {name} WHERE {col} IS NOT NULL "
+                            f"GROUP BY {col} HAVING COUNT(*) > 1)"
+                        )
+                    elif t == "not_null":
+                        q = (
+                            f"SELECT COUNT(*) AS n FROM {name} "
+                            f"WHERE {col} IS NULL"
+                        )
+                    else:
+                        raise ValueError(f"unknown schema test {t!r}")
+                    n_bad = spark.sql(q).collect()[0]["n"]
+                    results.append(
+                        {"node": f"{t}_{name}_{col}", "kind": "test",
+                         "status": "pass" if n_bad == 0 else "fail",
+                         "detail": f"failed_records={n_bad}"}
+                    )
+        return results
 
 # ---------------------------------------------------------------------------
 # The reference's example project, ported verbatim as the first corpus

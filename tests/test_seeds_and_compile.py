@@ -220,3 +220,46 @@ def test_example_models_both_materialize_as_tables(spark):
 
     for name in ("my_first_dbt_model", "my_second_dbt_model"):
         assert os.path.isdir(f"/root/repo/.artifacts/warehouse/{name}")
+
+
+def test_dbt_build_failure_isolation_and_interleaved_tests(spark, tmp_path):
+    """dbt build semantics: seed -> model -> test in DAG order; an
+    erroring model marks its descendants skipped while siblings build;
+    schema tests run right after their model and report pass/fail."""
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    (seed_dir / "base_rates.csv").write_text("k,rate\na,1\nb,2\n")
+    models = {
+        "good": "select k, rate * 10 as r from {{ ref('base_rates') }}",
+        "bad": "select boom from {{ ref('base_rates') }}",  # no such col
+        "child_of_bad": "select boom from {{ ref('bad') }}",
+        "dup": "select 1 as id union all select 1 as id",
+    }
+    g = ModelGraph(
+        models,
+        seeds={"base_rates": str(seed_dir / "base_rates.csv")},
+        seed_schemas={"base_rates": "k string, rate bigint"},
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    res = g.build(
+        spark,
+        schema_tests={
+            "good": {"k": ["unique", "not_null"]},
+            "dup": {"id": ["unique"]},
+        },
+    )
+    by = {r["node"]: r for r in res}
+    assert by["base_rates"] == {
+        "node": "base_rates", "kind": "seed", "status": "success",
+        "detail": None,
+    }
+    assert by["good"]["status"] == "success"
+    assert by["bad"]["status"] == "error"
+    assert by["child_of_bad"]["status"] == "skipped"
+    assert by["dup"]["status"] == "success"
+    assert by["unique_good_k"]["status"] == "pass"
+    assert by["not_null_good_k"]["status"] == "pass"
+    assert by["unique_dup_id"]["status"] == "fail"
+    assert by["unique_dup_id"]["detail"] == "failed_records=1"
+    # no tests ran for the failed/skipped branch
+    assert not any(n.endswith("_bad_boom") for n in by)
