@@ -39,7 +39,10 @@ BUDGETS = {
     "sketch_hll_distinct_users": (6, 1),
     # benchmark side broadcast, corpus side streams
     "contamination_external_bench": (6, 1),
-    "events_key_skew_stats": (4, 0),
+    # r5: top-k mass now comes from a TakeOrdered limit branch (its own
+    # count-agg exchange per key column) instead of a global row_number
+    # window — two more exchanges per key, zero single-task sorts
+    "events_key_skew_stats": (8, 2),
 }
 
 
