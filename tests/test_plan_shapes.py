@@ -42,7 +42,7 @@ BUDGETS = {
     # r5: top-k mass now comes from a TakeOrdered limit branch (its own
     # count-agg exchange per key column) instead of a global row_number
     # window — two more exchanges per key, zero single-task sorts
-    "events_key_skew_stats": (8, 2),
+    "events_key_skew_stats": (8, 0),  # 1-row topk attaches as BNLJ, not BHJ
 }
 
 
