@@ -937,9 +937,14 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     simplified PR; documented contract).
 
     Scale posture: per iteration one join on src + one aggregate on
-    dst — two shuffles over the EDGE list; lineage truncated per round
-    via localCheckpoint like the connected-components operator. At
-    1e9+ docs switch the picorank sums to DECIMAL (int64 bounds).
+    dst — two shuffles over the EDGE list. Since r5 the whole 3-round
+    power iteration is ONE lazy plan: the node count rides in as a
+    broadcast scalar column (no ``docs.count()`` driver action) and
+    the fixed iteration count needs no per-round lineage truncation
+    (the memoized graph below is the checkpointed base). At 1e9+ docs
+    switch the picorank sums to DECIMAL (int64 bounds); a
+    convergence-driven variant would reintroduce the driver loop —
+    see dedup_cluster_components for that (legitimately eager) shape.
     """
     # the degree-annotated edge list is the GRAPH — a per-corpus
     # artifact like the pair list it derives from; memoized so repeated
@@ -958,9 +963,12 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edeg = edges.join(deg, "src").localCheckpoint()
         gcache[sf_dir] = edeg
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    base = 0.15 / float(n)
-    ranks = docs.select("doc_id", F.lit(1.0 / float(n)).alias("r"))
+    ncnt = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n")))
+    # n rides as a broadcast scalar column; 0.15/n and 1/n evaluate to
+    # the same IEEE doubles the old Python-inlined literals did
+    ranks = docs.crossJoin(ncnt).selectExpr(
+        "doc_id", "__n", "1.0 / CAST(__n AS DOUBLE) AS r"
+    )
     for _ in range(PR_ITERS):
         contrib = (
             edeg.join(ranks, edeg.src == ranks.doc_id)
@@ -973,13 +981,15 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("cs"))
         )
         ranks = (
-            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            docs.crossJoin(ncnt)
+            .join(contrib, F.col("doc_id") == contrib.dst, "left")
             .selectExpr(
                 "doc_id",
-                f"{base!r} + {PR_DAMP} * (CAST(COALESCE(cs, 0) AS DOUBLE)"
+                "__n",
+                f"0.15 / CAST(__n AS DOUBLE)"
+                f" + {PR_DAMP} * (CAST(COALESCE(cs, 0) AS DOUBLE)"
                 f" / {float(PR_SCALE)!r}) AS r",
             )
-            .localCheckpoint()
         )
     return ranks.select(
         "doc_id", F.col("r").alias("pagerank")
@@ -1111,8 +1121,8 @@ SPECS: dict[str, QuerySpec] = {
             "dedup_graph_pagerank",
             dedup_graph_pagerank,
             _oracle_pagerank(),
-            "3-iter PageRank on the near-dup graph; quantized exact sums",
-            eager=True,
+            "3-iter PageRank on the near-dup graph; quantized exact "
+            "sums; one lazy plan since r5",
         ),
         QuerySpec(
             "dedup_keep_best",
