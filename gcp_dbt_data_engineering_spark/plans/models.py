@@ -1166,6 +1166,62 @@ GROUP BY r.r_name
 """
 
 
+BUILD_DEMO_MODELS: dict[str, str] = {
+    "stg_codes": "select code, region_key from {{ ref('country_codes') }}",
+    "bad_model": "select no_such_column from {{ ref('stg_codes') }}",
+    "child_of_bad": "select * from {{ ref('bad_model') }}",
+    "mart_counts": (
+        "{{ config(materialized='table') }} "
+        "select region_key, count(*) as n from {{ ref('stg_codes') }} "
+        "group by region_key"
+    ),
+}
+
+
+def dbt_build_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt build`` end-to-end under the gate: seed → models → tests
+    with one deliberately broken branch.
+
+    The status matrix is fully deterministic (fixture seed + fixed
+    models), so the oracle is a literal VALUES table: the seed and the
+    healthy chain succeed, the bad model errors, its child is SKIPPED
+    (dbt's failure isolation), and the interleaved schema tests report
+    pass/fail. Error detail strings are engine-worded, so the spec
+    emits (node, kind, status) only.
+    """
+    g = ModelGraph(
+        BUILD_DEMO_MODELS,
+        seeds={"country_codes": SEED_CSV_PATH},
+        seed_schemas=SEED_SCHEMAS,
+        warehouse_dir=f"{_REPO_ROOT}/.artifacts/warehouse",
+    )
+    res = g.build(
+        spark,
+        schema_tests={
+            "stg_codes": {"code": ["unique", "not_null"]},
+            "mart_counts": {"region_key": ["unique"]},
+        },
+    )
+    return spark.createDataFrame(
+        [(r["node"], r["kind"], r["status"]) for r in res],
+        "node string, kind string, status string",
+    )
+
+
+ORACLE_BUILD_STATUSES = """
+SELECT * FROM (VALUES
+  ('country_codes', 'seed', 'success'),
+  ('stg_codes', 'model', 'success'),
+  ('unique_stg_codes_code', 'test', 'pass'),
+  ('not_null_stg_codes_code', 'test', 'pass'),
+  ('bad_model', 'model', 'error'),
+  ('child_of_bad', 'model', 'skipped'),
+  ('mart_counts', 'model', 'success'),
+  ('unique_mart_counts_region_key', 'test', 'pass')
+) AS t(node, kind, status)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dbt_example_models": QuerySpec(
         "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
@@ -1199,6 +1255,12 @@ SPECS: dict[str, QuerySpec] = {
         "dbt_seed_models", dbt_seed_models, ORACLE_SEED_MODELS,
         "dbt seed: csv -> warehouse table -> ref() through an "
         "ephemeral into a table mart (seed-paths, dbt_project.yml:17)",
+        kind="materialization",
+    ),
+    "dbt_build_statuses": QuerySpec(
+        "dbt_build_statuses", dbt_build_statuses, ORACLE_BUILD_STATUSES,
+        "dbt build: seed->model->test DAG pass with failure isolation; "
+        "deterministic status matrix vs a VALUES oracle",
         kind="materialization",
     ),
 }
