@@ -35,6 +35,15 @@ Methodology:
   per-query and as cold_total_s.
 - the DuckDB oracle of every SQL-expressible spec is timed the same
   way (min over 2 passes) unless BENCH_DUCKDB=0.
+- result materialization is ARROW on BOTH engines (``df.toArrow()`` /
+  ``cursor.arrow()``): both engines are columnar, so the symmetric
+  fetch measures engine work, not Python row-object construction.
+  (r5 used ``collect()`` vs ``fetchall()``; for a 150k-row decimal
+  result Spark's row-pickle hop alone was 0.4 s — 4x the query — while
+  DuckDB's fetchall was 0.2 s, so big-output specs measured the two
+  engines' Python object converters, not the engines.) Specs whose
+  result type Arrow can't carry (e.g. VARIANT) fall back to collect()
+  on the Spark side, marked ``fetch: "collect"`` in the detail file.
 - specs are split by QuerySpec.kind: "materialization" specs rebuild
   warehouse tables in multi-batch parquet writes + swaps, so their
   wall-clock is a pipeline/write benchmark — comparing it to the
@@ -96,6 +105,18 @@ def main() -> None:
     counts: dict[str, int] = {}
     held: dict[str, object] = {}
     run_orders: list[list[str]] = []
+    fetch_mode: dict[str, str] = {}
+
+    def fetch(name: str, df) -> int:
+        """Materialize a result fully, Arrow-first (see docstring)."""
+        if fetch_mode.get(name) != "collect":
+            try:
+                n = df.toArrow().num_rows
+                fetch_mode[name] = "arrow"
+                return n
+            except Exception:
+                fetch_mode[name] = "collect"  # e.g. VARIANT columns
+        return len(df.collect())
 
     if os.environ.get("BENCH_COLD", "1") != "0":
         order = sorted(specs)
@@ -105,7 +126,7 @@ def main() -> None:
             clear_caches(spark)
             t0 = time.perf_counter()
             df = specs[name].spark(spark, sf_dir)
-            counts[name] = len(df.collect())
+            counts[name] = fetch(name, df)
             cold_s[name] = round(time.perf_counter() - t0, 4)
         clear_caches(spark)
 
@@ -128,14 +149,23 @@ def main() -> None:
             t0 = time.perf_counter()
             if rebuild:
                 held[name] = specs[name].spark(spark, sf_dir)
-            counts[name] = len(held[name].collect())
+            counts[name] = fetch(name, held[name])
             dt = time.perf_counter() - t0
             if p == 0 and not always_rebuild:
                 continue  # build pass: populates memos, holds the DF
             timings[name] = round(min(timings.get(name, dt), dt), 4)
 
     for name in specs:  # passes=1 fallback: no warm run happened
-        timings.setdefault(name, cold_s.get(name, 0.0))
+        if name not in timings:
+            if name not in cold_s:
+                # no warm AND no cold timing (BENCH_COLD=0 with
+                # BENCH_PASSES=1): defaulting to 0.0 would fake a
+                # perfect headline — fail loudly instead (ADVICE r5)
+                raise RuntimeError(
+                    f"spec {name!r} has no recorded timing: run with "
+                    "BENCH_PASSES>=2 or BENCH_COLD=1"
+                )
+            timings[name] = cold_s[name]
 
     # per-query plan cost: build the DataFrame and force analysis +
     # optimization + physical planning WITHOUT executing (min of 2).
@@ -180,7 +210,7 @@ def main() -> None:
                 if spec.oracle is None:
                     continue
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                con.execute(spec.oracle).arrow()
                 dt = time.perf_counter() - t0
                 duck[name] = round(min(duck.get(name, dt), dt), 4)
 
@@ -215,6 +245,10 @@ def main() -> None:
             "duckdb_s; see sections.queries.cold_total_s.",
             "warmup": "fact-table count + one mapInArrow action "
             "(Python-worker spin-up excluded from per-spec time)",
+            "fetch": "Arrow materialization on BOTH engines "
+            "(df.toArrow() / cursor.arrow()) — symmetric columnar "
+            "fetch; per-spec 'fetch' records the rare collect() "
+            "fallback for Arrow-unsupported result types",
             "run_orders": run_orders,
         },
         "floor_per_query_s": floor,
@@ -279,6 +313,7 @@ def main() -> None:
                 ),
                 "rows": counts[name],
                 "kind": specs[name].kind,
+                "fetch": fetch_mode.get(name, "arrow"),
             }
             for name in sorted(timings)
         },

@@ -451,16 +451,23 @@ def bloom_positions(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def bloom_words(df: DataFrame, key: str) -> DataFrame:
+def bloom_words(df: DataFrame, key: str, *, distinct: bool = True) -> DataFrame:
     """(word → or-ed bits) Bloom state for distinct ``df[key]``.
 
     Mergeable by per-word ``bit_or`` — two filters built from disjoint
     key sets OR together into exactly the filter of the union
     (asserted in tests/test_sketch_merge.py), which is how per-shard /
     per-day filters combine at 100 TB without touching rows again.
+
+    ``distinct=False`` skips the internal dedup when the caller already
+    holds a distinct key relation (bit-OR is idempotent, so the state
+    is identical either way — dedup only trims the explode volume).
     """
+    keyed = df.select(key)
+    if distinct:
+        keyed = keyed.distinct()
     return (
-        bloom_positions(df.select(key).distinct(), key)
+        bloom_positions(keyed, key)
         .selectExpr(
             f"CAST(pos / {BLOOM_WORD} AS BIGINT) AS word",
             f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
@@ -486,8 +493,14 @@ def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    words = bloom_words(orders, "o_custkey")
-    actual = orders.selectExpr("o_custkey AS a_key").distinct()
+    # ONE distinct pass over orders feeds BOTH the filter build and the
+    # false-positive audit: the shared DataFrame canonicalizes to the
+    # same shuffle, so ReusedExchange serves the second consumer from
+    # the first's output instead of re-scanning + re-distincting orders
+    # (the r5 form paid two full DISTINCTs — the dominant cost at sf1).
+    keys = orders.select("o_custkey").distinct()
+    words = bloom_words(keys, "o_custkey", distinct=False)
+    actual = keys.selectExpr("o_custkey AS a_key")
     # The whole 512-byte filter folds to ONE row (a 128-word array) and
     # broadcasts; each customer then tests its k bits as a map-only
     # projection — no explode, no per-key groupBy, no shuffle of the
