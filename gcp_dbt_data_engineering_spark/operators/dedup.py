@@ -626,6 +626,14 @@ COSINE_T = 0.4
 #: tile fits an executor comfortably; shape is unchanged.
 COSINE_TILE = 4096
 
+#: chunk assignment within a label: a BALANCED function of the id.
+#: Raw ``vec_id % m`` looks uniform but isn't — strided ids (all-even
+#: with m=2, ids = k*m generally) or clustered ranges concentrate into
+#: one chunk, silently restoring the O(b²) single hot task the tiling
+#: exists to eliminate (ADVICE r5). xxhash64 decorrelates any id
+#:  pattern from the mod. Shared with the balance regression test.
+COSINE_CHUNK_EXPR = "CAST(pmod(xxhash64(vec_id), m) AS INT)"
+
 
 def embedding_cosine_pairs(emb: DataFrame, tile: int = COSINE_TILE):
     """All within-``label`` pairs with cosine >= COSINE_T, with every
@@ -635,7 +643,10 @@ def embedding_cosine_pairs(emb: DataFrame, tile: int = COSINE_TILE):
     task — O(b²) memory/CPU in one task for a hot label (VERDICT r4
     item 7). The exact-pairs work is irreducibly O(b²), so the fix is
     TILING, not candidate pruning: each label is split into
-    m = ceil(cnt / tile) mod-groups (``vec_id % m``), every vector
+    m = ceil(cnt / tile) hash-groups (``pmod(xxhash64(vec_id), m)`` —
+    a balanced function of the id, NOT raw ``vec_id % m``, which
+    silently re-concentrates strided or clustered id sets into one
+    hot chunk and restores the O(b²) single task), every vector
     fans out to the m tiles ``(min(c,o), max(c,o))`` it participates
     in, and each (label, i, j) tile task computes one bounded Gram
     block — within-chunk (i == j) upper-triangle or cross-chunk
@@ -653,7 +664,7 @@ def embedding_cosine_pairs(emb: DataFrame, tile: int = COSINE_TILE):
     )
     fanned = (
         emb.join(F.broadcast(counts), "label")
-        .withColumn("c", F.expr("CAST(vec_id % m AS INT)"))
+        .withColumn("c", F.expr(COSINE_CHUNK_EXPR))
         .withColumn(
             "t",
             F.explode(

@@ -201,3 +201,65 @@ def test_embedding_cosine_hot_label_tiled(spark):
     # the hot label must have fanned out into multiple tiles
     counts = emb.groupBy("label").count().collect()
     assert max(c["count"] for c in counts) // 32 >= 2
+
+
+def test_embedding_cosine_strided_ids_stay_balanced(spark):
+    """ADVICE r5: ids that are all multiples of the chunk count must
+    NOT collapse into one chunk (raw ``vec_id % m`` does exactly that,
+    restoring the O(b^2) single hot task). Asserts (a) exact pairs on
+    a strided-id corpus and (b) the chunk assignment actually used by
+    the operator spreads those ids across chunks."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        COSINE_CHUNK_EXPR,
+        COSINE_T,
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, tile = 256, 8, 32
+    m = (n + tile - 1) // tile  # chunk count of the single hot label
+    base = rng.integers(-100, 100, size=(4, dim))
+    # worst case for raw mod: every id ≡ 0 (mod m)
+    rows = [
+        (
+            i * m,
+            "hot",
+            [int(v) for v in base[i % 4] + rng.integers(-3, 3, size=dim)],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, q array<bigint>"
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(emb, tile=tile).collect()
+    }
+    want = set()
+    vs = [(i, np.array(q, dtype=np.int64)) for i, _, q in rows]
+    for ai in range(len(vs)):
+        for bi in range(ai + 1, len(vs)):
+            (ia, qa), (ib, qb) = vs[ai], vs[bi]
+            cos = float(qa @ qb) / (
+                np.sqrt(float(qa @ qa)) * np.sqrt(float(qb @ qb))
+            )
+            if cos >= COSINE_T:
+                want.add((min(ia, ib), max(ia, ib)))
+    assert got == want and len(want) >= 10
+    # chunk-balance: the operator's own assignment expression must
+    # spread the strided ids — no chunk may hold more than 2x its
+    # uniform share (raw mod would put ALL n ids in chunk 0)
+    sizes = [
+        r["cnt"]
+        for r in emb.withColumn("m", F.lit(m))
+        .selectExpr(f"{COSINE_CHUNK_EXPR} AS c")
+        .groupBy("c")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert len(sizes) == m
+    assert max(sizes) <= 2 * (n // m)

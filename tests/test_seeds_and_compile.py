@@ -263,3 +263,185 @@ def test_dbt_build_failure_isolation_and_interleaved_tests(spark, tmp_path):
     assert by["unique_dup_id"]["detail"] == "failed_records=1"
     # no tests ran for the failed/skipped branch
     assert not any(n.endswith("_bad_boom") for n in by)
+
+
+def test_seed_nodes_obey_select_exclude(spark, tmp_path):
+    """ADVICE r5: --select filters seed nodes too — a narrow selection
+    must NOT rewrite non-selected seed tables, and seed names are
+    selectable tokens (with descendants via `seed+`)."""
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    (seed_dir / "rates.csv").write_text("k,rate\na,1\nb,2\n")
+    (seed_dir / "labels.csv").write_text("k,label\na,x\nb,y\n")
+    models = {
+        "uses_rates": "select sum(rate) as s from {{ ref('rates') }}",
+    }
+    wh = tmp_path / "wh"
+    g = ModelGraph(
+        models,
+        seeds={
+            "rates": str(seed_dir / "rates.csv"),
+            "labels": str(seed_dir / "labels.csv"),
+        },
+        seed_schemas={
+            "rates": "k string, rate bigint",
+            "labels": "k string, label string",
+        },
+        warehouse_dir=str(wh),
+    )
+    # seed names participate in the selector universe
+    assert g.select_nodes("rates+") == {"rates", "uses_rates"}
+    assert g.select_nodes(None, exclude="labels") == {
+        "rates", "uses_rates",
+    }
+    out = g.run(spark, select="rates+")
+    assert sorted(out) == ["rates", "uses_rates"]
+    assert not (wh / "labels").exists()  # non-selected seed untouched
+    assert (wh / "rates").exists()
+    # build() honors the same seed selection
+    res = g.build(spark, select="rates")
+    assert [r["node"] for r in res] == ["rates"]
+
+
+def test_schema_tests_batched_single_action(spark, tmp_path):
+    """VERDICT r5 item 6: N schema tests of one model run as ONE
+    spark.sql action (batched scalar subqueries), not N collects."""
+    g = ModelGraph(
+        {"m": "select 1 as a, 2 as b union all select 3, null"},
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    g.run(spark)
+    calls = []
+    orig = spark.sql
+
+    class _Counting:
+        def sql(self, q, *a, **kw):
+            calls.append(q)
+            return orig(q, *a, **kw)
+
+        def __getattr__(self, item):
+            return getattr(spark, item)
+
+    res = g._run_schema_tests(
+        _Counting(), "m",
+        {"a": ["unique", "not_null"], "b": ["not_null"]},
+    )
+    assert len(calls) == 1
+    by = {r["node"]: r["status"] for r in res}
+    assert by == {
+        "unique_m_a": "pass",
+        "not_null_m_a": "pass",
+        "not_null_m_b": "fail",
+    }
+
+
+def test_unknown_schema_test_records_error_and_continues(spark, tmp_path):
+    """ADVICE r5: an unknown test name must produce an `error` test row
+    (per-node isolation), not abort the whole build."""
+    g = ModelGraph(
+        {"m": "select 1 as a", "n": "select 2 as b"},
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    res = g.build(
+        spark,
+        schema_tests={
+            "m": {"a": ["accepted_values", "not_null"]},
+            "n": {"b": ["unique"]},
+        },
+    )
+    by = {r["node"]: r["status"] for r in res}
+    assert by["accepted_values_m_a"] == "error"
+    assert by["not_null_m_a"] == "pass"
+    assert by["unique_n_b"] == "pass"  # later nodes still ran
+    assert by["m"] == "success" and by["n"] == "success"
+
+
+def test_macro_param_does_not_rewrite_ref_targets():
+    """ADVICE r5: a macro param whose name collides with text in a
+    non-call {{ ... }} expression (e.g. a ref target) must not be
+    substituted there, nor inside string-literal args of nested
+    calls."""
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        expand_macros,
+        parse_macros,
+    )
+
+    macros = parse_macros(
+        "{% macro pick(x) %}"
+        "select {{ x }} from {{ ref('x') }} "
+        "where note = {{ quote('x fixed') }}"
+        "{% endmacro %}\n"
+        "{% macro quote(s) %}'{{ s }}'{% endmacro %}"
+    )
+    out = expand_macros("{{ pick(col_a) }}", macros)
+    assert "select col_a from" in out
+    assert "ref('x')" in out or "from x" not in out  # target intact
+    assert "'x fixed'" in out  # literal arg untouched
+
+
+def test_source_resolution_and_unknown_source_errors(spark, tmp_path):
+    """{{ source('s','t') }} resolves through sources.yml identifiers;
+    an undeclared source is a compile error (dbt parity)."""
+    spark.sql("select 42 as v").createOrReplaceTempView("raw_tbl")
+    g = ModelGraph(
+        {"m": "select v from {{ source('lake', 'thing') }}"},
+        warehouse_dir=str(tmp_path / "wh"),
+        sources={"lake": {"thing": {"identifier": "raw_tbl"}}},
+    )
+    out = g.run(spark)
+    assert out["m"].collect()[0]["v"] == 42
+
+    bad = ModelGraph(
+        {"m": "select v from {{ source('lake', 'missing') }}"},
+        warehouse_dir=str(tmp_path / "wh"),
+        sources={"lake": {"thing": {}}},
+    )
+    import pytest
+
+    with pytest.raises(KeyError, match="missing"):
+        bad.run(spark)
+
+
+def test_is_incremental_guard_and_full_refresh(spark, tmp_path):
+    """The {% if is_incremental() %} block renders only when the
+    target exists and the run is not --full-refresh; {{ this }} reads
+    the model's prior state."""
+    model = {
+        "acc": (
+            "{{ config(materialized='incremental',"
+            " partition_by='d') }}"
+            " select d, n from batch"
+            " {% if is_incremental() %}"
+            " where d > (select max(d) from {{ this }})"
+            " {% endif %}"
+        ),
+    }
+    wh = str(tmp_path / "wh")
+
+    def set_batch(rows):
+        spark.createDataFrame(
+            rows, "d string, n bigint"
+        ).createOrReplaceTempView("batch")
+
+    g = ModelGraph(model, warehouse_dir=wh)
+    set_batch([("2024-01-01", 1), ("2024-01-02", 2)])
+    g.run(spark)
+    # incremental run: old day re-delivered with a WRONG value — the
+    # guard must discard it; the new day lands
+    set_batch([("2024-01-01", 99), ("2024-01-03", 3)])
+    g.run(spark)
+    def table():
+        # partition-column inference reads d back as DATE; normalize
+        return {
+            r["d"]: r["n"]
+            for r in spark.read.parquet(f"{wh}/acc")
+            .selectExpr("cast(d as string) as d", "n")
+            .collect()
+        }
+
+    assert table() == {
+        "2024-01-01": 1, "2024-01-02": 2, "2024-01-03": 3,
+    }
+    # full refresh: guard off, table rebuilt from the current batch
+    g.run(spark, full_refresh=True)
+    assert table() == {"2024-01-01": 99, "2024-01-03": 3}
