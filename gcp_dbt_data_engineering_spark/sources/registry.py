@@ -337,3 +337,80 @@ def register_all(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def collect_table_stats(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = TABLES,
+) -> dict[str, dict[str, int]]:
+    """``ANALYZE TABLE``-equivalent row/size stats for the registry.
+
+    Spark's broadcast decision for file relations comes from raw file
+    size alone, and AQE only refines it AFTER a shuffle materializes;
+    a cost-based decision made at PLAN time (join side choice,
+    broadcast of a table the size estimate misjudges, pre-shuffle
+    strategy hints) needs real stats up front — exactly what
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` records into a catalog.
+    Temp views over parquet have no catalog entry, so the registry
+    gathers the same numbers itself: exact row counts and byte sizes
+    from parquet FOOTERS (metadata-only — no data pages are read, so
+    this is O(files), not O(bytes), and at 100 TB it is the same
+    cheap metadata pass the catalog's ANALYZE runs). Memoized per
+    (session, sf_dir). Consumed by :func:`stats_informed_join` and,
+    on a catalog-backed deployment, by ``spark.sql.cbo.enabled``.
+    """
+    import pyarrow.parquet as pq
+
+    cache: dict = spark.__dict__.setdefault("_graft_stats_cache", {})
+    got = cache.get(sf_dir)
+    if got is not None:
+        return got
+    stats: dict[str, dict[str, int]] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        rows = 0
+        size = 0
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            rows += pq.ParquetFile(f).metadata.num_rows
+            size += os.path.getsize(f)
+        stats[name] = {"rows": rows, "size_bytes": size}
+    cache[sf_dir] = stats
+    return stats
+
+
+def stats_informed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    *,
+    right_name: str,
+    stats: dict[str, dict[str, int]],
+    threshold_bytes: int = 10 << 20,
+) -> DataFrame:
+    """Join with the broadcast decision made from REGISTRY STATS, the
+    way a CBO decides it from catalog stats.
+
+    If the right relation's recorded size fits the broadcast
+    threshold, the join is hinted broadcast regardless of Spark's own
+    size estimate (which, for a derived/aggregated relation, defaults
+    to the child's size and routinely blocks an obviously-broadcastable
+    side into a sort-merge join). Asserted to FLIP the physical plan
+    in tests/test_plan_shapes.py. On a 1000-executor cluster this is
+    the difference between shipping a 1 MB dim to every executor and
+    shuffling the 100 TB fact side.
+    """
+    s = stats.get(right_name)
+    if s is not None and s["size_bytes"] <= threshold_bytes:
+        right = F.broadcast(right)
+    return left.join(right, on, how)

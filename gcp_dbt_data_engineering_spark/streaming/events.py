@@ -314,6 +314,37 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     return stream
 
 
+def _user_totals_update(key, pdfs, state):
+    """Shared per-key state transition for the user-totals streams:
+    (n_events, total_value) accumulated across micro-batches."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+        }
+    )
+
+
+def _user_totals_plan(stream: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n_events bigint, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_user_totals_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "user_totals_stream"
 ) -> DataFrame:
@@ -326,31 +357,7 @@ def run_user_totals_stream(
     drift detectors, rate limiters) plugs into the stream; bounded
     here by NoTimeout since the demo source is finite.
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def update(key, pdfs, state: "GroupState"):
-        import pandas as pd
-
-        n, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [total],
-            }
-        )
-
-    out = _event_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n_events bigint, total_value double",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = _user_totals_plan(_event_stream(spark, sf_dir))
     query = (
         out.writeStream.format("memory")
         .queryName(query_name)
@@ -360,6 +367,63 @@ def run_user_totals_stream(
     )
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def run_user_totals_resumable(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+) -> DataFrame:
+    """Checkpointed user-totals stream over a parquet directory source
+    — the DURABILITY twin of :func:`run_user_totals_stream`.
+
+    With a ``checkpointLocation`` the state store persists (a) source
+    offsets (which files each micro-batch consumed) and (b) every
+    key's (n_events, total_value) state, so a killed-and-restarted
+    query RESUMES: new files are processed exactly once on top of the
+    recovered state instead of reprocessing the directory. That's the
+    whole production contract of Structured Streaming — at 100 TB/day
+    the job restarts (deploys, preemptions) and the totals must
+    neither lose nor double-count a batch. Asserted by the
+    kill-and-resume test in tests/test_streaming.py. Each call runs
+    one ``availableNow`` drain and returns THIS run's emitted updates
+    (update mode: only keys touched by the run's batches appear —
+    itself evidence that recovered state, not reprocessing, produced
+    the totals). The sink is ``foreachBatch`` (the memory sink
+    explicitly refuses checkpoint recovery), mirroring the
+    idempotent-upsert sink a production job would use.
+    """
+    tune(spark)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    emitted: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        emitted.extend(batch_df.collect())
+
+    query = (
+        _user_totals_plan(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # later batches of the same run re-emit updated keys; keep the
+    # LAST emission per key, like an upsert sink would
+    out: dict = {}
+    for r in emitted:
+        out[r.user_id] = r
+    return spark.createDataFrame(
+        list(out.values()),
+        "user_id bigint, n_events bigint, total_value double",
+    )
 
 
 def run_user_totals_tws(
