@@ -8,10 +8,15 @@ auditable record — VERDICT r2 item 3).
 
 Methodology:
 - a dedicated COLD pass runs first: before EACH spec,
-  ``clear_caches(spark)`` drops every session memo (persisted
-  shingle/pair/cluster/quantized corpus relations), so spark_cold_s
-  is the genuine one-shot cost — Catalyst analysis + AQE planning +
-  codegen compile + broadcast builds + any memo rebuild + execution.
+  ``clear_caches(spark, keep_table_handles=True)`` drops every
+  DERIVED session memo (persisted shingle/pair/cluster/quantized
+  corpus relations), so spark_cold_s is the genuine one-shot cost —
+  Catalyst analysis + AQE planning + codegen compile + broadcast
+  builds + any memo rebuild + execution. Table schema/footer handles
+  and ANALYZE-style stats persist across cold specs: they are CATALOG
+  state, and the DuckDB oracle's views are registered outside the
+  timed region — re-billing the footer read per spec measured the
+  lack of a metastore, not the engine.
 - then a BUILD pass (not recorded) rebuilds every spec once with the
   memos allowed to persist, and WARM passes re-execute the HELD
   DataFrames: the prepared-query steady state every deployed job runs
@@ -46,10 +51,16 @@ Methodology:
   on the Spark side, marked ``fetch: "collect"`` in the detail file.
 - specs are split by QuerySpec.kind: "materialization" specs rebuild
   warehouse tables in multi-batch parquet writes + swaps, so their
-  wall-clock is a pipeline/write benchmark — comparing it to the
-  oracle's one-shot SELECT is an apples-to-oranges 100x; the JSON
-  reports the two sections separately and the headline ratio covers
-  the read-only query section.
+  wall-clock is a pipeline/write benchmark; the JSON reports the two
+  sections separately and the headline ratio covers the read-only
+  query section. The DuckDB side of a materialization spec is timed
+  as an EQUAL-ARTIFACT build — ``COPY (<oracle>) TO x.parquet``
+  (create + write the final state), not a bare SELECT — and each
+  spec's ``batches`` (how many pipeline runs the Spark side performs:
+  4 sliced incremental loads, 4 keyed merge batches, ...) is logged
+  next to the ratio so the remaining multi-batch-vs-one-shot
+  asymmetry is visible rather than silently overstated (VERDICT r5
+  item 7).
 - the local-mode scheduling floor (driver job submit + stage
   round-trips + collect hop, paid per query, amortized to noise on a
   real cluster) is estimated as the median wall-clock of a trivial
@@ -123,7 +134,12 @@ def main() -> None:
         random.Random(20_260_813).shuffle(order)
         run_orders.append(order)
         for name in order:
-            clear_caches(spark)
+            # keep_table_handles: table schema/footer handles and
+            # ANALYZE stats are catalog state (DuckDB's views are
+            # likewise registered outside the clock); every DERIVED
+            # memo (shingle indexes, pair lists, cluster labels,
+            # centroids) is dropped per spec
+            clear_caches(spark, keep_table_handles=True)
             t0 = time.perf_counter()
             df = specs[name].spark(spark, sf_dir)
             counts[name] = fetch(name, df)
@@ -205,12 +221,22 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{table_path(sf_dir, t)}')"
             )
+        import tempfile
+
+        matdir = tempfile.mkdtemp(prefix="bench_duck_mat_")
         for _ in range(2):
             for name, spec in sorted(specs.items()):
                 if spec.oracle is None:
                     continue
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).arrow()
+                if spec.kind == "materialization":
+                    # equal-artifact: create + write the final state
+                    con.execute(
+                        f"COPY ({spec.oracle}) TO "
+                        f"'{matdir}/{name}.parquet' (FORMAT PARQUET)"
+                    )
+                else:
+                    con.execute(spec.oracle).arrow()
                 dt = time.perf_counter() - t0
                 duck[name] = round(min(duck.get(name, dt), dt), 4)
 
@@ -294,10 +320,15 @@ def main() -> None:
             "materializations": {
                 "n": len(mat & set(timings)),
                 "spark_s": m_total,
-                "duckdb_equiv_select_s": dm_total,
-                "note": "multi-batch rebuild pipelines (parquet writes + "
-                "swaps) timed against one-shot SELECT oracles; "
-                "write benchmarks, not query benchmarks",
+                "duckdb_copy_parquet_s": dm_total,
+                "spark_batches": {
+                    n: specs[n].batches for n in sorted(mat)
+                },
+                "note": "multi-batch rebuild pipelines (parquet writes"
+                " + swaps) vs DuckDB COPY(oracle) TO parquet — equal "
+                "final artifact; spark_batches logs how many pipeline "
+                "runs the Spark side performs per spec (the remaining "
+                "multi-batch-vs-one-shot asymmetry)",
             },
         },
         "per_query": {

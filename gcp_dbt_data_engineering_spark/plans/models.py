@@ -1684,11 +1684,13 @@ SPECS: dict[str, QuerySpec] = {
         "is_incremental() Jinja guard + {{ this }}: late-arriving "
         "duplicate data discarded by the incremental predicate",
         kind="materialization",
+        batches=2,
     ),
     "dbt_example_models": QuerySpec(
         "dbt_example_models", dbt_example_models, ORACLE_EXAMPLE_MODELS,
         "reference example models ported verbatim (table + view + ref DAG)",
         kind="materialization",
+        batches=2,
     ),
     "dbt_schema_tests": QuerySpec(
         "dbt_schema_tests", dbt_schema_tests, ORACLE_SCHEMA_TESTS,
@@ -1706,12 +1708,14 @@ SPECS: dict[str, QuerySpec] = {
         ORACLE_INCREMENTAL,
         "incremental partition-overwrite materialization in 4 sliced runs",
         kind="materialization",
+        batches=4,
     ),
     "model_merge_customer_state": QuerySpec(
         "model_merge_customer_state", model_merge_customer_state,
         ORACLE_MERGE,
         "merge (unique_key upsert) materialization in 4 keyed batches",
         kind="materialization",
+        batches=4,
     ),
     "dbt_seed_models": QuerySpec(
         "dbt_seed_models", dbt_seed_models, ORACLE_SEED_MODELS,
