@@ -90,6 +90,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     specs = entrymod._all_specs()
+    only = os.environ.get("BENCH_ONLY")  # regex over spec names
+    if only:
+        import re as _re
+
+        rx = _re.compile(only)
+        specs = {n: s for n, s in specs.items() if rx.search(n)}
 
     # warmup: touch the fact table so file listing + codegen paths are
     # hot, and run one tiny pandas-UDF action so the ~5 s one-time
@@ -349,7 +355,8 @@ def main() -> None:
             for name in sorted(timings)
         },
     }
-    with open(os.path.join(REPO, "BENCH_detail.json"), "w") as f:
+    detail_path = os.environ.get("BENCH_DETAIL_OUT", "BENCH_detail.json")
+    with open(os.path.join(REPO, detail_path), "w") as f:
         json.dump(detail, f, indent=1)
 
     for name in sorted(timings):
@@ -376,7 +383,7 @@ def main() -> None:
                 ),
                 "spark_materializations_s": m_total,
                 "n_materializations": len(mat & set(timings)),
-                "detail_file": "BENCH_detail.json",
+                "detail_file": detail_path,
                 "metric": f"wall_clock_{len(timings)}_queries",
                 "value": total,
                 "unit": "sec",

@@ -22,6 +22,7 @@ import hashlib
 import json
 import math
 import os
+import re
 import sys
 import traceback
 from typing import Any
@@ -66,6 +67,10 @@ def main() -> int:
 
     spark = get_spark(app_name="correctness_full")
     specs = entry._all_specs()
+    only = os.environ.get("SPECS_ONLY")  # regex over spec names
+    if only:
+        rx = re.compile(only)
+        specs = {n: s for n, s in specs.items() if rx.search(n)}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -131,7 +136,9 @@ def main() -> int:
             print(f"ERROR {name}:\n{rec['err']}")
         out[name] = rec
 
-    path = os.path.join(REPO, "CORRECTNESS_full.json")
+    path = os.path.join(
+        REPO, os.environ.get("CORRECTNESS_OUT", "CORRECTNESS_full.json")
+    )
     with open(path, "w") as f:
         json.dump(
             {
