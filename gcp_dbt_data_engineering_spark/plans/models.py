@@ -224,6 +224,7 @@ class ModelGraph:
         macros: dict[str, tuple[list[str], str]] | None = None,
         analyses: dict[str, str] | None = None,
         sources: dict[str, dict[str, dict]] | None = None,
+        hooks: dict[str, dict[str, list[str]]] | None = None,
     ):
         self.macros = dict(macros or {})
         self.models = {
@@ -253,6 +254,14 @@ class ModelGraph:
         #: {count, period}}} — dbt's raw-table declaration layer;
         #: models reach these via {{ source('src', 'table') }}
         self.sources = dict(sources or {})
+        #: dbt pre-/post-hooks, declared project-level like
+        #: dbt_project.yml's `+pre-hook:`/`+post-hook:` blocks (the
+        #: inline-config regex parser stays simple): model name →
+        #: {"pre": [sql, ...], "post": [sql, ...]}. Each hook renders
+        #: through the same ref()/source()/{{ this }} pipeline and runs
+        #: via spark.sql immediately before/after materialization —
+        #: the audit-insert / grant / ANALYZE seam.
+        self.hooks = dict(hooks or {})
 
     @classmethod
     def from_dir(
@@ -688,6 +697,8 @@ class ModelGraph:
         slice (one run's partitions), small by construction.
         """
         mat = cfg.get("materialized", "view")
+        for hook in self.hooks.get(name, {}).get("pre", []):
+            spark.sql(self._render_hook(name, hook))
         if full_refresh and mat in _STATEFUL_MATS:
             # dbt --full-refresh: drop and rebuild stateful targets
             import shutil
@@ -866,7 +877,19 @@ class ModelGraph:
             df.createOrReplaceTempView(name)
         else:
             raise ValueError(f"unknown materialization {mat!r} for {name}")
+        for hook in self.hooks.get(name, {}).get("post", []):
+            spark.sql(self._render_hook(name, hook))
         return df
+
+    def _render_hook(self, name: str, sql: str) -> str:
+        """Render a pre/post hook: macros, ref() (to relation names),
+        source(), and {{ this }} (the hooked model itself)."""
+        sql = expand_macros(sql, self.macros)
+        sql = _REF_RE.sub(lambda m: m.group(1), sql)
+        sql = _SOURCE_RE.sub(
+            lambda m: self._source_relation(m.group(1), m.group(2)), sql
+        )
+        return _THIS_RE.sub(name, sql).strip()
 
 
     def build(
@@ -875,6 +898,7 @@ class ModelGraph:
         schema_tests: dict | None = None,
         select: str | None = None,
         exclude: str | None = None,
+        store_failures: bool = False,
     ) -> list[dict]:
         """``dbt build``: seed → model → test in ONE DAG-ordered pass
         with per-node status and dbt's failure isolation — a node whose
@@ -955,12 +979,18 @@ class ModelGraph:
                 )
                 continue
             results.extend(
-                self._run_schema_tests(spark, name, tests.get(name, {}))
+                self._run_schema_tests(
+                    spark, name, tests.get(name, {}), store_failures
+                )
             )
         return results
 
     def _run_schema_tests(
-        self, spark: SparkSession, name: str, cols: dict
+        self,
+        spark: SparkSession,
+        name: str,
+        cols: dict,
+        store_failures: bool = False,
     ) -> list[dict]:
         """Run a model's schema.yml tests as ONE batched Spark action.
 
@@ -973,21 +1003,20 @@ class ModelGraph:
         an ``error`` row and keeps going — per-node isolation covers
         test nodes too (ADVICE r5), instead of aborting the whole build.
         """
-        queued: list[tuple[str, str]] = []  # (node, count subquery)
+        queued: list[tuple[str, str, str]] = []  # (node, count q, rows q)
         results: list[dict] = []
         for col, tnames in cols.items():
             for t in tnames:
                 if t == "unique":
-                    q = (
-                        f"(SELECT COUNT(*) FROM (SELECT {col} "
+                    fq = (
+                        f"SELECT {col}, COUNT(*) AS n_records "
                         f"FROM {name} WHERE {col} IS NOT NULL "
-                        f"GROUP BY {col} HAVING COUNT(*) > 1))"
+                        f"GROUP BY {col} HAVING COUNT(*) > 1"
                     )
+                    q = f"(SELECT COUNT(*) FROM ({fq}))"
                 elif t == "not_null":
-                    q = (
-                        f"(SELECT COUNT(*) FROM {name} "
-                        f"WHERE {col} IS NULL)"
-                    )
+                    fq = f"SELECT * FROM {name} WHERE {col} IS NULL"
+                    q = f"(SELECT COUNT(*) FROM ({fq}))"
                 else:
                     results.append(
                         {"node": f"{t}_{name}_{col}", "kind": "test",
@@ -995,20 +1024,34 @@ class ModelGraph:
                          "detail": f"unknown schema test {t!r}"}
                     )
                     continue
-                queued.append((f"{t}_{name}_{col}", q))
+                queued.append((f"{t}_{name}_{col}", q, fq))
         if queued:
             row = spark.sql(
                 "SELECT " + ", ".join(
-                    f"{q} AS c{i}" for i, (_, q) in enumerate(queued)
+                    f"{q} AS c{i}" for i, (_, q, _) in enumerate(queued)
                 )
             ).collect()[0]
-            for i, (node, _) in enumerate(queued):
+            for i, (node, _, fq) in enumerate(queued):
                 n_bad = row[f"c{i}"]
-                results.append(
-                    {"node": node, "kind": "test",
-                     "status": "pass" if n_bad == 0 else "fail",
-                     "detail": f"failed_records={n_bad}"}
-                )
+                rec = {
+                    "node": node, "kind": "test",
+                    "status": "pass" if n_bad == 0 else "fail",
+                    "detail": f"failed_records={n_bad}",
+                }
+                if store_failures and n_bad != 0:
+                    # dbt --store-failures: the VIOLATING ROWS land in
+                    # an auditable warehouse table named after the
+                    # test (the debugging artifact dbt users query
+                    # next); only failing tests pay the write.
+                    fpath = f"{self.warehouse_dir}/dq_failures/{node}"
+                    spark.sql(fq).write.mode("overwrite").parquet(
+                        fpath
+                    )
+                    spark.read.parquet(
+                        fpath
+                    ).createOrReplaceTempView(node)
+                    rec["failures_table"] = node
+                results.append(rec)
         return results
 
 # ---------------------------------------------------------------------------

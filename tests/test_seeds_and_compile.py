@@ -445,3 +445,61 @@ def test_is_incremental_guard_and_full_refresh(spark, tmp_path):
     # full refresh: guard off, table rebuilt from the current batch
     g.run(spark, full_refresh=True)
     assert table() == {"2024-01-01": 99, "2024-01-03": 3}
+
+
+def test_pre_post_hooks_run_in_order(spark, tmp_path):
+    """dbt pre-/post-hooks (project-level, like +pre-hook blocks):
+    pre runs before the model (it can stage an input relation), post
+    runs after registration (it can read {{ this }})."""
+    g = ModelGraph(
+        {"m": "select v * 2 as v2 from staged_in"},
+        warehouse_dir=str(tmp_path / "wh"),
+        hooks={
+            "m": {
+                "pre": [
+                    "create or replace temp view staged_in as "
+                    "select 21 as v"
+                ],
+                "post": [
+                    "create or replace temp view m_audit as "
+                    "select count(*) as n, max(v2) as mx from {{ this }}"
+                ],
+            }
+        },
+    )
+    out = g.run(spark)
+    assert out["m"].collect()[0]["v2"] == 42
+    audit = spark.table("m_audit").collect()[0]
+    assert (audit["n"], audit["mx"]) == (1, 42)
+
+
+def test_store_failures_materializes_violating_rows(spark, tmp_path):
+    """dbt build --store-failures: a failing test writes its violating
+    rows to a warehouse table named after the test node; passing tests
+    write nothing."""
+    wh = tmp_path / "wh"
+    g = ModelGraph(
+        {
+            "m": (
+                "select * from (values (1, 'a'), (1, 'b'), (2, null))"
+                " as t(id, tag)"
+            ),
+        },
+        warehouse_dir=str(wh),
+    )
+    res = g.build(
+        spark,
+        schema_tests={"m": {"id": ["unique"], "tag": ["not_null"]}},
+        store_failures=True,
+    )
+    by = {r["node"]: r for r in res}
+    assert by["unique_m_id"]["status"] == "fail"
+    assert by["unique_m_id"]["failures_table"] == "unique_m_id"
+    assert by["not_null_m_tag"]["status"] == "fail"
+    dupes = spark.table("unique_m_id").collect()
+    assert [(r["id"], r["n_records"]) for r in dupes] == [(1, 2)]
+    nulls = spark.table("not_null_m_tag").collect()
+    assert len(nulls) == 1 and nulls[0]["id"] == 2
+    assert (wh / "dq_failures" / "unique_m_id").exists()
+    # passing tests leave no artifact
+    assert not (wh / "dq_failures" / "unique_m_tag").exists()
