@@ -27,6 +27,16 @@ replica exactly like the original.
 
 Run:  python tools/make_sfN.py [factor=10] [src=/root/testdata/sf0.1]
 writes /root/repo/.artifacts/sf<factor*src_sf>/ parquet tables.
+
+DO NOT CHAIN GENERATIONS (e.g. sf1-from-sf0.1 then sf10-from-sf1):
+the replica tokens are ``r<replica>p<pos>``, so a second generation
+re-uses replica indices 0..9 and its perturbed docs COLLIDE with the
+first generation's replica families — cross-generation near-dup pairs
+then grow quadratically by construction (measured: containment pairs
+went exactly linear sf0.1→sf1 but 100x for 10x docs on a chained
+sf10). Always synthesize from the BASE corpus with a single factor
+(sf10 = factor 100 from sf0.1), which keeps every replica's token
+namespace distinct and pair growth linear.
 """
 
 from __future__ import annotations
@@ -132,7 +142,7 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     src_sf = float(src.rstrip("/").rsplit("sf", 1)[-1])
-    sf = src_sf * factor
+    sf = round(src_sf * factor, 6)
     tag = f"sf{int(sf) if sf == int(sf) else sf}"
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
