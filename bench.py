@@ -222,6 +222,20 @@ def main() -> None:
         from gcp_dbt_data_engineering_spark.sources import TABLES, table_path
 
         con = duckdb.connect()
+        # bound the oracle engine so it cannot OOM-kill the shared
+        # process or fill the disk at large SFs (see correctness_full)
+        con.execute(
+            "SET memory_limit = "
+            f"'{os.environ.get('DUCKDB_MEMORY_LIMIT', '48GB')}'"
+        )
+        con.execute(
+            "SET temp_directory = "
+            f"'{os.environ.get('DUCKDB_TEMP_DIR', '/tmp/duckdb_spill')}'"
+        )
+        con.execute(
+            "SET max_temp_directory_size = "
+            f"'{os.environ.get('DUCKDB_TEMP_MAX', '60GB')}'"
+        )
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -230,9 +244,18 @@ def main() -> None:
         import tempfile
 
         matdir = tempfile.mkdtemp(prefix="bench_duck_mat_")
+        skip_rx = None
+        if os.environ.get("BENCH_DUCKDB_SKIP"):
+            import re as _re2
+
+            skip_rx = _re2.compile(os.environ["BENCH_DUCKDB_SKIP"])
         for _ in range(2):
             for name, spec in sorted(specs.items()):
                 if spec.oracle is None:
+                    continue
+                if skip_rx is not None and skip_rx.search(name):
+                    # oracle intractable at this SF (e.g. recursive-CTE
+                    # spill); spark side still timed, ratio omitted
                     continue
                 t0 = time.perf_counter()
                 if spec.kind == "materialization":

@@ -73,6 +73,29 @@ def main() -> int:
         specs = {n: s for n, s in specs.items() if rx.search(n)}
 
     con = duckdb.connect()
+    # Bound the oracle engine: DuckDB's default memory limit is ~80 % of
+    # RAM, which alongside a 24 g Spark driver JVM OOM-kills the process
+    # at large SFs; likewise an unbounded spill once filled the disk on
+    # a quadratic oracle (sf10 shingle self-join).  Both are properties
+    # of the ORACLE, not the engine under test.
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('DUCKDB_MEMORY_LIMIT', '48GB')}'"
+    )
+    con.execute(
+        "SET temp_directory = "
+        f"'{os.environ.get('DUCKDB_TEMP_DIR', '/tmp/duckdb_spill')}'"
+    )
+    con.execute(
+        "SET max_temp_directory_size = "
+        f"'{os.environ.get('DUCKDB_TEMP_MAX', '60GB')}'"
+    )
+    # Oracles that are intractable in DuckDB at the chosen SF (e.g. a
+    # hot-shingle self-join that spills > disk at sf10) can be demoted
+    # to the driver's weaker rows-only check without editing specs.
+    oracle_skip = None
+    if os.environ.get("ORACLE_SKIP"):
+        oracle_skip = re.compile(os.environ["ORACLE_SKIP"])
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -95,10 +118,15 @@ def main() -> int:
             s_cols = df.columns
             s_rows = [tuple(r) for r in df.collect()]
             rec["spark_rows"] = len(s_rows)
-            if spec.oracle is None:
+            skipped = oracle_skip is not None and oracle_skip.search(name)
+            if spec.oracle is None or skipped:
                 # driver's weaker rows-only check for non-SQL ops
                 rec["rows_match"] = rec["schema_match"] = True
-                rec["hash_match"] = "rows-only"
+                rec["hash_match"] = (
+                    "rows-only (oracle intractable at this sf)"
+                    if skipped
+                    else "rows-only"
+                )
                 n_weak += 1
                 out[name] = rec
                 print(f"WEAK  {name}: {len(s_rows)} rows (no oracle)")
