@@ -64,6 +64,7 @@ def _all_specs() -> dict[str, QuerySpec]:
         "gcp_dbt_data_engineering_spark.operators.profile",
         "gcp_dbt_data_engineering_spark.operators.dedup",
         "gcp_dbt_data_engineering_spark.operators.similarity",
+        "gcp_dbt_data_engineering_spark.operators.semdedup",
         "gcp_dbt_data_engineering_spark.operators.text",
         "gcp_dbt_data_engineering_spark.operators.multimodal",
         "gcp_dbt_data_engineering_spark.operators.pipeline",

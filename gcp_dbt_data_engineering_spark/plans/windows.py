@@ -348,6 +348,83 @@ GROUP BY band
 
 
 # ---------------------------------------------------------------------------
+# big-big interval join: every purchase joined to the same user's
+# clicks in the preceding hour. Neither side is broadcastable at
+# scale, and the raw predicate (`c.ts in [p.ts - W, p.ts)`) is a theta
+# join Spark would execute as a cartesian per user. The scale shape is
+# BANDING: quantize time into W-sized buckets, explode the probe side
+# into the (only) 2 buckets its window can overlap, and equi-join on
+# (user_id, bucket) + exact residual filter. Shuffle is hash(user_id,
+# bucket) — fully parallel, per-task work bounded by events-per-user-
+# per-window, and a hot user spreads over time buckets instead of one
+# task. This is the standard stream-stream interval-join layout
+# (Flink's interval join / Spark's stream-stream time-bound join
+# realize the same banding through watermarked state).
+# ---------------------------------------------------------------------------
+
+#: interval width W in micros (1 hour). Micros because the events
+#: parquet is ns-precision and epoch-micros is the exact common grain.
+INTERVAL_W_US = 3600 * 1_000_000
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        us.alias("purchase_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        us.alias("click_us"), F.col("value").alias("click_value"),
+    )
+    wus = INTERVAL_W_US
+    probe = purchases.withColumn(
+        "bkt",
+        F.explode(
+            F.expr(
+                f"array_distinct(array((purchase_us - {wus}) DIV {wus},"
+                f" purchase_us DIV {wus}))"
+            )
+        ),
+    )
+    build = clicks.withColumn("bkt", F.expr(f"click_us DIV {wus}"))
+    joined = probe.join(
+        build,
+        (F.col("user_id") == F.col("c_user"))
+        & (probe.bkt == build.bkt)
+        & (F.col("click_us") >= F.col("purchase_us") - wus)
+        & (F.col("click_us") < F.col("purchase_us")),
+        "left",
+    )
+    return joined.groupBy("user_id", "purchase_id", "purchase_us").agg(
+        F.count("click_id").alias("n_clicks_1h"),
+        F.max("click_us").alias("last_click_us"),
+        money_sum(F.col("click_value"), "clicks_value"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us,
+         value AS click_value
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id, p.purchase_us,
+       COUNT(c.click_id) AS n_clicks_1h,
+       MAX(c.click_us) AS last_click_us,
+       {sql_money_sum("c.click_value", "clicks_value")}
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.click_us >= p.purchase_us - {INTERVAL_W_US}
+ AND c.click_us < p.purchase_us
+GROUP BY p.user_id, p.purchase_id, p.purchase_us
+"""
+
+
+# ---------------------------------------------------------------------------
 # cohort retention: users bucketed by first-activity week, then
 # distinct-user counts per (cohort week, weeks-since-first). Two
 # shuffles — per-user MIN (first activity) and the cohort-cell
@@ -495,5 +572,9 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("events_value_band_join", events_value_band_join,
                   ORACLE_BAND_JOIN,
                   "range/band join against broadcast interval dim"),
+        QuerySpec("events_interval_join", events_interval_join,
+                  ORACLE_INTERVAL_JOIN,
+                  "big-big time-interval join via W-bucket banding "
+                  "(purchases x same-user clicks in preceding hour)"),
     ]
 }

@@ -91,3 +91,47 @@ def test_set_ops_partition_the_union(spark):
         .count()
     )
     assert len(by_brand) == union_n
+
+
+def test_interval_join_matches_naive_theta(spark):
+    """W-bucket banding == the direct theta join it replaces."""
+    from gcp_dbt_data_engineering_spark.plans.windows import (
+        INTERVAL_W_US,
+        events_interval_join,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("us").alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("us").alias("c_us"),
+    )
+    naive = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_us") >= F.col("p_us") - INTERVAL_W_US)
+            & (F.col("c_us") < F.col("p_us")),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(
+            F.count("c_id").alias("n"),
+            F.max("c_us").alias("last_us"),
+        )
+    )
+    got = {
+        r["purchase_id"]: (r["n_clicks_1h"], r["last_click_us"])
+        for r in events_interval_join(spark, SF_SMOKE).collect()
+    }
+    want = {r["p_id"]: (r["n"], r["last_us"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+    assert any(n > 0 for n, _ in got.values())
