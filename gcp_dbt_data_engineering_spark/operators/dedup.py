@@ -568,8 +568,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         x.join(y, ["k", "ck"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb")
-        .distinct()
+        # hamming BEFORE the candidate-dedup distinct: bit_count on the
+        # streaming join output is nearly free, while distinct() is a
+        # shuffle whose input would otherwise be the FULL candidate
+        # multiset — on chunk-saturated corpora (replica cliques, or
+        # any n large versus the 2^4-value chunk space) that multiset
+        # is ~n²/2^4 rows and the distinct dominated the whole spec
+        # (measured at the 500k-doc sf10: 17 min, almost all in the
+        # pre-filter distinct; pairs actually at hamming<=4 were 7.0M).
         .selectExpr(
             "doc_a",
             "doc_b",
@@ -577,6 +583,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS hamming",
         )
         .filter(F.col("hamming") <= HAMMING_T)
+        .distinct()
     )
 
 
