@@ -10,7 +10,7 @@ strategies a large-scale training-data pipeline needs:
                                shingles (inverted-index PPJoin shape).
 - ``dedup_minhash_lsh``      — MinHash signatures -> banded LSH bucket
                                join -> exact-Jaccard verification.
-- ``dedup_simhash``          — 32-bit SimHash + 4-bit-chunk banding;
+- ``dedup_simhash``          — 32-bit SimHash + 5-chunk banding;
                                pigeonhole-exact for hamming <= 4.
 - ``dedup_embedding_cosine`` — near-dup pairs by cosine over quantized
                                int64 embeddings, blocked by ``label``.
@@ -512,12 +512,24 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {VERIFY_T}
 
 
 # ---------------------------------------------------------------------------
-# 4. SimHash near-dup pairs (hamming <= 4, recall-exact via 8x4-bit bands)
+# 4. SimHash near-dup pairs (hamming <= 4, recall-exact via 5 banded chunks)
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 8  # 4 bits each; hamming<=7 keeps >=1 chunk equal
 HAMMING_T = 4
+#: HAMMING_T + 1 chunks is the pigeonhole MINIMUM for exact recall at
+#: hamming <= HAMMING_T — and the minimum is also the FASTEST choice:
+#: candidate volume is sum_k n^2 / 2^width_k, so fewer chunks means both
+#: fewer exploded rows (5n not 8n) and wider buckets (2^6..2^7 = 64..128
+#: values, not 2^4 = 16).  The original 8x4-bit banding (complete for
+#: hamming <= 7, far looser than the <= 4 filter) measured n^2/2
+#: streamed candidates = 1.25e11 at the 500k-doc sf10; this 5-chunk
+#: partition is n^2/16 — ~8x fewer — with byte-identical output.  At a
+#: real 100 TB corpus you would widen SIMHASH_BITS to 64 so each of the
+#: 5 chunks spans 12-13 bits (2^12+ buckets); both engines' expressions
+#: derive from these constants, so that is a constants-only change.
+SIMHASH_CHUNK_WIDTHS = (7, 7, 6, 6, 6)  # sums to SIMHASH_BITS
+SIMHASH_CHUNK_OFFSETS = (0, 7, 14, 20, 26)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,9 +542,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One groupBy(doc_id) computes all 32 sign counters as partial aggs
     (no per-bit shuffle); the fingerprint is assembled with shifts.
-    Candidate pairs share at least one of 8 4-bit chunks — by
-    pigeonhole that is *complete* for hamming <= 7, so the <=4 output
-    is exact (no LSH luck involved), and the oracle agrees exactly.
+    Candidate pairs share at least one of the 5 banded chunks
+    (SIMHASH_CHUNK_WIDTHS) — hamming <= 4 can corrupt at most 4
+    chunks, so by pigeonhole the candidate set is *complete* for the
+    <= 4 filter: the output is exact (no LSH luck involved), and the
+    oracle agrees exactly.
     """
     wh = _shingle_rows(spark, sf_dir)
     sign_aggs = [
@@ -556,8 +570,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunk_arr = F.array(
         *[
-            F.expr(f"(shiftright(simhash, {4 * k}) & 15)")
-            for k in range(SIMHASH_CHUNKS)
+            F.expr(f"(shiftright(simhash, {off}) & {(1 << w) - 1})")
+            for off, w in zip(SIMHASH_CHUNK_OFFSETS, SIMHASH_CHUNK_WIDTHS)
         ]
     )
     chunks = sim.select(
@@ -587,6 +601,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_chunk_values() -> str:
+    return ", ".join(
+        f"({k}, {off}, {(1 << w) - 1})"
+        for k, (off, w) in enumerate(
+            zip(SIMHASH_CHUNK_OFFSETS, SIMHASH_CHUNK_WIDTHS)
+        )
+    )
+
+
 def _sql_simhash() -> str:
     sign_cols = ",\n       ".join(
         f"SUM(CASE WHEN {th.bit('h', str(j), 'duck')} = 1 THEN 1 ELSE -1 END)"
@@ -603,16 +626,16 @@ signs AS (SELECT doc_id,
        {sign_cols}
        FROM sh GROUP BY doc_id),
 sim AS (SELECT doc_id, {fp} AS simhash FROM signs),
-chunks AS (SELECT doc_id, simhash, k, (simhash >> (4 * k)) & 15 AS ck
-           FROM sim, (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS k))"""
+chunks AS (SELECT doc_id, simhash, k, (simhash >> off) & mask AS ck
+           FROM sim, (VALUES {_sql_chunk_values()}) AS c(k, off, mask))"""
 
 
 ORACLE_SIMHASH = f"""
 WITH {_sql_shingle_cte()},
 {_sql_simhash()}
-SELECT doc_a, doc_b, hamming
+SELECT DISTINCT doc_a, doc_b, hamming
 FROM (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count({th.xor('a.simhash', 'b.simhash', 'duck')}) AS INT)
            AS hamming
   FROM chunks a JOIN chunks b
