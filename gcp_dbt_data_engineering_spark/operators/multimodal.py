@@ -653,7 +653,7 @@ def _phash_words(col: str, dialect: str) -> tuple[str, str]:
 
 
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asset pairs whose 64-bit perceptual hash differs by <= 6 bits.
+    """Asset pairs whose 64-bit perceptual hash differs by <= 15 bits.
 
     The image-dedup standard (pHash/dHash + hamming threshold) as a
     distributed plan: one projection computes each asset's hash words,

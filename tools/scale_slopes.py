@@ -25,12 +25,31 @@ REPO = os.path.normpath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
-    points: list[tuple[float, dict]] = []
+    # Each arg is <file>:<sf>.  A bench detail file contributes rows +
+    # timings; a CORRECTNESS_*.json file (recognized by its "specs"
+    # key) contributes rows only — that lets a spec too expensive to
+    # multi-pass bench at a large SF (e.g. multimodal_phash_near_dup
+    # at sf10) still get its output-growth slope from the single-shot
+    # correctness run.  Files at the same sf merge into one point.
+    by_sf: dict[float, dict] = {}
     for arg in sys.argv[1:]:
         path, _, sf = arg.partition(":")
         with open(os.path.join(REPO, path)) as f:
-            points.append((float(sf), json.load(f)["per_query"]))
-    points.sort()
+            data = json.load(f)
+        if "per_query" in data:
+            pq = data["per_query"]
+        else:
+            pq = {
+                n: {"rows": v.get("spark_rows")}
+                for n, v in data["specs"].items()
+            }
+        merged = by_sf.setdefault(float(sf), {})
+        for n, v in pq.items():
+            tgt = merged.setdefault(n, {})
+            for k, val in v.items():
+                if val is not None:
+                    tgt.setdefault(k, val)
+    points = sorted(by_sf.items())
     if len(points) < 2:
         print("need >= 2 detail files", file=sys.stderr)
         return 1
