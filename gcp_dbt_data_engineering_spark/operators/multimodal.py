@@ -661,11 +661,18 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: hamming<=16 would need all 16 chunks to differ, so
     recall is EXACT for the <=15 threshold — same scheme as
     dedup_simhash), and bit_count(xor) verifies. No all-pairs
-    comparison anywhere. 4-bit chunk keys are coarse (16 values/
-    chunk): fine at corpus scale here; at billions of assets you
-    widen to multi-index pHash (two 32-bit halves at threshold 7
-    each, candidates = union) so each band key is selective — the
-    plan shape is unchanged.
+    comparison anywhere — but note that unlike dedup_simhash (t=4,
+    where 5 wide bands are the pigeonhole minimum), t=15 makes 16
+    4-bit bands the MINIMUM partition, so the candidate volume is
+    inherently ~n^2/16 per band x 16 bands = n^2 once corpora
+    outgrow the 16-value chunk space. Measured saturation: at the
+    500k-asset sf10 the candidate stream is ~2.5e11 rows
+    (>= 5.2e4 CPU-s one-shot; gradient-bit chunk values are also
+    skewed, so a handful of (chunk, v) groups dominate the tail).
+    At that scale you either tighten the threshold or switch to
+    multi-index pHash (two 32-bit halves at threshold 7 each,
+    candidates = union) so each band key is selective — the plan
+    shape is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         "length(text) >= 2"
