@@ -33,7 +33,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 from ..plans.spec import QuerySpec
 from . import texthash as th
 
@@ -944,6 +944,93 @@ FROM fan
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-document boilerplate chunk filter (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+#: words per non-overlapping chunk ("paragraph" unit on the
+#: single-line synthetic corpus) and the document-frequency threshold
+#: above which a chunk is boilerplate.
+BOILER_W = 10
+BOILER_K = 3
+
+
+def boilerplate_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal accounting, per source.
+
+    The CCNet/RefinedWeb curation primitive: a paragraph that repeats
+    across many *distinct* documents (headers, footers, license
+    blurbs) is boilerplate and is dropped from every document. On this
+    corpus (single-line texts) the paragraph unit is the
+    non-overlapping ``BOILER_W``-word chunk; a chunk whose hash occurs
+    in >= ``BOILER_K`` distinct docs is flagged, and the output is the
+    per-source removal audit a pipeline run would log: docs touched,
+    chunks flagged, share of chunks removed.
+
+    Shape (100 TB): the text is hashed exactly once (map-only explode
+    of the persisted chunk relation); the document-frequency
+    aggregation and the flag join-back both shuffle only compact
+    ``(h: int64, doc_id)`` rows, never text — the same two-shuffle
+    profile as the contamination family. Chunk hashes are uniform, so
+    neither shuffle has skew; at 100 TB the df-table is the artifact
+    you materialize once per corpus snapshot.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rows = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"{th.chunk_hashes('text', BOILER_W, 'spark')} AS hs",
+    ).select("doc_id", "source", F.explode("hs").alias("h"))
+    freq = rows.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    flagged = rows.join(freq, "h").withColumn(
+        "b", F.when(F.col("df_docs") >= BOILER_K, 1).otherwise(0)
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_ch"),
+        F.sum("b").alias("n_b"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ch").alias("total_chunks"),
+        F.sum("n_b").alias("boiler_chunks"),
+        F.sum(F.when(F.col("n_b") > 0, 1).otherwise(0)).alias(
+            "docs_affected"
+        ),
+        (
+            F.sum("n_b").cast("double")
+            / F.sum("n_ch").cast("double")
+        ).alias("boiler_chunk_share"),
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+WITH rows AS (
+  SELECT doc_id, source,
+         unnest({th.chunk_hashes('text', BOILER_W, 'duck')}) AS h
+  FROM documents),
+freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS df_docs FROM rows GROUP BY h),
+flagged AS (
+  SELECT r.doc_id, r.source,
+         CASE WHEN f.df_docs >= {BOILER_K} THEN 1 ELSE 0 END AS b
+  FROM rows r JOIN freq f USING (h)),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_ch, SUM(b) AS n_b
+  FROM flagged GROUP BY doc_id, source)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_ch) AS BIGINT) AS total_chunks,
+       CAST(SUM(n_b) AS BIGINT) AS boiler_chunks,
+       CAST(SUM(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(SUM(n_b) AS DOUBLE) / CAST(SUM(n_ch) AS DOUBLE)
+         AS boiler_chunk_share
+FROM per_doc GROUP BY source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -1007,6 +1094,12 @@ SPECS: dict[str, QuerySpec] = {
             pack_sequences_greedy,
             ORACLE_PACK_GREEDY,
             "greedy whole-doc packing, sharded JVM aggregate; recursive-CTE oracle",
+        ),
+        QuerySpec(
+            "boilerplate_chunk_filter",
+            boilerplate_chunk_filter,
+            ORACLE_BOILERPLATE,
+            "CCNet-style cross-doc boilerplate chunk removal audit",
         ),
     ]
 }

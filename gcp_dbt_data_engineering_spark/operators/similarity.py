@@ -777,6 +777,127 @@ FROM scaled
 """
 
 
+# ---------------------------------------------------------------------------
+# product quantization + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+
+#: PQ codebook: 4-bit uniform scalar quantizer per dimension over
+#: [-0.625, 0.625) in the int64-quantized domain (QSCALE = 2^20).
+#: Uniform (data-independent) codebooks keep the DuckDB oracle
+#: bit-exact; a trained variant would fit per-subspace k-means
+#: centroids exactly like ``similarity_ann_ivf_kmeans`` fits its
+#: coarse centroids, with the same plan shape.
+PQ_L = 16
+PQ_LO = -655360          # floor(-0.625 * 2^20)
+PQ_STEP = 81920          # 1.25 * 2^20 / PQ_L
+PQ_HALF = PQ_STEP // 2
+PQ_PACK = 8              # 4-bit codes packed per 32-bit word
+PQ_WORDS = DIM // PQ_PACK
+
+
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbours by PQ asymmetric distance (ADC).
+
+    The memory-side ANN technique: each vector is compressed to 64
+    4-bit codes packed into ``PQ_WORDS`` integer words (32 B vs 256 B
+    of float32 — 8x), and queries score against *reconstruction
+    centers* decoded from the packed codes while staying full
+    precision themselves (asymmetric distance, Jégou et al.'s ADC).
+    All arithmetic is exact int64 (quantized domain), so distances —
+    and therefore the ranking, including PQ's approximation error —
+    are reproduced bit-for-bit by the oracle.
+
+    Shape (100 TB): encode is one map-only projection (the compressed
+    table is 8x smaller than the corpus — the artifact you actually
+    keep hot); decode-to-centers is fused into the same scan; the
+    query side is broadcast, so scoring streams the compressed table
+    with no shuffle, and only the tiny top-k window shuffles. The
+    decode derives centers from the PACKED words, so packing
+    correctness sits on the gate's critical path.
+    """
+    base = _quantized(spark, sf_dir)
+    enc = (
+        base.selectExpr(
+            "vec_id",
+            f"transform(q, x -> least(CAST({PQ_L - 1} AS BIGINT),"
+            f" greatest(CAST(0 AS BIGINT), x - ({PQ_LO})) div {PQ_STEP}))"
+            " AS cds",
+        )
+        .selectExpr(
+            "vec_id",
+            f"transform(sequence(0, {PQ_WORDS - 1}),"
+            f" w -> aggregate(slice(cds, w * {PQ_PACK} + 1, {PQ_PACK}),"
+            f" CAST(0 AS BIGINT), (a, c) -> a * {PQ_L} + c)) AS codes",
+        )
+        .selectExpr(
+            "vec_id",
+            f"transform(sequence(0, {DIM - 1}),"
+            f" d -> {PQ_LO} + ((element_at(codes, CAST(d div {PQ_PACK} AS INT)"
+            f" + 1) div CAST(pow({PQ_L}, {PQ_PACK - 1} - d % {PQ_PACK})"
+            f" AS BIGINT)) % {PQ_L}) * {PQ_STEP} + {PQ_HALF}) AS centers",
+        )
+    )
+    queries = base.filter((F.col("vec_id") % QUERY_MOD) == 0).selectExpr(
+        "vec_id AS query_id", "q AS qa"
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(enc.selectExpr("vec_id AS neighbor_id", "centers"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "aggregate(zip_with(qa, centers, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x) AS adc_dist",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
+
+
+ORACLE_PQ_ADC = f"""
+WITH {_SQL_QUANTIZED},
+enc AS (
+  SELECT vec_id,
+         list_transform(qv, x -> least(CAST({PQ_L - 1} AS BIGINT),
+           greatest(CAST(0 AS BIGINT), x - ({PQ_LO})) // {PQ_STEP})) AS cds
+  FROM qn),
+packed AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, {PQ_WORDS - 1}),
+           w -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_slice(cds, w * {PQ_PACK} + 1, w * {PQ_PACK} + {PQ_PACK})),
+             (a, c) -> a * {PQ_L} + c)) AS codes
+  FROM enc),
+dec AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, {DIM - 1}),
+           d -> {PQ_LO} + ((codes[d // {PQ_PACK} + 1]
+             // CAST(pow({PQ_L}, {PQ_PACK - 1} - (d % {PQ_PACK})) AS BIGINT))
+             % {PQ_L}) * {PQ_STEP} + {PQ_HALF}) AS centers
+  FROM packed),
+pairs AS (
+  SELECT qq.vec_id AS query_id, d.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, {DIM}),
+           i -> (qq.qv[i] - d.centers[i]) * (qq.qv[i] - d.centers[i])),
+           (a, b) -> a + b) AS adc_dist
+  FROM qn qq, dec d
+  WHERE qq.vec_id % {QUERY_MOD} = 0 AND qq.vec_id <> d.vec_id)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM pairs)
+WHERE rn <= {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -788,6 +909,11 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec(
             "similarity_topk_cosine", similarity_topk_cosine,
             ORACLE_TOPK_COSINE,
+        ),
+        QuerySpec(
+            "similarity_pq_adc", similarity_pq_adc, ORACLE_PQ_ADC,
+            "product-quantization ADC top-k (packed 4-bit codes, 8x "
+            "compression, exact-integer asymmetric distance)",
         ),
         QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ORACLE_ANN_LSH),
         QuerySpec("similarity_ann_ivf", similarity_ann_ivf, ORACLE_ANN_IVF),

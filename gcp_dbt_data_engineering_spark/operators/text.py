@@ -903,6 +903,92 @@ GROUP BY doc_id
 ORACLE_UNIGRAM = _oracle_unigram()
 
 
+# ---------------------------------------------------------------------------
+# hashing-trick linear quality classifier (fastText-style, zero UDF)
+# ---------------------------------------------------------------------------
+
+#: hashed feature buckets and the deterministic per-bucket weight
+#: (Knuth-multiplier pseudo-random integer in [-48, 48]; the "trained
+#: model" of a fastText-style linear filter, frozen so the oracle can
+#: reproduce every score bit-for-bit).
+CLS_BUCKETS = 64
+CLS_WMOD = 97
+CLS_WSHIFT = 48
+
+
+def _cls_weights(wh: str, dialect: str) -> str:
+    """Integer weight array from a word-hash array expression."""
+    lam = "transform" if dialect == "spark" else "list_transform"
+    return (
+        f"{lam}({wh}, h -> (h % {CLS_BUCKETS}) * 2654435761"
+        f" % {CLS_WMOD} - {CLS_WSHIFT})"
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, verdict) audit of a hashed linear quality filter.
+
+    The standard cheap corpus-quality gate (fastText / CCNet style): a
+    linear model over hashing-trick bag-of-words features. Each word
+    hashes to one of ``CLS_BUCKETS`` buckets; the bucket's weight is a
+    fixed deterministic integer; the document score is the mean token
+    weight (exact integer sum, one final IEEE division) and docs with
+    score > 0 are kept. Zero UDF: bucketing, weights, and the score
+    fold are all JVM-side higher-order expressions, so the filter runs
+    at scan speed — the reason hashed linear models are THE quality
+    filter that survives 100 TB (one projection, no shuffle until the
+    tiny audit aggregate; a learned-weight variant only changes the
+    weight literal to a broadcast map lookup).
+
+    Mean score per group uses the repo's decimal-sum determinism
+    pattern (``plans/spec.py`` rules: per-row double → DECIMAL(22,6),
+    exact associative sum, one final double division).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.selectExpr(
+        "source",
+        f"size({th.words('text', 'spark')}) AS n_tok",
+        f"aggregate({_cls_weights(th.word_hashes('text', 'spark'), 'spark')},"
+        " CAST(0 AS BIGINT), (a, b) -> a + b) AS num",
+    ).filter("n_tok > 0").selectExpr(
+        "source",
+        f"CAST(num AS DOUBLE) / CAST({CLS_WMOD} * n_tok AS DOUBLE) AS score",
+    ).selectExpr(
+        "source",
+        "CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict",
+        "score",
+    )
+    return scored.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("score").cast("decimal(22,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score"),
+    )
+
+
+ORACLE_CLASSIFIER = f"""
+WITH scored AS (
+  SELECT source,
+         len({th.words('text', 'duck')}) AS n_tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             {_cls_weights(th.word_hashes('text', 'duck'), 'duck')}),
+           (a, b) -> a + b) AS num
+  FROM documents),
+verdicts AS (
+  SELECT source,
+         CAST(num AS DOUBLE) / CAST({CLS_WMOD} * n_tok AS DOUBLE) AS score
+  FROM scored WHERE n_tok > 0)
+SELECT source,
+       CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(score AS DECIMAL(22,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_score
+FROM verdicts GROUP BY source, verdict
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -927,6 +1013,11 @@ SPECS: dict[str, QuerySpec] = {
         ),
         QuerySpec(
             "text_sentiment_lexicon", text_sentiment_lexicon, ORACLE_SENTIMENT
+        ),
+        QuerySpec(
+            "text_quality_classifier", text_quality_classifier,
+            ORACLE_CLASSIFIER,
+            "hashing-trick linear quality filter (fastText-style)",
         ),
         QuerySpec("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS),
         QuerySpec("text_language_id", text_language_id, ORACLE_LANGUAGE_ID),

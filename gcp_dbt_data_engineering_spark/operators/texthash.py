@@ -164,3 +164,42 @@ def bit(h: str, j: str, dialect: str) -> str:
     if dialect == "spark":
         return f"(shiftright({h}, {j}) & 1)"
     return f"(({h} >> {j}) & 1)"
+
+
+def chunk_hashes(text_col: str, n: int, dialect: str) -> str:
+    """Array of portable hashes of the NON-overlapping n-word chunks.
+
+    Stride-``n`` counterpart of ``shingle_hashes`` (same two-level
+    fold: polyhash each word once, then ``acc*31 + wh (mod P)`` over
+    each chunk's word-hashes).  The last chunk may be shorter than
+    ``n`` — every word belongs to exactly one chunk, which is what the
+    cross-document boilerplate filter needs (CCNet-style paragraph
+    dedup adapted to fixed-width chunks; a removed chunk must remove
+    its words exactly once).  Chunk count is ``ceil(len/n)`` via
+    integer arithmetic; the fold init 0 is a no-op for the first word
+    (``f(0, h0) = h0``), so Spark's ``aggregate`` equals DuckDB's
+    init-less ``list_reduce`` on every (non-empty) chunk.
+    """
+    whs_expr = word_hashes(text_col, dialect)
+    if dialect == "spark":
+        m = f"((size(whs) + {n - 1}) div {n})"
+        body = (
+            f"transform(sequence(1, {m}),"
+            f" i -> aggregate(slice(whs, (i - 1) * {n} + 1, {n}),"
+            f" CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % {P}))"
+        )
+        return (
+            f"element_at(transform(array({whs_expr}),"
+            f" whs -> CASE WHEN size(whs) >= 1 THEN {body}"
+            f" ELSE array() END), 1)"
+        )
+    m = f"((len(whs) + {n - 1}) // {n})"
+    body = (
+        f"list_transform(generate_series(1, {m}),"
+        f" i -> list_reduce(list_slice(whs, (i - 1) * {n} + 1,"
+        f" (i - 1) * {n} + {n}), (a, b) -> (a * 31 + b) % {P}))"
+    )
+    return (
+        f"list_transform([{whs_expr}],"
+        f" whs -> CASE WHEN len(whs) >= 1 THEN {body} ELSE [] END)[1]"
+    )

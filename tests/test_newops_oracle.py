@@ -1,0 +1,84 @@
+"""Round-6 additions vs the DuckDB oracle at sf0.01, plus semantic
+checks: PQ-ADC recall against the exact brute-force baseline,
+boilerplate-filter sensitivity to the replica clique, and classifier
+verdict accounting."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_dbt_data_engineering_spark.operators.pipeline import (
+    SPECS as PIPELINE_SPECS,
+)
+from gcp_dbt_data_engineering_spark.operators.similarity import (
+    SPECS as SIM_SPECS,
+    TOP_K,
+)
+from gcp_dbt_data_engineering_spark.operators.text import (
+    SPECS as TEXT_SPECS,
+)
+
+from .oracle_harness import compare
+
+SF = "/root/testdata/sf0.01"
+
+NEW = {
+    "boilerplate_chunk_filter": PIPELINE_SPECS,
+    "text_quality_classifier": TEXT_SPECS,
+    "similarity_pq_adc": SIM_SPECS,
+}
+
+
+@pytest.mark.parametrize("name", sorted(NEW))
+def test_new_op_oracle_sf001(spark, name):
+    spec = NEW[name][name]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """4-bit uniform PQ must stay a usable ANN: recall@10 vs the exact
+    cosine top-10 well above chance (N≈500 ⇒ chance ≈ 2%)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM_SPECS["similarity_topk_cosine"].spark(spark, SF).collect()
+    }
+    pq_rows = SIM_SPECS["similarity_pq_adc"].spark(spark, SF).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    assert len(pq & bf) / len(bf) >= 0.3
+    # shape: every query returns a full dense top-k
+    by_q: dict[int, list] = {}
+    for r in pq_rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
+
+
+def test_boilerplate_flags_replica_chunks(spark):
+    """The corpus carries replica docs (the dedup fixtures); their
+    shared chunks must surface as boilerplate somewhere, and the audit
+    arithmetic must be internally consistent."""
+    rows = (
+        PIPELINE_SPECS["boilerplate_chunk_filter"].spark(spark, SF).collect()
+    )
+    assert sum(r.boiler_chunks for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.boiler_chunks <= r.total_chunks
+        assert r.docs_affected <= r.n_docs
+        assert abs(
+            r.boiler_chunk_share - r.boiler_chunks / r.total_chunks
+        ) < 1e-12
+
+
+def test_classifier_partitions_all_docs(spark):
+    """keep/drop verdicts partition the non-empty docs; keep-side mean
+    score is positive, drop-side non-positive."""
+    rows = (
+        TEXT_SPECS["text_quality_classifier"].spark(spark, SF).collect()
+    )
+    total = sum(r.n_docs for r in rows)
+    assert total == 500  # sf0.01: all docs tokenize non-empty
+    for r in rows:
+        if r.verdict == "keep":
+            assert r.mean_score > 0
+        else:
+            assert r.mean_score <= 0
