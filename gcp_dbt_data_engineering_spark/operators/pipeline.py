@@ -1031,6 +1031,270 @@ FROM per_doc GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. DSIR-style importance selection — hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+#: hashing-trick feature space (buckets) and selection budget
+DSIR_B = 1024
+DSIR_K = 100
+
+
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023).
+
+    Selects the ``DSIR_K`` raw-pool documents whose hashed-unigram
+    distribution best matches a target domain. Target = the benchmark
+    sources (``BENCH_SOURCES``); raw pool = every other source. Each
+    word hashes into one of ``DSIR_B`` buckets (hashing trick); the
+    per-document log importance weight is
+
+        sum over tokens of  ln P_tgt(b) - ln P_src(b)
+
+    with add-one smoothing, P(b) = (c(b)+1)/(N+B). Determinism: the
+    per-bucket term is ONE ``ln`` over a ratio of two exact BIGINT
+    products ((c_tgt+1)*(N_src+B)) / ((c_src+1)*(N_tgt+B)) — exact in
+    IEEE double while both products stay under 2^53 (N ~ 5e7 tokens at
+    sf10; a 100-TB run would split the ln into two rounded terms) —
+    rounded through DECIMAL(28,9), then summed exactly as a decimal
+    weighted by the in-doc bucket count (the ``text_bigram_logprob``
+    recipe). Ties broken by doc_id, so top-K is total-ordered.
+
+    Shape (100 TB): ONE shuffle builds the (doc, bucket, count)
+    relation; both corpus bucket tables group to <= ``DSIR_B`` rows and
+    broadcast (the target/source LMs are dictionary-sized by
+    construction — that is the point of the hashing trick); totals ride
+    1-row broadcast relations; scoring is map-side; the final top-K is
+    TakeOrdered (no global sort shuffle). Docs with zero alphanumeric
+    tokens have no evidence and are absent, as in the LM-scoring specs.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    src_set = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+    toks = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        f"source IN ({src_set}) AS is_tgt",
+        f"transform({th.word_hashes('text', 'spark')},"
+        f" wh -> wh % {DSIR_B}) AS bs",
+    ).select(
+        "doc_id", "lang", "source", "is_tgt", F.explode("bs").alias("b")
+    )
+    pool = toks.filter(~F.col("is_tgt"))
+    doc_b = pool.groupBy("doc_id", "lang", "source", "b").agg(
+        F.count(F.lit(1)).alias("c_doc")
+    )
+    tgt_b = F.broadcast(
+        toks.filter("is_tgt").groupBy("b").agg(
+            F.count(F.lit(1)).alias("c_tgt")
+        )
+    )
+    src_b = F.broadcast(
+        pool.groupBy("b").agg(F.count(F.lit(1)).alias("c_src"))
+    )
+    n_tgt = F.broadcast(
+        toks.filter("is_tgt").agg(F.count(F.lit(1)).alias("__nt"))
+    )
+    n_src = F.broadcast(pool.agg(F.count(F.lit(1)).alias("__ns")))
+    scored = (
+        doc_b.join(tgt_b, "b", "left")
+        .join(src_b, "b")  # every pool bucket exists in src by def.
+        .crossJoin(n_tgt)
+        .crossJoin(n_src)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "source",
+            "c_doc",
+            "CAST(ln("
+            f" CAST((coalesce(c_tgt, 0) + 1) * (__ns + {DSIR_B})"
+            "      AS DOUBLE)"
+            f" / CAST((c_src + 1) * (__nt + {DSIR_B}) AS DOUBLE)"
+            ") AS DECIMAL(28,9)) AS lw",
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c_doc").alias("n_tokens"),
+            F.expr("SUM(lw * CAST(c_doc AS DECIMAL(9,0)))").alias(
+                "lw_sum"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lw_sum").desc(), F.col("doc_id"))
+        .limit(DSIR_K)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "CAST(lw_sum AS DOUBLE) AS logweight",
+        )
+    )
+
+
+def _oracle_dsir() -> str:
+    src_set = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, source IN ({src_set}) AS is_tgt,
+         unnest(list_transform({th.word_hashes('text', 'duck')},
+                               wh -> wh % {DSIR_B})) AS b
+  FROM documents),
+doc_b AS (
+  SELECT doc_id, lang, source, b, COUNT(*) AS c_doc
+  FROM toks WHERE NOT is_tgt GROUP BY ALL),
+tgt_b AS (SELECT b, COUNT(*) AS c_tgt FROM toks WHERE is_tgt GROUP BY b),
+src_b AS (
+  SELECT b, COUNT(*) AS c_src FROM toks WHERE NOT is_tgt GROUP BY b),
+scored AS (
+  SELECT doc_id, lang, source, c_doc,
+         CAST(ln(
+           CAST((COALESCE(c_tgt, 0) + 1)
+                * ((SELECT COUNT(*) FROM toks WHERE NOT is_tgt)
+                   + {DSIR_B}) AS DOUBLE)
+           / CAST((c_src + 1)
+                  * ((SELECT COUNT(*) FROM toks WHERE is_tgt)
+                     + {DSIR_B}) AS DOUBLE))
+              AS DECIMAL(28,9)) AS lw
+  FROM doc_b LEFT JOIN tgt_b USING (b) JOIN src_b USING (b)),
+agg AS (
+  SELECT doc_id, lang, source,
+         CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+         CAST(SUM(lw * CAST(c_doc AS DECIMAL(9,0)))
+              AS DECIMAL(38,9)) AS lw_sum
+  FROM scored GROUP BY doc_id, lang, source)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(lw_sum AS DOUBLE) AS logweight
+FROM agg ORDER BY lw_sum DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
+ORACLE_DSIR = _oracle_dsir()
+
+
+# ---------------------------------------------------------------------------
+# 9. end-to-end curation funnel — quality → dedup → decontam → sample
+# ---------------------------------------------------------------------------
+
+#: quality gates: minimum tokens, minimum distinct-token ratio (x1000)
+CURATE_MIN_TOKENS = 10
+CURATE_MIN_DISTINCT_PM = 300
+
+
+def curate_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE lazy plan: per-language funnel.
+
+    Chains the four standard corpus-curation stages, each applied to
+    the survivors of the previous, and reports the per-language
+    retention funnel a pipeline run logs:
+
+    1. quality  — >= ``CURATE_MIN_TOKENS`` tokens AND distinct-token
+       ratio >= ``CURATE_MIN_DISTINCT_PM``/1000 (integer cross-multiply,
+       no float);
+    2. dedup    — exact near-canonical dedup: keep the min doc_id per
+       polyhash of the normalized (lower-alnum-joined) text, among
+       quality survivors;
+    3. decontam — drop docs whose normalized text contains any
+       benchmark phrase (broadcast literal scan, ``BENCH_PHRASES``);
+    4. sample   — the deterministic per-language hash-bucket rates of
+       the stratified sampler (independent salt).
+
+    Shape (100 TB): one projection computes every per-doc flag from a
+    single ``words()`` evaluation (bound via LATERAL-style transform so
+    the tokenizer runs once); the only shuffles are the dedup window
+    (partitioned by the 8-byte text hash — arbitrary-cardinality safe)
+    and the final per-language aggregate. Nothing materializes between
+    stages; Catalyst sees the funnel as one tree and collapses the
+    flag projections into the scan.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    phr = " OR ".join(
+        f"contains(norm, '{p}')" for p in BENCH_PHRASES
+    )
+    flagged = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"element_at(transform(array({th.words('text', 'spark')}),"
+        " ws -> struct("
+        f"  size(ws) AS n_tok,"
+        f"  size(array_distinct(ws)) AS n_dist,"
+        f"  concat_ws(' ', ws) AS norm)), 1) AS t",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        f"t.n_tok >= {CURATE_MIN_TOKENS} AND"
+        f" t.n_dist * 1000 >= t.n_tok * {CURATE_MIN_DISTINCT_PM}"
+        " AS q_ok",
+        f"{th.polyhash('t.norm', 'spark')} AS norm_h",
+        "t.norm AS norm",
+    )
+    from pyspark.sql.window import Window
+
+    keeper = F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(
+        Window.partitionBy("norm_h")
+    )
+    staged = flagged.withColumn(
+        "d_ok", F.col("q_ok") & (F.col("doc_id") == keeper)
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "q_ok",
+        "d_ok",
+        f"d_ok AND NOT ({phr}) AS c_ok",
+        f"d_ok AND NOT ({phr})"
+        f" AND {_bucket('doc_id', 'spark', 'curate')}"
+        f" < ({_SQL_RATE_CASE}) AS s_ok",
+    )
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum(F.col("d_ok").cast("long")).alias("n_dedup"),
+        F.sum(F.col("c_ok").cast("long")).alias("n_decontam"),
+        F.sum(F.col("s_ok").cast("long")).alias("n_sampled"),
+    )
+
+
+def _oracle_curate() -> str:
+    phr = " OR ".join(
+        f"contains(norm, '{p}')" for p in BENCH_PHRASES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {th.words('text', 'duck')} AS ws FROM documents),
+flagged AS (
+  SELECT doc_id, lang,
+         len(ws) >= {CURATE_MIN_TOKENS}
+           AND len(list_distinct(ws)) * 1000
+               >= len(ws) * {CURATE_MIN_DISTINCT_PM} AS q_ok,
+         {th.polyhash("array_to_string(ws, ' ')", 'duck')} AS norm_h,
+         array_to_string(ws, ' ') AS norm
+  FROM base),
+staged AS (
+  SELECT doc_id, lang, q_ok,
+         q_ok AND doc_id = MIN(CASE WHEN q_ok THEN doc_id END)
+                             OVER (PARTITION BY norm_h) AS d_ok,
+         norm
+  FROM flagged),
+final AS (
+  SELECT doc_id, lang, q_ok, d_ok,
+         d_ok AND NOT ({phr}) AS c_ok,
+         d_ok AND NOT ({phr})
+           AND {_bucket('doc_id', 'duck', 'curate')}
+               < ({_SQL_RATE_CASE}) AS s_ok
+  FROM staged)
+SELECT lang, COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN c_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+       CAST(SUM(CASE WHEN s_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM final GROUP BY lang
+"""
+
+
+ORACLE_CURATE = _oracle_curate()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -1100,6 +1364,20 @@ SPECS: dict[str, QuerySpec] = {
             boilerplate_chunk_filter,
             ORACLE_BOILERPLATE,
             "CCNet-style cross-doc boilerplate chunk removal audit",
+        ),
+        QuerySpec(
+            "dsir_importance_selection",
+            dsir_importance_selection,
+            ORACLE_DSIR,
+            "DSIR hashed-unigram importance resampling: top-K toward "
+            "target domain",
+        ),
+        QuerySpec(
+            "curate_corpus_funnel",
+            curate_corpus_funnel,
+            ORACLE_CURATE,
+            "end-to-end curation funnel: quality -> dedup -> decontam "
+            "-> sample, one lazy plan",
         ),
     ]
 }
