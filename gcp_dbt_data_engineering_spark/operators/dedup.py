@@ -1149,9 +1149,161 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 10. exact repeated-substring spans (Lee et al. 2022, "Deduplicating
+#     Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+#: minimum repeated run length in tokens (the paper uses 50 BPE tokens
+#: on web text; 15 words matches this corpus's ~100-word documents)
+SPAN_L = 15
+
+
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language audit of exact cross-document repeated substrings.
+
+    The suffix-array dedup of Lee et al. (2022), re-expressed for a
+    shuffle architecture: instead of one giant suffix array, every
+    overlapping ``SPAN_L``-token window is hashed with position kept
+    (stride 1), windows whose hash occurs in >= 2 DISTINCT documents
+    are cross-corpus repeats, and per document the hit positions merge
+    into maximal spans by interval union (two bounded per-doc windows:
+    a lag gap-flag, then a running-sum island id — the standard
+    islands-and-gaps plan). A maximal repeated run of R >= SPAN_L
+    tokens contributes exactly R - SPAN_L + 1 consecutive hits, so the
+    merged span recovers the full run, same as the suffix-array walk.
+
+    Output: per language — documents carrying at least one span, span
+    count, duplicated-token mass, and the share of the language's
+    token mass that is cross-document duplicate text (the number the
+    paper reports per corpus).
+
+    Shape (100 TB): hashing is map-side (the two-level word-hash fold,
+    text never shuffles); the df-filter join moves (h: int64, doc_id,
+    pos: int) rows; the island windows partition by doc_id (bounded by
+    document length, never corpus-wide); the final aggregate is
+    per-language. Same two-shuffle profile as the contamination and
+    boilerplate families.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hits = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{th.shingle_hashes('text', SPAN_L, 'spark')} AS hs",
+    ).select(
+        "doc_id", "lang", F.posexplode("hs").alias("pos", "h")
+    )
+    rep = hits.join(
+        hits.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h"),
+        "h",
+    )
+    from pyspark.sql.window import Window
+
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        rep.withColumn(
+            "new_isl",
+            (
+                F.col("pos") - F.lag("pos").over(byd) > F.lit(SPAN_L)
+            ).cast("long"),
+        )
+        .withColumn(
+            "isl",
+            F.sum(F.coalesce(F.col("new_isl"), F.lit(1))).over(
+                byd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "lang", "isl")
+        .agg(
+            (F.max("pos") - F.min("pos") + SPAN_L).alias("span_tokens")
+        )
+    )
+    per_doc = islands.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    tok = docs.selectExpr(
+        "lang", f"size({th.words('text', 'spark')}) AS n_tok"
+    ).groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_with_spans"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("dup_tokens").alias("dup_tokens"),
+        )
+        .join(tok, "lang")
+        .selectExpr(
+            "lang",
+            "docs_with_spans",
+            "n_spans",
+            "dup_tokens",
+            "CAST(dup_tokens AS DOUBLE) / CAST(lang_tokens AS DOUBLE)"
+            " AS dup_token_share",
+        )
+    )
+
+
+ORACLE_REPEATED_SPANS = f"""
+WITH hits AS (
+  SELECT doc_id, lang, pos - 1 AS pos, h
+  FROM (SELECT doc_id, lang,
+               unnest({th.shingle_hashes('text', SPAN_L, 'duck')}) AS h,
+               generate_subscripts(
+                 {th.shingle_hashes('text', SPAN_L, 'duck')}, 1) AS pos
+        FROM documents)),
+rep AS (
+  SELECT hits.* FROM hits
+  JOIN (SELECT h FROM hits GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= 2) r USING (h)),
+gaps AS (
+  SELECT doc_id, lang, pos,
+         COALESCE(CASE WHEN pos - LAG(pos)
+                              OVER (PARTITION BY doc_id ORDER BY pos)
+                            > {SPAN_L}
+                       THEN 1 ELSE 0 END, 1) AS new_isl
+  FROM rep),
+islands AS (
+  SELECT doc_id, lang, isl,
+         MAX(pos) - MIN(pos) + {SPAN_L} AS span_tokens
+  FROM (
+    SELECT doc_id, lang, pos,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl
+    FROM gaps)
+  GROUP BY doc_id, lang, isl),
+per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_spans, SUM(span_tokens) AS dup_tokens
+  FROM islands GROUP BY doc_id, lang),
+tok AS (
+  SELECT lang, SUM(len({th.words('text', 'duck')})) AS lang_tokens
+  FROM documents GROUP BY lang)
+SELECT lang,
+       COUNT(*) AS docs_with_spans,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+       CAST(SUM(dup_tokens) AS DOUBLE) / CAST(MIN(lang_tokens) AS DOUBLE)
+         AS dup_token_share
+FROM per_doc JOIN tok USING (lang)
+GROUP BY lang
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "dedup_repeated_spans",
+            dedup_repeated_spans,
+            ORACLE_REPEATED_SPANS,
+            "Lee-et-al. exact repeated-substring spans: positional "
+            "shingle hits merged by interval union",
+        ),
         QuerySpec(
             "dedup_cluster_components",
             dedup_cluster_components,

@@ -172,3 +172,46 @@ def test_curate_funnel_dedup_fires_on_duplicates(spark):
         b = base[lang]
         assert r.n_raw >= b.n_raw
         assert r.n_dedup == b.n_dedup
+
+
+def test_repeated_spans_oracle_and_boundaries(spark):
+    """Oracle twin for dedup_repeated_spans, plus exact span-boundary
+    recovery on a planted duplicate: a run of R >= L shared tokens
+    between two docs must merge into ONE span of exactly R tokens."""
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        SPAN_L,
+        SPECS as DEDUP_SPECS,
+        dedup_repeated_spans,
+    )
+
+    spec = DEDUP_SPECS["dedup_repeated_spans"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    # planted fixture: two docs share a 20-token run, padded with
+    # unique tokens so nothing else repeats
+    run = " ".join(f"shared{i}" for i in range(SPAN_L + 5))
+    rows = [
+        (1, f"alpha1 alpha2 alpha3 {run} omega1 omega2", "en", "s", 1),
+        (2, f"beta1 beta2 {run} gamma1 gamma2 gamma3", "en", "s", 1),
+        (3, "plain text with no repeats at all here", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("__span_docs")
+    import gcp_dbt_data_engineering_spark.operators.dedup as D
+
+    orig = D.load_table
+    try:
+        D.load_table = lambda sp, sf, t: (
+            sp.table("__span_docs") if t == "documents" else orig(sp, sf, t)
+        )
+        out = {r.lang: r for r in dedup_repeated_spans(spark, SF).collect()}
+    finally:
+        D.load_table = orig
+    r = out["en"]
+    assert r.docs_with_spans == 2
+    assert r.n_spans == 2
+    # each doc's span covers exactly the planted run (SPAN_L + 5 tokens)
+    assert r.dup_tokens == 2 * (SPAN_L + 5)
