@@ -100,12 +100,20 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_shingle_cte() -> str:
-    """DuckDB CTE bodies mirroring :func:`_shingle_rows` (names sh, sz)."""
+    """DuckDB CTE bodies mirroring :func:`_shingle_rows` (names sh, sz).
+
+    ``sh`` is MATERIALIZED: every consumer references it 2+ times (both
+    self-join sides, sizes, verification), and DuckDB's default CTE
+    inlining re-evaluates the shingle hashing per reference — at sf1+
+    that turned several oracles from seconds into >60 GB spills (the
+    pagerank oracle inlined its whole quadratic candidate chain once
+    per unrolled iteration). Purely a plan hint; results are identical.
+    """
     hashes = th.shingle_hashes("text", SHINGLE_N, "duck")
     return f"""
-sh AS (SELECT DISTINCT doc_id, h
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, h
        FROM (SELECT doc_id, unnest({hashes}) AS h FROM documents)),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
 
 
 def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,11 +1048,11 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_jaccard_pairs_cte() -> str:
     """CTE chain ending in ``jp`` = the ngram-Jaccard pair list."""
     return f"""{_sql_shingle_cte()},
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-jp AS (
+jp AS MATERIALIZED (
   SELECT doc_a, doc_b
   FROM inter
   JOIN sz x ON doc_a = x.doc_id
@@ -1053,15 +1061,21 @@ jp AS (
 
 
 def _oracle_pagerank() -> str:
+    # ``edeg`` is referenced once per unrolled iteration; without
+    # MATERIALIZED, DuckDB inlines the whole quadratic shingle
+    # self-join chain into every iteration, and the sf1 oracle spills
+    # past a 70 GB temp cap. Materializing the shared prefix makes the
+    # oracle linear in PR_ITERS (one candidate-join evaluation total).
     n_expr = "(SELECT COUNT(*) FROM documents)"
     body = f"""
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM jp),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs),
 deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+edeg AS MATERIALIZED (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
 r0 AS (
   SELECT doc_id, 1.0 / CAST({n_expr} AS DOUBLE) AS r FROM documents)"""
     for k in range(PR_ITERS):
