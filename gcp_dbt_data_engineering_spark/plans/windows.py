@@ -543,6 +543,197 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# sequential funnel — ordered-steps conversion (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+#: ordered funnel steps over events.event_type, and the step deadline:
+#: a step converts only within FUNNEL_DEADLINE_H hours of the previous
+#: step (without a deadline every ~66-event user trivially completes)
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_DEADLINE_H = 24
+
+
+def events_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view -> click -> purchase, in time.
+
+    Unlike the daily funnel (pure counts), each step only counts if it
+    happens STRICTLY AFTER the user's first occurrence of the previous
+    step — the sequential-pattern semantics of SQL MATCH_RECOGNIZE /
+    funnel tools, built from composable pieces Spark has: three
+    conditional ``min`` aggregations over one per-user partition.
+    t1 = first view; t2 = first click within the deadline after t1;
+    t3 = first purchase within the deadline after t2. Output: users
+    reaching each step and the step-over-step conversion ratio.
+
+    Shape (100 TB): ONE shuffle on user_id; the three stage minima are
+    consecutive window aggregates over the same partition (Spark reuses
+    the sort), then a per-user 1-row distinct and a tiny final
+    aggregate. No self-joins — the naive "events e1 JOIN events e2 ON
+    same user AND later ts" formulation is O(events²/user) and
+    unrunnable at scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STEPS
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(
+                byu
+            ),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2)
+                    & (F.col("ts") > F.col("t1"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t1")
+                        + F.expr(f"INTERVAL {FUNNEL_DEADLINE_H} HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(byu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3)
+                    & (F.col("ts") > F.col("t2"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t2")
+                        + F.expr(f"INTERVAL {FUNNEL_DEADLINE_H} HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(byu),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull().cast("long")).alias("r1"),
+        F.max(F.col("t2").isNotNull().cast("long")).alias("r2"),
+        F.max(F.col("t3").isNotNull().cast("long")).alias("r3"),
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("r1").alias("u1"),
+        F.sum("r2").alias("u2"),
+        F.sum("r3").alias("u3"),
+    )
+    steps = ", ".join(
+        f"struct('{i + 1}:{s}' AS step, u{i + 1} AS users_reached,"
+        f" CAST(u{i + 1} AS DOUBLE) / CAST("
+        + ("n_users" if i == 0 else f"u{i}")
+        + " AS DOUBLE) AS conversion)"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return totals.selectExpr(
+        f"explode(array({steps})) AS st"
+    ).select("st.step", "st.users_reached", "st.conversion")
+
+
+ORACLE_SEQ_FUNNEL = f"""
+WITH t1s AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+t2s AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1
+                       AND ts <= t1 + INTERVAL {FUNNEL_DEADLINE_H} HOUR
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM t1s),
+t3s AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2
+                       AND ts <= t2 + INTERVAL {FUNNEL_DEADLINE_H} HOUR
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM t2s),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+         MAX(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+         MAX(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+  FROM t3s GROUP BY user_id),
+totals AS (
+  SELECT COUNT(*) AS n_users, SUM(r1) AS u1, SUM(r2) AS u2, SUM(r3) AS u3
+  FROM per_user)
+SELECT '1:{FUNNEL_STEPS[0]}' AS step, CAST(u1 AS BIGINT) AS users_reached,
+       CAST(u1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS conversion
+FROM totals
+UNION ALL
+SELECT '2:{FUNNEL_STEPS[1]}', CAST(u2 AS BIGINT),
+       CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) FROM totals
+UNION ALL
+SELECT '3:{FUNNEL_STEPS[2]}', CAST(u3 AS BIGINT),
+       CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE) FROM totals
+"""
+
+
+# ---------------------------------------------------------------------------
+# behavioral transition matrix — first-order Markov over event streams
+# ---------------------------------------------------------------------------
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types.
+
+    Per user, events ordered by (ts, event_id) — the unique total
+    order every window in this module uses — and each consecutive
+    (prev_type -> type) pair counts as one transition; output is the
+    transition matrix with row-normalized probabilities (decimal-free:
+    the ratio of two exact BIGINT counts in one final projection).
+
+    Shape (100 TB): one shuffle on user_id for the lag window, then a
+    25-row aggregate. The per-user sort is bounded by per-user event
+    counts; a power-user hot partition would range-partition on
+    (user_id, month) and stitch boundaries — documented, not needed at
+    test SF.
+    """
+    ev = _t(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(byu))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(row_tot).cast("double")
+        ).alias("p"),
+    )
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM trans
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -576,5 +767,14 @@ SPECS: dict[str, QuerySpec] = {
                   ORACLE_INTERVAL_JOIN,
                   "big-big time-interval join via W-bucket banding "
                   "(purchases x same-user clicks in preceding hour)"),
+        QuerySpec("events_sequential_funnel", events_sequential_funnel,
+                  ORACLE_SEQ_FUNNEL,
+                  "ordered-steps conversion funnel (MATCH_RECOGNIZE-"
+                  "lite): staged conditional minima over one user "
+                  "partition"),
+        QuerySpec("events_transition_matrix", events_transition_matrix,
+                  ORACLE_TRANSITION_MATRIX,
+                  "first-order Markov transition matrix over per-user "
+                  "event streams"),
     ]
 }

@@ -135,3 +135,91 @@ def test_interval_join_matches_naive_theta(spark):
     want = {r["p_id"]: (r["n"], r["last_us"]) for r in naive.collect()}
     assert got == want and len(got) > 0
     assert any(n > 0 for n, _ in got.values())
+
+
+def test_sequential_funnel_oracle_and_ordering(spark):
+    """Oracle twin plus the sequencing property: a user whose purchase
+    precedes every click must NOT count as a step-3 conversion."""
+    from gcp_dbt_data_engineering_spark.plans.windows import (
+        SPECS,
+        events_sequential_funnel,
+    )
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["events_sequential_funnel"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = {r.step: r for r in spec.spark(spark, SF).collect()}
+    u1, u2, u3 = (
+        rows["1:view"].users_reached,
+        rows["2:click"].users_reached,
+        rows["3:purchase"].users_reached,
+    )
+    assert u1 >= u2 >= u3 >= 0
+    assert 0 < u2 < u1  # the 24h deadline must actually bite
+
+    # planted sequence check: purchase-before-click user converts to
+    # step 2 only; properly ordered user converts fully
+    import gcp_dbt_data_engineering_spark.plans.windows as W
+    import pyspark.sql.functions as F
+
+    data = [
+        # user 1: view -> click -> purchase, all within deadline
+        (1, "2024-01-01 00:00:00", 10, "view"),
+        (2, "2024-01-01 01:00:00", 10, "click"),
+        (3, "2024-01-01 02:00:00", 10, "purchase"),
+        # user 2: purchase BEFORE any click — must stop at step 2
+        (4, "2024-01-01 00:00:00", 20, "view"),
+        (5, "2024-01-01 00:30:00", 20, "purchase"),
+        (6, "2024-01-01 01:00:00", 20, "click"),
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.createOrReplaceTempView("__funnel_events")
+    orig = W.load_table
+    try:
+        W.load_table = lambda sp, sf, t: (
+            sp.table("__funnel_events") if t == "events" else orig(sp, sf, t)
+        )
+        out = {
+            r.step: r.users_reached
+            for r in events_sequential_funnel(spark, SF).collect()
+        }
+    finally:
+        W.load_table = orig
+    assert out == {"1:view": 2, "2:click": 2, "3:purchase": 1}
+
+
+def test_transition_matrix_oracle_and_stochastic(spark):
+    """Oracle twin plus row-stochasticity: per prev_type the
+    probabilities sum to 1 and counts partition the (n_events - n_users)
+    transition total."""
+    from gcp_dbt_data_engineering_spark.plans.windows import SPECS
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["events_transition_matrix"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    by_prev: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+        total += r.n
+    assert all(abs(s - 1.0) < 1e-9 for s in by_prev.values())
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
