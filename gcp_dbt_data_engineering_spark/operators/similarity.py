@@ -898,9 +898,138 @@ WHERE rn <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding outlier audit — distance-to-centroid pruning (curation)
+# ---------------------------------------------------------------------------
+
+#: vectors with centroid-cosine below this are flagged as outliers
+OUTLIER_COS_T = 0.0
+
+
+def embeddings_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster outlier pruning audit: cosine to the label centroid.
+
+    The embedding-quality gate a curation pipeline runs before
+    training: vectors far from their cluster centroid (here:
+    ``cos < OUTLIER_COS_T``) are candidate mislabels/noise. Exactness:
+    the centroid is the element-wise ``floor(avg(q))`` of the
+    int64-quantized vectors — floor of one BIGINT->DOUBLE division is
+    the same IEEE op in both engines — which keeps centroid components
+    in q's range, so every dot product stays an exact int64 (64 terms
+    of ~2^40 << 2^63) at any corpus size. Per-vector cosines round
+    through DECIMAL(28,9) before the mean (fixed order); min is
+    order-insensitive.
+
+    Shape (100 TB): centroids are one (label, pos) aggregate over the
+    posexploded quantized table — 64 rows per label — rebuilt as a
+    broadcast array dim; scoring is map-side; output is one row per
+    label. No driver collect, no UDF.
+    """
+    ql = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("label").cast("bigint").alias("label"))
+        .join(_quantized(spark, sf_dir), "vec_id")
+    )
+    cent = (
+        ql.select("label", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("v")).cast("bigint").alias("c"))
+    )
+    carr = F.broadcast(
+        cent.groupBy("label").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))),"
+                " s -> s.c)"
+            ).alias("cv")
+        ).selectExpr(
+            "label",
+            "cv",
+            "aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            " AS nc",
+        )
+    )
+    scored = ql.join(carr, "label").selectExpr(
+        "label",
+        "CAST("
+        + _cosine(
+            "aggregate(zip_with(q, cv, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+            "nn",
+            "nc",
+        )
+        + " AS DECIMAL(28,9)) AS cos_dec",
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (F.col("cos_dec") < F.lit(OUTLIER_COS_T)).cast("long")
+            ).alias("n_outliers"),
+            F.sum("cos_dec").alias("cos_sum"),
+            F.min("cos_dec").alias("cos_min_dec"),
+        )
+        .selectExpr(
+            "label",
+            "n_vectors",
+            "n_outliers",
+            "CAST(n_outliers AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+            " AS outlier_share",
+            "CAST(cos_sum AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+            " AS mean_cos",
+            "CAST(cos_min_dec AS DOUBLE) AS min_cos",
+        )
+    )
+
+
+ORACLE_OUTLIER_AUDIT = f"""
+WITH {_SQL_QUANTIZED},
+lbl AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, qn.qv, qn.nn
+  FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id),
+ex AS (
+  SELECT label, u.pos, u.v
+  FROM lbl, LATERAL (SELECT UNNEST(qv) AS v,
+                            generate_subscripts(qv, 1) AS pos) u),
+cent AS (
+  SELECT label, pos, CAST(floor(AVG(v)) AS BIGINT) AS c
+  FROM ex GROUP BY label, pos),
+carr AS (
+  SELECT label, list(c ORDER BY pos) AS cv,
+         list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
+                     (a, b) -> a + b) AS nc
+  FROM cent GROUP BY label),
+scored AS (
+  SELECT lbl.label,
+         CAST({_cosine(
+             "list_reduce(list_transform(generate_series(1, 64),"
+             " i -> qv[i] * cv[i]), (a, b) -> a + b)",
+             "nn",
+             "nc",
+         )} AS DECIMAL(28,9)) AS cos_dec
+  FROM lbl JOIN carr USING (label))
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN cos_dec < {OUTLIER_COS_T} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN cos_dec < {OUTLIER_COS_T} THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outlier_share,
+       CAST(CAST(SUM(cos_dec) AS DECIMAL(38,9)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_cos,
+       CAST(MIN(cos_dec) AS DOUBLE) AS min_cos
+FROM scored GROUP BY label
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "embeddings_outlier_audit", embeddings_outlier_audit,
+            ORACLE_OUTLIER_AUDIT,
+            "per-label centroid-cosine outlier pruning audit "
+            "(broadcast centroid dim, exact int64 dots)",
+        ),
         QuerySpec(
             "embeddings_quantize_int8", embeddings_quantize_int8,
             ORACLE_QUANTIZE_INT8,

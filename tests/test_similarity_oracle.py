@@ -66,3 +66,42 @@ def test_ann_recall_vs_bruteforce(spark):
     # recall above that floor shows the learned centroids correlate
     # with cosine at least as well as the given labels do.
     assert km_recall >= 0.25, f"kmeans-IVF recall@10 {km_recall:.2f}"
+
+
+def test_outlier_audit_oracle_and_partition(spark):
+    """Oracle twin for embeddings_outlier_audit plus semantics: shares
+    in [0,1], mean >= min per label, and outlier counts reproduce a
+    numpy ground truth on the quantized vectors."""
+    import numpy as np
+
+    from gcp_dbt_data_engineering_spark.operators.similarity import (
+        OUTLIER_COS_T,
+        QSCALE,
+        SPECS,
+    )
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["embeddings_outlier_audit"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = {r.label: r for r in spec.spark(spark, SF).collect()}
+    pdf = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    for lbl, r in rows.items():
+        assert 0.0 <= r.outlier_share <= 1.0
+        assert r.mean_cos >= r.min_cos
+        sub = pdf[pdf.label == lbl]
+        q = np.floor(
+            np.stack(sub.embedding.to_numpy()).astype(np.float64) * QSCALE
+        )
+        c = np.floor(q.mean(axis=0))
+        cos = (q @ c) / (
+            np.sqrt((q * q).sum(axis=1)) * np.sqrt((c * c).sum())
+        )
+        # DECIMAL(28,9) rounding in the engines is half-up at 1e-9;
+        # compare counts with a tolerance band around the threshold
+        hard = (cos < OUTLIER_COS_T - 1e-8).sum()
+        soft = (cos < OUTLIER_COS_T + 1e-8).sum()
+        assert hard <= r.n_outliers <= soft
+        assert r.n_vectors == len(sub)
