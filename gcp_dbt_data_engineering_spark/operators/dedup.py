@@ -1104,15 +1104,15 @@ r{k + 1} AS (
 #: components are tiny; the Spark side is the scalable path.
 ORACLE_CLUSTER_COMPONENTS = f"""
 WITH RECURSIVE {_sql_shingle_cte()},
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b
   FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
   WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs),
@@ -1128,15 +1128,15 @@ FROM comp GROUP BY component_id
 
 ORACLE_KEEP_BEST = f"""
 WITH RECURSIVE {_sql_shingle_cte()},
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b
   FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
   WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs),
