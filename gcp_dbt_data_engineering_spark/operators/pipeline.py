@@ -1174,6 +1174,161 @@ ORACLE_DSIR = _oracle_dsir()
 
 
 # ---------------------------------------------------------------------------
+# 8b. token-budget selection — keep the best docs within a per-language
+#     token budget, WITHOUT a global sort
+# ---------------------------------------------------------------------------
+
+#: per-language token budget for the selection audit
+BUDGET_TOKENS = 10_000
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality docs per language within a token budget.
+
+    The budget-cut every curation run ends with: rank documents by a
+    quality key (here the distinct-token permille, an exact integer),
+    keep the best until the language's token budget is exhausted.
+    Selection rule: order by (q DESC, doc_id ASC), keep the strict
+    PREFIX that fits — stop at the first doc that would overflow
+    ``BUDGET_TOKENS`` (no greedy skip-and-continue; running sums are
+    monotone, so dropping the tail keeps the rule one window predicate).
+
+    Scalable form — the naive per-language sort window puts a whole
+    language in ONE task, unusable at 100 TB. Instead the plan is the
+    histogram-threshold decomposition (same discipline as the packing
+    family's ``two_phase_prefix_sum``):
+
+    1. per-(lang, q) token histogram — <= 1001 rows per language;
+    2. a tiny window over the HISTOGRAM finds the threshold bucket q*
+       (every bucket above q* is kept whole, map-side);
+    3. only the boundary bucket (lang, q*) runs a doc-level prefix sum,
+       partitioned by (lang, q) — bounded by one quality bucket, not
+       one language.
+
+    Output: per language — docs/tokens kept vs total, the threshold
+    quality, and the budget fill ratio.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"element_at(transform(array({th.words('text', 'spark')}),"
+        " ws -> struct(size(ws) AS n_tok,"
+        " size(array_distinct(ws)) AS n_dist)), 1) AS t",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "t.n_tok AS n_tok",
+        "CASE WHEN t.n_tok = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(t.n_dist AS BIGINT) * 1000 DIV t.n_tok END AS q",
+    )
+    from pyspark.sql.window import Window
+
+    hist = base.groupBy("lang", "q").agg(
+        F.sum("n_tok").alias("bucket_toks"),
+        F.count(F.lit(1)).alias("bucket_docs"),
+    )
+    wh = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist2 = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("bucket_toks").over(wh), F.lit(0))
+    ).withColumn(
+        "bucket_state",
+        F.when(
+            F.col("cum_before") + F.col("bucket_toks")
+            <= F.lit(BUDGET_TOKENS),
+            F.lit("full"),
+        )
+        .when(F.col("cum_before") < F.lit(BUDGET_TOKENS), F.lit("boundary"))
+        .otherwise(F.lit("out")),
+    )
+    staged = base.join(
+        F.broadcast(
+            hist2.select("lang", "q", "bucket_state", "cum_before")
+        ),
+        ["lang", "q"],
+    )
+    wb = (
+        Window.partitionBy("lang", "q")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = staged.withColumn(
+        "keep",
+        F.when(F.col("bucket_state") == "full", F.lit(True)).when(
+            (F.col("bucket_state") == "boundary")
+            & (
+                F.col("cum_before") + F.sum("n_tok").over(wb)
+                <= F.lit(BUDGET_TOKENS)
+            ),
+            F.lit(True),
+        ).otherwise(F.lit(False)),
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+        F.min(F.when(F.col("keep"), F.col("q"))).alias("q_threshold"),
+    ).withColumn(
+        "fill_ratio",
+        F.col("tokens_kept").cast("double") / F.lit(float(BUDGET_TOKENS)),
+    )
+
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, lang, len(ws) AS n_tok,
+         CASE WHEN len(ws) = 0 THEN 0
+              ELSE CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                   // len(ws) END AS q
+  FROM (SELECT doc_id, lang, {th.words('text', 'duck')} AS ws
+        FROM documents)),
+hist AS (
+  SELECT lang, q, SUM(n_tok) AS bucket_toks
+  FROM base GROUP BY lang, q),
+hist2 AS (
+  SELECT lang, q,
+         COALESCE(SUM(bucket_toks) OVER (PARTITION BY lang ORDER BY q DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         bucket_toks
+  FROM hist),
+states AS (
+  SELECT lang, q, cum_before,
+         CASE WHEN cum_before + bucket_toks <= {BUDGET_TOKENS} THEN 'full'
+              WHEN cum_before < {BUDGET_TOKENS} THEN 'boundary'
+              ELSE 'out' END AS bucket_state
+  FROM hist2),
+kept AS (
+  SELECT b.lang, b.n_tok, b.q,
+         CASE WHEN s.bucket_state = 'full' THEN TRUE
+              WHEN s.bucket_state = 'boundary'
+                   AND s.cum_before + SUM(b.n_tok) OVER (
+                         PARTITION BY b.lang, b.q ORDER BY b.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       <= {BUDGET_TOKENS} THEN TRUE
+              ELSE FALSE END AS keep
+  FROM base b JOIN states s USING (lang, q))
+SELECT lang,
+       COUNT(*) AS docs_total,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       MIN(CASE WHEN keep THEN q END) AS q_threshold,
+       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS DOUBLE)
+         / {float(BUDGET_TOKENS)!r} AS fill_ratio
+FROM kept GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. end-to-end curation funnel — quality → dedup → decontam → sample
 # ---------------------------------------------------------------------------
 
@@ -1378,6 +1533,13 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_CURATE,
             "end-to-end curation funnel: quality -> dedup -> decontam "
             "-> sample, one lazy plan",
+        ),
+        QuerySpec(
+            "token_budget_select",
+            token_budget_select,
+            ORACLE_TOKEN_BUDGET,
+            "per-language token-budget selection via histogram "
+            "threshold + boundary-bucket prefix sum (no global sort)",
         ),
     ]
 }

@@ -215,3 +215,45 @@ def test_repeated_spans_oracle_and_boundaries(spark):
     assert r.n_spans == 2
     # each doc's span covers exactly the planted run (SPAN_L + 5 tokens)
     assert r.dup_tokens == 2 * (SPAN_L + 5)
+
+
+def test_token_budget_select_matches_greedy_prefix(spark):
+    """Oracle twin plus ground truth: the histogram-threshold plan must
+    reproduce the naive greedy prefix of the (q DESC, doc_id ASC)
+    order exactly, per language."""
+    import pandas as pd
+    import re as _re
+
+    from gcp_dbt_data_engineering_spark.operators.pipeline import (
+        BUDGET_TOKENS,
+        SPECS as PS,
+    )
+
+    spec = PS["token_budget_select"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = {r.lang: r for r in spec.spark(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = pdf.text.str.lower().map(
+        lambda t: _re.findall(r"[a-z0-9]+", t)
+    )
+    pdf["n_tok"] = toks.map(len)
+    pdf["q"] = [
+        (len(set(ws)) * 1000) // len(ws) if ws else 0 for ws in toks
+    ]
+    for lang, grp in pdf.groupby("lang"):
+        g = grp.sort_values(["q", "doc_id"], ascending=[False, True])
+        # the operator's rule is a strict PREFIX: stop at the first
+        # doc that would overflow (not greedy-skip)
+        cum = 0
+        kept_docs = kept_toks = 0
+        for _, r in g.iterrows():
+            if cum + r.n_tok > BUDGET_TOKENS:
+                break
+            cum += r.n_tok
+            kept_docs += 1
+            kept_toks += r.n_tok
+        out = rows[lang]
+        assert (out.docs_kept, out.tokens_kept) == (kept_docs, kept_toks)
+        assert out.docs_total == len(grp)
