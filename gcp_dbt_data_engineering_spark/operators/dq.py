@@ -1215,7 +1215,133 @@ ORACLE_REFERENTIAL = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — sequential change detection over daily volume
+# ---------------------------------------------------------------------------
+
+#: CUSUM slack and alarm threshold, in permille of the period mean.
+#: Daily counts are Poisson-ish (sigma ~ 40 % of mean at sf0.01), so
+#: the textbook k = 0.5*sigma, h = 4-5*sigma lands near 250/2000 pm —
+#: a sparse alarm profile (3 alarms / 2399 days at sf0.01) instead of
+#: a statistic that wanders over a tiny h on every run of noise.
+_CUSUM_K_PM = 250   # k = 25 % of mean (~0.6 sigma)
+_CUSUM_H_PM = 2000  # h = 200 % of mean (~5 sigma)
+
+
+def dq_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection over daily order volume.
+
+    The sequential sibling of the z-score/MAD point-anomaly specs: a
+    run of small same-sign deviations that never trips a per-day
+    threshold accumulates in the CUSUM statistic, which is how
+    monitoring detects slow drifts. The max(0, S + z - k) recurrence
+    is not a window aggregate, but its prefix-sum identity is:
+    ``S+_t = U_t - min(0, min_{j<=t} U_j)`` with ``U_t = sum(dev - k)``
+    — one running sum and one running min, both plain windows (the
+    negative side is the mirror image).
+
+    Exactness: all CUSUM state is INTEGER. Deviations scale by
+    1000*N_days (``sdev = 1000*N*n_t - 1000*T`` = 1000*N*(n_t - mean)
+    without ever dividing), so k = 25 % of mean is exactly ``250*T`` and
+    h = 200 % is ``2000*T``. The only floats are the final display
+    normalization — one division per row, same IEEE op both engines.
+
+    Scale posture: the windows run over the per-DAY aggregate (one row
+    per calendar day — cardinality grows with time, not data volume),
+    the same bounded single-partition discipline as the MAD spec.
+    """
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(
+        daily.agg(
+            F.sum("n").alias("__T"), F.count(F.lit(1)).alias("__N")
+        )
+    )
+    scaled = daily.crossJoin(tot).selectExpr(
+        "day",
+        "n",
+        "__T",
+        "__N",
+        "1000 * __N * n - 1000 * __T AS sdev",
+        f"{_CUSUM_K_PM} * __T AS sk",
+        f"{_CUSUM_H_PM} * __T AS sh",
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    runs = scaled.select(
+        "day",
+        "n",
+        "__T",
+        "__N",
+        "sh",
+        F.sum(F.col("sdev") - F.col("sk")).over(w).alias("u"),
+        F.sum(F.col("sdev") + F.col("sk")).over(w).alias("v"),
+    ).select(
+        "day",
+        "n",
+        "__N",
+        "sh",
+        (F.col("u") - F.least(F.lit(0), F.min("u").over(w))).alias(
+            "s_pos"
+        ),
+        (F.greatest(F.lit(0), F.max("v").over(w)) - F.col("v")).alias(
+            "s_neg"
+        ),
+    )
+    return runs.selectExpr(
+        "day",
+        "n",
+        "CAST(s_pos AS DOUBLE) / CAST(1000 * __N AS DOUBLE) AS cusum_pos",
+        "CAST(s_neg AS DOUBLE) / CAST(1000 * __N AS DOUBLE) AS cusum_neg",
+        "s_pos > sh AS alarm_pos",
+        "s_neg > sh AS alarm_neg",
+    )
+
+
+ORACLE_CUSUM = f"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1),
+tot AS (SELECT SUM(n) AS t, COUNT(*) AS nd FROM daily),
+scaled AS (
+  SELECT day, n, t, nd,
+         1000 * nd * n - 1000 * t AS sdev,
+         {_CUSUM_K_PM} * t AS sk,
+         {_CUSUM_H_PM} * t AS sh
+  FROM daily, tot),
+runs AS (
+  SELECT day, n, nd, sh,
+         SUM(sdev - sk) OVER w AS u,
+         SUM(sdev + sk) OVER w AS v
+  FROM scaled
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+cusum AS (
+  SELECT day, n, nd, sh,
+         u - LEAST(0, MIN(u) OVER w) AS s_pos,
+         GREATEST(0, MAX(v) OVER w) - v AS s_neg
+  FROM runs
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+SELECT day, n,
+       CAST(s_pos AS DOUBLE) / CAST(1000 * nd AS DOUBLE) AS cusum_pos,
+       CAST(s_neg AS DOUBLE) / CAST(1000 * nd AS DOUBLE) AS cusum_neg,
+       s_pos > sh AS alarm_pos,
+       s_neg > sh AS alarm_neg
+FROM cusum
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_cusum_drift": QuerySpec(
+        "dq_cusum_drift",
+        dq_cusum_drift,
+        ORACLE_CUSUM,
+        "two-sided integer-exact CUSUM drift detection over daily "
+        "volume (prefix-sum + running-min identity)",
+    ),
     "dq_daily_anomaly_mad": QuerySpec(
         "dq_daily_anomaly_mad",
         dq_daily_anomaly_mad,

@@ -97,3 +97,38 @@ def test_weekly_yaml_equals_dict_config(spark):
     a = DQEngine(spark).run(yaml_cfg, sf_dir=SF)
     b = DQEngine(spark).run(CUSTOMER_DQ_CONFIG, sf_dir=SF)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cusum_drift_oracle_and_reset_identity(spark):
+    """Oracle twin for dq_cusum_drift plus the recurrence identity: the
+    window-based prefix-sum/running-min form must equal the sequential
+    max(0, S + dev -/+ k) recurrence computed in plain Python."""
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        _CUSUM_H_PM,
+        _CUSUM_K_PM,
+        SPECS,
+    )
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["dq_cusum_drift"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = sorted(spec.spark(spark, SF).collect(), key=lambda r: r.day)
+    daily = [(r.day, r.n) for r in rows]
+    T = sum(n for _, n in daily)
+    N = len(daily)
+    sk, sh = _CUSUM_K_PM * T, _CUSUM_H_PM * T
+    sp = sn = 0
+    for (day, n), r in zip(daily, rows):
+        sdev = 1000 * N * n - 1000 * T
+        sp = max(0, sp + sdev - sk)
+        sn = max(0, sn - sdev - sk)
+        assert abs(r.cusum_pos - sp / (1000.0 * N)) < 1e-9, day
+        assert abs(r.cusum_neg - sn / (1000.0 * N)) < 1e-9, day
+        assert r.alarm_pos == (sp > sh)
+        assert r.alarm_neg == (sn > sh)
+    # the profile is discriminating: some but not most days alarm
+    n_alarms = sum(1 for r in rows if r.alarm_pos or r.alarm_neg)
+    assert 0 < n_alarms < len(rows) // 10
