@@ -1334,7 +1334,104 @@ FROM cusum
 """
 
 
+# ---------------------------------------------------------------------------
+# PSI drift — population stability index between two epochs
+# ---------------------------------------------------------------------------
+
+#: epoch boundary and fixed bucket width for the PSI audit
+_PSI_EPOCH = "1998-01-01"
+_PSI_BUCKET_W = 50_000.0
+_PSI_B = 10  # smoothing denominator (add-one over ~10 buckets)
+
+
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order value, epoch vs epoch.
+
+    THE production data-drift metric: bucket the metric, compare the
+    reference-epoch distribution p to the current-epoch distribution q,
+    sum ``(p - q) * ln(p / q)`` (add-one smoothed). PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 action. Output: one row per bucket with
+    its PSI term, so the alarm (the sum) AND the blame (which buckets
+    moved) are both visible.
+
+    Exactness: buckets are ``floor(price / W)`` (one IEEE divide +
+    floor, identical both engines); counts are exact ints; the log
+    rides ONE ``ln`` over a ratio of exact BIGINT cross-products
+    rounded through DECIMAL(28,9) (the LM-scoring recipe), and
+    ``p - q`` is the exact integer cross-difference over an exact
+    integer denominator — the only per-row float ops are the final
+    fixed-order multiply/divide.
+
+    Scale posture: one conditional aggregate per bucket (map-side
+    partials, <= ~10 groups), totals as a broadcast 1-row relation —
+    scan-bound at any corpus size.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    marked = od.selectExpr(
+        f"CAST(floor(o_totalprice / {_PSI_BUCKET_W!r}) AS BIGINT)"
+        " AS bucket",
+        f"o_orderdate < TIMESTAMP '{_PSI_EPOCH}' AS is_ref",
+    )
+    per_bucket = marked.groupBy("bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = F.broadcast(
+        per_bucket.agg(
+            F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+        )
+    )
+    return per_bucket.crossJoin(totals).selectExpr(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "CAST("
+        "  CAST((n_ref + 1) * (__tc + " f"{_PSI_B}) AS DECIMAL(38,0))"
+        "  - CAST((n_cur + 1) * (__tr + " f"{_PSI_B}) AS DECIMAL(38,0))"
+        "  AS DOUBLE)"
+        f" / CAST(CAST(__tr + {_PSI_B} AS DECIMAL(38,0))"
+        f"        * CAST(__tc + {_PSI_B} AS DECIMAL(38,0)) AS DOUBLE)"
+        " * CAST(CAST(ln("
+        f"   CAST((n_ref + 1) * (__tc + {_PSI_B}) AS DOUBLE)"
+        f" / CAST((n_cur + 1) * (__tr + {_PSI_B}) AS DOUBLE)"
+        ") AS DECIMAL(28,9)) AS DOUBLE) AS psi_term",
+    )
+
+
+ORACLE_PSI = f"""
+WITH marked AS (
+  SELECT CAST(floor(o_totalprice / {_PSI_BUCKET_W!r}) AS BIGINT)
+           AS bucket,
+         o_orderdate < TIMESTAMP '{_PSI_EPOCH}' AS is_ref
+  FROM orders),
+per_bucket AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM marked GROUP BY bucket),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM per_bucket)
+SELECT bucket, n_ref, n_cur,
+       CAST(CAST((n_ref + 1) * (tc + {_PSI_B}) AS DECIMAL(38,0))
+            - CAST((n_cur + 1) * (tr + {_PSI_B}) AS DECIMAL(38,0))
+            AS DOUBLE)
+         / CAST(CAST(tr + {_PSI_B} AS DECIMAL(38,0))
+                * CAST(tc + {_PSI_B} AS DECIMAL(38,0)) AS DOUBLE)
+         * CAST(CAST(ln(
+             CAST((n_ref + 1) * (tc + {_PSI_B}) AS DOUBLE)
+           / CAST((n_cur + 1) * (tr + {_PSI_B}) AS DOUBLE)
+           ) AS DECIMAL(28,9)) AS DOUBLE) AS psi_term
+FROM per_bucket, tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_psi_drift": QuerySpec(
+        "dq_psi_drift",
+        dq_psi_drift,
+        ORACLE_PSI,
+        "population stability index per value bucket, epoch vs epoch "
+        "(exact-int cross-products, one rounded ln)",
+    ),
     "dq_cusum_drift": QuerySpec(
         "dq_cusum_drift",
         dq_cusum_drift,

@@ -132,3 +132,65 @@ def test_cusum_drift_oracle_and_reset_identity(spark):
     # the profile is discriminating: some but not most days alarm
     n_alarms = sum(1 for r in rows if r.alarm_pos or r.alarm_neg)
     assert 0 < n_alarms < len(rows) // 10
+
+
+def test_psi_drift_oracle_and_injected_drift(spark):
+    """Oracle twin for dq_psi_drift; numpy ground truth; and a positive
+    control: skewing the current epoch toward high prices must push
+    PSI from 'stable' (<0.1) to 'action' (>0.25)."""
+    import math
+
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        _PSI_B,
+        _PSI_BUCKET_W,
+        _PSI_EPOCH,
+        SPECS,
+        dq_psi_drift,
+    )
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["dq_psi_drift"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    psi = sum(r.psi_term for r in rows)
+
+    # numpy/pandas ground truth
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    pdf["bucket"] = (pdf.o_totalprice / _PSI_BUCKET_W).apply(math.floor)
+    ref = pdf[pdf.o_orderdate < _PSI_EPOCH].groupby("bucket").size()
+    cur = pdf[pdf.o_orderdate >= _PSI_EPOCH].groupby("bucket").size()
+    tr, tc = ref.sum(), cur.sum()
+    truth = 0.0
+    for b in sorted(set(ref.index) | set(cur.index)):
+        p = (ref.get(b, 0) + 1) / (tr + _PSI_B)
+        q = (cur.get(b, 0) + 1) / (tc + _PSI_B)
+        truth += (p - q) * math.log(p / q)
+    assert abs(psi - truth) < 1e-6
+    assert psi < 0.1  # synthetic epochs are stationary
+
+    # positive control: current epoch drifts to the top half of prices
+    import gcp_dbt_data_engineering_spark.operators.dq as DQ
+    import pyspark.sql.functions as F
+
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    drifted = od.filter(
+        (F.col("o_orderdate") < F.lit(_PSI_EPOCH).cast("timestamp"))
+        | (F.col("o_totalprice") > 250_000)
+    )
+    drifted.createOrReplaceTempView("__psi_drifted")
+    orig = DQ.load_table
+    try:
+        DQ.load_table = lambda sp, sf, t: (
+            sp.table("__psi_drifted") if t == "orders" else orig(sp, sf, t)
+        )
+        drifted_psi = sum(
+            r.psi_term for r in dq_psi_drift(spark, SF).collect()
+        )
+    finally:
+        DQ.load_table = orig
+    assert drifted_psi > 0.25
