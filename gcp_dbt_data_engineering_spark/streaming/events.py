@@ -865,6 +865,113 @@ def run_bloom_word_stream(
     return spark.table(query_name)
 
 
+def _cusum_update(key, pdfs, state):
+    """Per-key CUSUM state transition: accumulate per-day counts across
+    micro-batches, re-emit the full two-sided CUSUM series each
+    trigger. State is the (days, counts) vectors — bounded by calendar
+    days, not data volume — so the detector's output after any prefix
+    of micro-batches is exactly the batch CUSUM over the data seen so
+    far."""
+    import pandas as pd
+
+    days, ns = ([], []) if not state.exists else (
+        list(state.get[0]), list(state.get[1])
+    )
+    acc = dict(zip(days, ns))
+    for pdf in pdfs:
+        for day, cnt in pdf.groupby("day").size().items():
+            acc[day] = acc.get(day, 0) + int(cnt)
+    days = sorted(acc)
+    ns = [acc[d] for d in days]
+    state.update((days, ns))
+
+    # same integer-exact math as operators.dq.dq_cusum_drift
+    from ..operators.dq import _CUSUM_H_PM, _CUSUM_K_PM
+
+    T, N = sum(ns), len(ns)
+    sk, sh = _CUSUM_K_PM * T, _CUSUM_H_PM * T
+    u = v = 0
+    min_u = max_v = 0
+    out = []
+    for d, n in zip(days, ns):
+        sdev = 1000 * N * n - 1000 * T
+        u += sdev - sk
+        v += sdev + sk
+        # running min/max INCLUDE the current prefix (the batch windows
+        # run unboundedPreceding..currentRow): if U_t is the minimum,
+        # S+_t is exactly 0
+        min_u = min(min_u, u)
+        max_v = max(max_v, v)
+        s_pos = u - min(0, min_u)
+        s_neg = max(0, max_v) - v
+        out.append(
+            (
+                d,
+                n,
+                float(s_pos) / float(1000 * N),
+                float(s_neg) / float(1000 * N),
+                s_pos > sh,
+                s_neg > sh,
+            )
+        )
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "day",
+            "n",
+            "cusum_pos",
+            "cusum_neg",
+            "alarm_pos",
+            "alarm_neg",
+        ],
+    )
+
+
+def run_cusum_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "cusum_stream"
+) -> DataFrame:
+    """Two-sided CUSUM drift detection as a stateful stream.
+
+    The monitoring deployment of ``dq_cusum_drift``: the detector runs
+    INSIDE the stream via ``applyInPandasWithState`` (the seam the
+    user-totals stream documents for exactly this), keyed by the
+    metric identity, holding the bounded per-day count vectors as
+    state and re-emitting the full CUSUM series each trigger ('update'
+    mode). Running min/max are maintained in the same sequential
+    recurrence the batch spec expresses as windows, so stream output
+    == batch output exactly (test_streaming.py pins it over the events
+    daily series).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        _event_stream(spark, sf_dir)
+        .select(
+            F.lit("events_daily").alias("metric"),
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+    )
+    out = stream.groupBy("metric").applyInPandasWithState(
+        _cusum_update,
+        outputStructType=(
+            "day string, n bigint, cusum_pos double, cusum_neg double,"
+            " alarm_pos boolean, alarm_neg boolean"
+        ),
+        stateStructType="days array<string>, ns array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (

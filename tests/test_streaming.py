@@ -357,3 +357,47 @@ def test_stateful_checkpoint_kill_and_resume(spark, tmp_path):
     # user 2 untouched by batch 2 → NOT re-emitted (proves f1 was not
     # reprocessed after the restart)
     assert run2 == {1: (3, 115.0), 3: (1, 1.0)}
+
+
+def test_cusum_stream_equals_batch_recurrence(spark):
+    """The stateful CUSUM stream must emit exactly the batch recurrence
+    over the events daily series (single-micro-batch fixture)."""
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        _CUSUM_H_PM,
+        _CUSUM_K_PM,
+    )
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_cusum_stream,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r.day: r for r in run_cusum_stream(spark, SF, "cusum_s1").collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    daily = sorted(
+        (r.day, r.n)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.col("ts").cast("timestamp").cast("date")
+                .cast("string").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    T = sum(n for _, n in daily)
+    N = len(daily)
+    sk, sh = _CUSUM_K_PM * T, _CUSUM_H_PM * T
+    sp = sn = 0
+    assert len(got) == N
+    for day, n in daily:
+        sdev = 1000 * N * n - 1000 * T
+        sp = max(0, sp + sdev - sk)
+        sn = max(0, sn - sdev - sk)
+        r = got[day]
+        assert r.n == n
+        assert r.cusum_pos == sp / float(1000 * N)
+        assert r.cusum_neg == sn / float(1000 * N)
+        assert r.alarm_pos == (sp > sh)
+        assert r.alarm_neg == (sn > sh)
