@@ -43,6 +43,21 @@ BUDGETS = {
     # count-agg exchange per key column) instead of a global row_number
     # window — two more exchanges per key, zero single-task sorts
     "events_key_skew_stats": (8, 0),  # 1-row topk attaches as BNLJ, not BHJ
+    # round-6 waves: both bucket LMs broadcast, final top-K is a
+    # TakeOrdered (asserted below), never a global sort
+    "dsir_importance_selection": (16, 2),
+    # centroid dim broadcasts; scoring map-side
+    "embeddings_outlier_audit": (7, 2),
+    # histogram threshold broadcasts; boundary window keys (lang, q)
+    "token_budget_select": (8, 1),
+    # df-filter joins on the 8-byte hash; per-doc island windows
+    "dedup_repeated_spans": (9, 1),
+    # one tokenizer projection + dedup-hash window + lang agg, no joins
+    "curate_corpus_funnel": (4, 0),
+    # <=10-bucket conditional agg + broadcast totals
+    "dq_psi_drift": (5, 0),
+    # one user-partition carrying all three stage minima
+    "events_sequential_funnel": (3, 0),
 }
 
 
@@ -155,3 +170,10 @@ def test_stats_informed_join_flips_broadcast_decision(spark):
         assert "SortMergeJoin" in still
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dsir_topk_is_takeordered(spark):
+    """DSIR's final top-K must be a TakeOrderedAndProject (distributed
+    partial top-K), never a global Sort + Limit."""
+    p = _plan(spark, "dsir_importance_selection")
+    assert "TakeOrderedAndProject" in p
