@@ -989,9 +989,158 @@ FROM verdicts GROUP BY source, verdict
 """
 
 
+# ---------------------------------------------------------------------------
+# RAKE-lite keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+#: phrase delimiters = the union of the per-language stopword lexicons
+_RAKE_STOPS = tuple(sorted({w for ws in LEXICONS.values() for w in ws}))
+RAKE_TOP_K = 20
+RAKE_MAX_PHRASE = 4  # classic RAKE caps candidate length
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords via RAKE (Rapid Automatic Keyword Extraction).
+
+    The classic unsupervised keyword extractor: candidate phrases are
+    maximal stopword-free token runs; each word scores
+    ``degree/frequency`` (degree = total length of phrases containing
+    it, with multiplicity); a phrase scores the sum of its member-word
+    scores. Output: the global top-``RAKE_TOP_K`` phrases of at most
+    ``RAKE_MAX_PHRASE`` words (the classic cap — without it, sparse
+    stopwords make near-whole documents "phrases") by score, ties by
+    phrase text, with occurrence counts. Word statistics still count
+    EVERY phrase (degree/frequency are corpus properties); only the
+    emitted candidates are capped.
+
+    Determinism: phrase segmentation is the islands trick (a running
+    stopword count per doc assigns phrase ids — one bounded per-doc
+    window); word scores are ONE double division of exact integers
+    rounded through DECIMAL(28,9); phrase scores are decimal sums; the
+    final top-K is TakeOrdered on (score DESC, phrase).
+
+    Shape (100 TB): tokenize once map-side; one per-doc window for
+    segmentation + phrase length; the word-stats relation is
+    vocabulary-sized and BROADCASTS back onto the member stream; the
+    phrase rollup shuffles on the 8-byte-ish phrase text only after
+    per-phrase aggregation. No driver-side text processing.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    toks = docs.selectExpr(
+        "doc_id", f"posexplode({th.words('text', 'spark')}) AS (pos, w)"
+    ).selectExpr("doc_id", "pos", "w", f"w IN ({stops}) AS is_stop")
+    from pyspark.sql.window import Window
+
+    byd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    members = (
+        toks.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("long")).over(byd)
+        )
+        .filter(~F.col("is_stop"))
+        .withColumn(
+            "plen",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("doc_id", "phrase_id")
+            ),
+        )
+    )
+    word_scores = F.broadcast(
+        members.groupBy("w").agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        ).selectExpr(
+            "w",
+            "CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)"
+            " AS DECIMAL(28,9)) AS wscore",
+        )
+    )
+    phrases = (
+        members.filter(F.col("plen") <= RAKE_MAX_PHRASE)
+        .join(word_scores, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(struct(pos, w))), s -> s.w))"
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wscore").alias("pscore"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("pscore").alias("pscore"),
+        )
+        .selectExpr(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "CAST(pscore AS DOUBLE) AS score",
+        )
+        .orderBy(F.col("pscore").desc(), F.col("phrase"))
+        .limit(RAKE_TOP_K)
+        .drop()
+    )
+
+
+def _oracle_rake() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos - 1 AS pos, w, w IN ({stops}) AS is_stop
+  FROM (SELECT doc_id, unnest({th.words('text', 'duck')}) AS w,
+               generate_subscripts({th.words('text', 'duck')}, 1) AS pos
+        FROM documents)),
+numbered AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM toks),
+members AS (
+  SELECT doc_id, phrase_id, pos, w,
+         COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+  FROM numbered WHERE NOT is_stop),
+word_scores AS (
+  SELECT w, CAST(CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS DECIMAL(28,9)) AS wscore
+  FROM members GROUP BY w),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS n_words,
+         CAST(SUM(wscore) AS DECIMAL(38,9)) AS pscore
+  FROM members JOIN word_scores USING (w)
+  WHERE plen <= {RAKE_MAX_PHRASE}
+  GROUP BY doc_id, phrase_id)
+SELECT phrase,
+       CAST(MIN(n_words) AS BIGINT) AS n_words,
+       COUNT(*) AS n_occurrences,
+       CAST(MAX(pscore) AS DOUBLE) AS score
+FROM phrases
+GROUP BY phrase
+ORDER BY MAX(pscore) DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
+ORACLE_RAKE = _oracle_rake()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
+        QuerySpec(
+            "text_rake_keywords", text_rake_keywords, ORACLE_RAKE,
+            "RAKE keyword extraction: stopword-delimited phrases, "
+            "degree/frequency scores, broadcast word stats",
+        ),
         QuerySpec(
             "text_unigram_logprob", text_unigram_logprob, ORACLE_UNIGRAM,
             "mean unigram ln-prob per doc (perplexity-proxy quality)",
