@@ -1341,7 +1341,6 @@ FROM cusum
 #: epoch boundary and fixed bucket width for the PSI audit
 _PSI_EPOCH = "1998-01-01"
 _PSI_BUCKET_W = 50_000.0
-_PSI_B = 10  # smoothing denominator (add-one over ~10 buckets)
 
 
 def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,9 +1375,14 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
         F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
     )
+    # add-one smoothing: +1 per bucket in each numerator, so the
+    # totals gain the ACTUAL bucket count (ADVICE r6: a fixed +10 was
+    # only a proper distribution when exactly 10 buckets materialize)
     totals = F.broadcast(
         per_bucket.agg(
-            F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+            F.sum("n_ref").alias("__tr"),
+            F.sum("n_cur").alias("__tc"),
+            F.count(F.lit(1)).alias("__nb"),
         )
     )
     return per_bucket.crossJoin(totals).selectExpr(
@@ -1386,14 +1390,14 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ref",
         "n_cur",
         "CAST("
-        "  CAST((n_ref + 1) * (__tc + " f"{_PSI_B}) AS DECIMAL(38,0))"
-        "  - CAST((n_cur + 1) * (__tr + " f"{_PSI_B}) AS DECIMAL(38,0))"
+        "  CAST((n_ref + 1) * (__tc + __nb) AS DECIMAL(38,0))"
+        "  - CAST((n_cur + 1) * (__tr + __nb) AS DECIMAL(38,0))"
         "  AS DOUBLE)"
-        f" / CAST(CAST(__tr + {_PSI_B} AS DECIMAL(38,0))"
-        f"        * CAST(__tc + {_PSI_B} AS DECIMAL(38,0)) AS DOUBLE)"
+        " / CAST(CAST(__tr + __nb AS DECIMAL(38,0))"
+        "        * CAST(__tc + __nb AS DECIMAL(38,0)) AS DOUBLE)"
         " * CAST(CAST(ln("
-        f"   CAST((n_ref + 1) * (__tc + {_PSI_B}) AS DOUBLE)"
-        f" / CAST((n_cur + 1) * (__tr + {_PSI_B}) AS DOUBLE)"
+        "   CAST((n_ref + 1) * (__tc + __nb) AS DOUBLE)"
+        " / CAST((n_cur + 1) * (__tr + __nb) AS DOUBLE)"
         ") AS DECIMAL(28,9)) AS DOUBLE) AS psi_term",
     )
 
@@ -1409,16 +1413,17 @@ per_bucket AS (
          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
          CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
   FROM marked GROUP BY bucket),
-tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM per_bucket)
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+               COUNT(*) AS nb FROM per_bucket)
 SELECT bucket, n_ref, n_cur,
-       CAST(CAST((n_ref + 1) * (tc + {_PSI_B}) AS DECIMAL(38,0))
-            - CAST((n_cur + 1) * (tr + {_PSI_B}) AS DECIMAL(38,0))
+       CAST(CAST((n_ref + 1) * (tc + nb) AS DECIMAL(38,0))
+            - CAST((n_cur + 1) * (tr + nb) AS DECIMAL(38,0))
             AS DOUBLE)
-         / CAST(CAST(tr + {_PSI_B} AS DECIMAL(38,0))
-                * CAST(tc + {_PSI_B} AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(tr + nb AS DECIMAL(38,0))
+                * CAST(tc + nb AS DECIMAL(38,0)) AS DOUBLE)
          * CAST(CAST(ln(
-             CAST((n_ref + 1) * (tc + {_PSI_B}) AS DOUBLE)
-           / CAST((n_cur + 1) * (tr + {_PSI_B}) AS DOUBLE)
+             CAST((n_ref + 1) * (tc + nb) AS DOUBLE)
+           / CAST((n_cur + 1) * (tr + nb) AS DOUBLE)
            ) AS DECIMAL(28,9)) AS DOUBLE) AS psi_term
 FROM per_bucket, tot
 """

@@ -95,6 +95,39 @@ def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
     return out
 
 
+def _split_args_quote_aware(argtext: str) -> list[str]:
+    """Split a macro-call argument list on commas OUTSIDE string
+    literals (ADVICE r6: a bare ``split(',')`` fragments
+    ``inner('a, b')`` into pieces that no longer parse as literals,
+    defeating the literal protection). Tracks ''/"" quote state with
+    SQL-style doubled-quote escapes; segments are returned verbatim
+    (whitespace preserved) so a comma-join reassembles the original."""
+    parts, buf, quote = [], [], None
+    i, n = 0, len(argtext)
+    while i < n:
+        ch = argtext[i]
+        if quote is None:
+            if ch in "'\"":
+                quote = ch
+                buf.append(ch)
+            elif ch == ",":
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        else:
+            buf.append(ch)
+            if ch == quote:
+                if i + 1 < n and argtext[i + 1] == quote:
+                    buf.append(quote)
+                    i += 1
+                else:
+                    quote = None
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def expand_macros(
     sql: str, macros: dict[str, tuple[list[str], str]], max_depth: int = 10
 ) -> str:
@@ -111,7 +144,11 @@ def expand_macros(
     def sub(m: re.Match) -> str:
         name, argtext = m.group(1), m.group(2)
         params, body = macros[name]
-        args = [a.strip() for a in argtext.split(",")] if argtext.strip() else []
+        args = (
+            [a.strip() for a in _split_args_quote_aware(argtext)]
+            if argtext.strip()
+            else []
+        )
         vals = []
         for a in args:
             if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"":
@@ -128,8 +165,9 @@ def expand_macros(
         # of calls to known macros — never in other {{ ... }}
         # expressions (a param named `x` must not rewrite
         # `{{ ref('x') }}`) and never inside string-literal arguments
-        # (ADVICE r5). Argument split is a plain comma split, enough
-        # for the positional text macros this layer supports.
+        # (ADVICE r5). Argument split is quote-aware (ADVICE r6): a
+        # comma inside '...'/"..." belongs to the literal, not the
+        # arg list, so inner('a, b') stays ONE literal argument.
         def in_calls(m2: re.Match) -> str:
             seg = m2.group(0)
             call = re.match(
@@ -147,7 +185,9 @@ def expand_macros(
                     arg = re.sub(r"\b" + re.escape(p) + r"\b", v, arg)
                 return arg
 
-            new_args = ",".join(sub_arg(a) for a in argtext.split(","))
+            new_args = ",".join(
+                sub_arg(a) for a in _split_args_quote_aware(argtext)
+            )
             return "{{ " + inner + "(" + new_args + ") }}"
 
         return re.sub(r"\{\{[^}]+\}\}", in_calls, rendered)
@@ -475,6 +515,19 @@ class ModelGraph:
             out[name] = df
         return out
 
+    def _seeds_for(self, selected: set[str]) -> set[str]:
+        """Seeds that must be LOADED for this selection: the selected
+        seed nodes plus the direct seed dependencies of every selected
+        model (ADVICE r6: ``--select model_x`` where model_x refs a
+        seed must not fail in a fresh session just because the seed
+        node itself wasn't selected — dbt can assume a persistent
+        warehouse; this engine's temp views are per-session)."""
+        needed = {s for s in self.seeds if s in selected}
+        for name in selected:
+            if name in self.models:
+                needed |= set(self.models[name].refs) & set(self.seeds)
+        return needed
+
     def clean(self) -> None:
         """``dbt clean``: drop the target and warehouse artifacts."""
         import shutil
@@ -641,7 +694,12 @@ class ModelGraph:
         selected = self.select_nodes(select, exclude)
 
         if self.seeds:
-            out.update(self.seed(spark, names=selected))
+            loaded = self.seed(spark, names=self._seeds_for(selected))
+            # only SELECTED seeds count as run nodes; dependency seeds
+            # are registered (views exist for refs) but not reported
+            out.update(
+                {n: df for n, df in loaded.items() if n in selected}
+            )
 
         def resolve(n: str) -> str:
             return f"({ephemeral[n]})" if n in ephemeral else n
@@ -916,8 +974,9 @@ class ModelGraph:
         selected = self.select_nodes(select, exclude)
         tests = schema_tests or {}
 
+        needed_seeds = self._seeds_for(selected)
         for name, path in sorted(self.seeds.items()):
-            if name not in selected:
+            if name not in needed_seeds:
                 continue
             try:
                 schema = self.seed_schemas.get(name)
@@ -931,16 +990,18 @@ class ModelGraph:
                 wpath = f"{self.warehouse_dir}/{name}"
                 df.write.mode("overwrite").parquet(wpath)
                 spark.read.parquet(wpath).createOrReplaceTempView(name)
-                results.append(
-                    {"node": name, "kind": "seed", "status": "success",
-                     "detail": None}
-                )
+                if name in selected:
+                    results.append(
+                        {"node": name, "kind": "seed",
+                         "status": "success", "detail": None}
+                    )
             except Exception as exc:  # noqa: BLE001 - per-node isolation
                 failed.add(name)
-                results.append(
-                    {"node": name, "kind": "seed", "status": "error",
-                     "detail": str(exc)[:300]}
-                )
+                if name in selected:
+                    results.append(
+                        {"node": name, "kind": "seed", "status": "error",
+                         "detail": str(exc)[:300]}
+                    )
 
         ephemeral: dict[str, str] = {}
 

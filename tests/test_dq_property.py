@@ -143,7 +143,6 @@ def test_psi_drift_oracle_and_injected_drift(spark):
     import pandas as pd
 
     from gcp_dbt_data_engineering_spark.operators.dq import (
-        _PSI_B,
         _PSI_BUCKET_W,
         _PSI_EPOCH,
         SPECS,
@@ -165,10 +164,12 @@ def test_psi_drift_oracle_and_injected_drift(spark):
     ref = pdf[pdf.o_orderdate < _PSI_EPOCH].groupby("bucket").size()
     cur = pdf[pdf.o_orderdate >= _PSI_EPOCH].groupby("bucket").size()
     tr, tc = ref.sum(), cur.sum()
+    buckets = sorted(set(ref.index) | set(cur.index))
+    nb = len(buckets)  # smoothing totals track the ACTUAL bucket count
     truth = 0.0
-    for b in sorted(set(ref.index) | set(cur.index)):
-        p = (ref.get(b, 0) + 1) / (tr + _PSI_B)
-        q = (cur.get(b, 0) + 1) / (tc + _PSI_B)
+    for b in buckets:
+        p = (ref.get(b, 0) + 1) / (tr + nb)
+        q = (cur.get(b, 0) + 1) / (tc + nb)
         truth += (p - q) * math.log(p / q)
     assert abs(psi - truth) < 1e-6
     assert psi < 0.1  # synthetic epochs are stationary

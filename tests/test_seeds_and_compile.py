@@ -379,6 +379,76 @@ def test_macro_param_does_not_rewrite_ref_targets():
     assert "'x fixed'" in out  # literal arg untouched
 
 
+def test_macro_literal_args_with_commas_stay_whole():
+    """ADVICE r6: a string-literal argument containing a comma must
+    not be fragmented by the arg-list split — it is ONE literal, at a
+    top-level call and inside nested-call substitution alike."""
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        _split_args_quote_aware,
+        expand_macros,
+        parse_macros,
+    )
+
+    assert _split_args_quote_aware("'a, b', c") == ["'a, b'", " c"]
+    assert _split_args_quote_aware('x, "p, q", y') == [
+        "x", ' "p, q"', " y",
+    ]
+    # SQL-style doubled-quote escape stays inside the literal
+    assert _split_args_quote_aware("'it''s, fine', z") == [
+        "'it''s, fine'", " z",
+    ]
+
+    macros = parse_macros(
+        "{% macro outer(c) %}"
+        "select {{ inner(c, 'a, c') }}"
+        "{% endmacro %}\n"
+        "{% macro inner(col, lit) %}{{ col }} || {{ lit }}{% endmacro %}"
+    )
+    out = expand_macros("{{ outer(k) }}", macros)
+    # param substituted positionally; the comma-bearing literal intact
+    # (Jinja renders the literal's VALUE at the call site)
+    assert out == "select k || a, c"
+
+    # top-level call: one literal arg with a comma is ONE argument
+    macros2 = parse_macros(
+        "{% macro fmt(s) %}format('{{ s }}'){% endmacro %}"
+    )
+    assert expand_macros("{{ fmt('x, y') }}", macros2) == "format('x, y')"
+
+
+def test_selected_model_pulls_its_seed_dependency(spark, tmp_path):
+    """ADVICE r6: in a fresh session, --select model_x (no '+') where
+    model_x refs a seed must still register the seed view; the seed is
+    loaded but NOT reported as a run/built node."""
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    (seed_dir / "rates.csv").write_text("k,rate\na,1\nb,2\n")
+    (seed_dir / "labels.csv").write_text("k,label\na,x\nb,y\n")
+    wh = tmp_path / "wh"
+    g = ModelGraph(
+        {"uses_rates": "select sum(rate) as s from {{ ref('rates') }}"},
+        seeds={
+            "rates": str(seed_dir / "rates.csv"),
+            "labels": str(seed_dir / "labels.csv"),
+        },
+        seed_schemas={
+            "rates": "k string, rate bigint",
+            "labels": "k string, label string",
+        },
+        warehouse_dir=str(wh),
+    )
+    spark.sql("DROP VIEW IF EXISTS rates")
+    out = g.run(spark, select="uses_rates")
+    assert sorted(out) == ["uses_rates"]  # seed loaded, not reported
+    assert out["uses_rates"].collect()[0].s == 3
+    assert not (wh / "labels").exists()  # unrelated seed untouched
+    # build(): same — seed registered, status rows only for selected
+    spark.sql("DROP VIEW IF EXISTS rates")
+    res = g.build(spark, select="uses_rates")
+    assert [r["node"] for r in res] == ["uses_rates"]
+    assert res[0]["status"] == "success"
+
+
 def test_source_resolution_and_unknown_source_errors(spark, tmp_path):
     """{{ source('s','t') }} resolves through sources.yml identifiers;
     an undeclared source is a compile error (dbt parity)."""
