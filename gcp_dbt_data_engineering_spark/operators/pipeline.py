@@ -1450,6 +1450,162 @@ FROM final GROUP BY lang
 ORACLE_CURATE = _oracle_curate()
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — Efraimidis–Spirakis priorities
+# ---------------------------------------------------------------------------
+
+#: sample size for the weighted-priority draw
+ES_K = 100
+
+
+def _es_key_exprs(dialect: str) -> str:
+    """The E-S priority key ``-ln(u) / w`` as portable SQL text.
+
+    u is a deterministic hash-uniform in (0, 1]: affine-rehashed
+    polyhash of the salted doc key, +1, divided by P+1 (ONE double
+    division). The single ``ln`` is rounded through DECIMAL(28,9) —
+    the established cross-engine libm recipe (see text.py LM scoring)
+    — then one more IEEE division by the weight. Smallest key wins:
+    this is the exponential-race formulation (item with weight w
+    "arrives" at Exp(w) time), equivalent to Efraimidis–Spirakis
+    u^(1/w) max-sampling but numerically tamer.
+    """
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    keyed = f"concat('espri', CAST(doc_id AS {cast}))"
+    a, b = th.perm_coeffs(11)
+    h = f"(({a} * ({th.polyhash(keyed, dialect)}) + {b}) % {th.P})"
+    u = f"(CAST(({h}) + 1 AS DOUBLE) / {float(th.P + 1)!r})"
+    return (
+        f"-CAST(CAST(ln({u}) AS DECIMAL(28,9)) AS DOUBLE)"
+        " / CAST(n_chars AS DOUBLE)"
+    )
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k={ES_K}, weight = n_chars
+    (longer documents proportionally likelier — the standard
+    size-weighted corpus draw).
+
+    Efraimidis & Spirakis 2006: assign every item the priority key
+    ``-ln(u)/w`` with u uniform, keep the k smallest. The draw is a
+    distributed one-pass top-k (map-side key + TakeOrdered partial
+    top-k per partition, driver merges k·partitions candidates) — no
+    global sort, no RNG state, rerun- and repartition-stable, and the
+    same k items fall out of any engine that implements the hash.
+    At 100 TB this is THE way to draw a weighted sample: ``rand()``
+    breaks reproducibility and a weight-proportional global sort is a
+    full shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter("n_chars > 0")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_chars",
+            f"{_es_key_exprs('spark')} AS es_key",
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(ES_K)
+    )
+
+
+ORACLE_WEIGHTED_PRIORITY = f"""
+SELECT doc_id, lang, n_chars,
+       {_es_key_exprs('duck')} AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key, doc_id
+LIMIT {ES_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap — C4/RefinedWeb-style source downsampling
+# ---------------------------------------------------------------------------
+
+#: max documents retained per domain = (source, lang)
+DOMAIN_CAP = 12
+
+
+def domain_cap_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every (source, lang) domain at {DOMAIN_CAP} documents — the web-
+    corpus de-biasing step (C4 kept ≤N pages per domain; RefinedWeb
+    caps per registered domain so link farms can't dominate the mix).
+    Which docs survive is decided by a deterministic hash order (the
+    domain's {DOMAIN_CAP} smallest salted doc hashes), so the kept set
+    is rerun-, partitioning-, and engine-stable — never "first N seen".
+
+    Scale posture: per-source counts are a hash-aggregate; sources at
+    or under the cap keep everything MAP-SIDE (broadcast count join —
+    their rows never shuffle), and only over-cap sources' rows enter
+    the per-source ranking window. At web scale that split carries:
+    the domain count table is millions of rows (broadcastable), and
+    the heavy window runs over the capped minority of rows only. The
+    audit output is one row per source: total, kept, kept chars.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = "concat('domcap', CAST(doc_id AS STRING))"
+    a, b = th.perm_coeffs(13)
+    h = f"(({a} * ({th.polyhash(keyed, 'spark')}) + {b}) % {th.P})"
+    hd = docs.selectExpr(
+        "doc_id", "source", "lang", "n_chars", f"{h} AS h"
+    )
+    counts = hd.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    with_n = hd.join(F.broadcast(counts), ["source", "lang"])
+    small_kept = with_n.filter(F.col("n_docs") <= DOMAIN_CAP)
+    from pyspark.sql.window import Window
+
+    big_kept = (
+        with_n.filter(F.col("n_docs") > DOMAIN_CAP)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "lang").orderBy(
+                    "h", "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .drop("rn")
+    )
+    kept = small_kept.unionByName(big_kept)
+    return (
+        kept.groupBy("source", "lang", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .select("source", "lang", "n_docs", "n_kept", "kept_chars")
+    )
+
+
+def _oracle_domain_cap() -> str:
+    keyed = "concat('domcap', CAST(doc_id AS VARCHAR))"
+    a, b = th.perm_coeffs(13)
+    h = f"(({a} * ({th.polyhash(keyed, 'duck')}) + {b}) % {th.P})"
+    return f"""
+WITH ranked AS (
+  SELECT source, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY {h}, doc_id) AS rn
+  FROM documents)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM ranked
+GROUP BY source, lang
+"""
+
+
+ORACLE_DOMAIN_CAP = _oracle_domain_cap()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -1540,6 +1696,20 @@ SPECS: dict[str, QuerySpec] = {
             ORACLE_TOKEN_BUDGET,
             "per-language token-budget selection via histogram "
             "threshold + boundary-bucket prefix sum (no global sort)",
+        ),
+        QuerySpec(
+            "sample_weighted_priority",
+            sample_weighted_priority,
+            ORACLE_WEIGHTED_PRIORITY,
+            "Efraimidis-Spirakis weighted sample w/o replacement: "
+            "-ln(u)/w priority keys, distributed top-k, no RNG state",
+        ),
+        QuerySpec(
+            "domain_cap_downsample",
+            domain_cap_downsample,
+            ORACLE_DOMAIN_CAP,
+            "C4-style per-domain cap: hash-ordered keep set, under-cap "
+            "domains stay map-side, only over-cap rows shuffle",
         ),
     ]
 }

@@ -17,6 +17,9 @@ detection, quantile tracking):
   Muthukrishnan 2005) vs true counts for the top keys.
 - ``sketch_kmv_distinct_users`` — k-minimum-values (theta-sketch
   ancestor) distinct-count estimate.
+- ``sketch_kmv_set_ops`` — theta-sketch set operations (Dasgupta et
+  al. 2016): |A∪B| / |A∩B| / |A\\B| estimated from two KMV samples
+  under the common θ, no rescan of the raw rows.
 - ``sketch_quantile_hdr_prices`` — HDR-histogram quantile sketch
   (hdrhistogram.org design): bit-length bucketing, relative error
   bounded by 2^-B, merge by per-bucket sum.
@@ -746,6 +749,166 @@ FROM mins
 
 
 # ---------------------------------------------------------------------------
+# Theta-sketch set operations over two KMV samples (orders epochs)
+# ---------------------------------------------------------------------------
+
+#: sample size per set for the set-operation sketches
+KMV_SET_K = 256
+#: epoch split: set A = customers ordering before, B = on/after
+_KMV_SET_EPOCH = "1998-01-01"
+
+
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (the DataSketches/theta design,
+    Dasgupta et al. 2016): estimate |A∪B|, |A∩B|, |A\\B| from two KMV
+    samples WITHOUT touching the raw rows again.
+
+    A = customers with an order before {epoch}, B = on/after. Each
+    sketch keeps its k smallest distinct key hashes; θ = min of the two
+    kth minima. Every hash below θ is a uniform sample of the union, so
+    any set expression is estimated as (matching sample hashes) / (θ/P)
+    — the sketch algebra that lets a 100 TB pipeline answer arbitrary
+    audience/overlap queries from per-shard KB-sized states. Exact
+    counts ride along for error inspection (drop them at scale — they
+    are the expensive half).
+
+    Plan: one distinct over (set, hash) → per-set top-k via a 2-
+    partition window → a ≤2k-row membership aggregate joined to a
+    broadcast 1-row θ. All integer until the final double division.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    h = _h1("o_custkey")
+    setcase = (
+        f"CASE WHEN o_orderdate < TIMESTAMP '{_KMV_SET_EPOCH}'"
+        " THEN 'A' ELSE 'B' END"
+    )
+    from pyspark.sql.window import Window
+
+    sh = od.selectExpr(f"{setcase} AS s", f"{h} AS h").distinct()
+    topk = sh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("s").orderBy("h"))
+    ).filter(F.col("rn") <= KMV_SET_K)
+    theta = topk.groupBy().agg(
+        F.least(
+            F.max(F.expr("CASE WHEN s = 'A' THEN h END")),
+            F.max(F.expr("CASE WHEN s = 'B' THEN h END")),
+        ).alias("theta")
+    )
+    memb = topk.groupBy("h").agg(
+        F.max(F.expr("CASE WHEN s = 'A' THEN 1 ELSE 0 END")).alias("in_a"),
+        F.max(F.expr("CASE WHEN s = 'B' THEN 1 ELSE 0 END")).alias("in_b"),
+    )
+    cnts = (
+        memb.crossJoin(F.broadcast(theta))
+        .filter("h < theta")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(
+                F.expr("CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END")
+            ).alias("n_inter"),
+            F.sum(
+                F.expr("CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END")
+            ).alias("n_diff"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    truth = (
+        od.selectExpr(
+            "o_custkey AS c",
+            f"CASE WHEN {setcase} = 'A' THEN 1 ELSE 0 END AS a",
+            f"CASE WHEN {setcase} = 'B' THEN 1 ELSE 0 END AS b",
+        )
+        .groupBy("c")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+        .agg(
+            F.count(F.lit(1)).alias("t_union"),
+            F.sum(
+                F.expr("CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END")
+            ).alias("t_inter"),
+            F.sum(
+                F.expr("CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END")
+            ).alias("t_diff"),
+        )
+    )
+    return (
+        cnts.crossJoin(F.broadcast(truth))
+        .selectExpr(
+            "stack(3,"
+            " 'union', n_union, theta, t_union,"
+            " 'intersect', n_inter, theta, t_inter,"
+            " 'a_minus_b', n_diff, theta, t_diff"
+            ") AS (op, sample_hits, theta_hash, true_count)"
+        )
+        .selectExpr(
+            "op",
+            "theta_hash",
+            "sample_hits",
+            "CAST(sample_hits AS DOUBLE)"
+            f" / (CAST(theta_hash AS DOUBLE) / {P}.0) AS estimate",
+            "true_count",
+        )
+    )
+
+
+ORACLE_KMV_SET_OPS = f"""
+WITH sh AS (
+  SELECT DISTINCT
+         CASE WHEN o_orderdate < TIMESTAMP '{_KMV_SET_EPOCH}'
+              THEN 'A' ELSE 'B' END AS s,
+         {_h1('o_custkey')} AS h
+  FROM orders),
+topk AS (
+  SELECT s, h FROM (
+    SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+    FROM sh)
+  WHERE rn <= {KMV_SET_K}),
+theta AS (
+  SELECT LEAST(MAX(CASE WHEN s = 'A' THEN h END),
+               MAX(CASE WHEN s = 'B' THEN h END)) AS theta
+  FROM topk),
+memb AS (
+  SELECT h,
+         MAX(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s = 'B' THEN 1 ELSE 0 END) AS in_b
+  FROM topk GROUP BY h),
+cnts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inter,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_diff,
+         MAX(theta) AS theta
+  FROM memb, theta WHERE h < theta),
+tm AS (
+  SELECT o_custkey AS c,
+         MAX(CASE WHEN o_orderdate < TIMESTAMP '{_KMV_SET_EPOCH}'
+                  THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN o_orderdate < TIMESTAMP '{_KMV_SET_EPOCH}'
+                  THEN 0 ELSE 1 END) AS in_b
+  FROM orders GROUP BY 1),
+tc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t_union,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_inter,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_diff
+  FROM tm),
+ops AS (
+  SELECT 'union' AS op, n_union AS sample_hits, theta, t_union
+           AS true_count FROM cnts, tc
+  UNION ALL
+  SELECT 'intersect', n_inter, theta, t_inter FROM cnts, tc
+  UNION ALL
+  SELECT 'a_minus_b', n_diff, theta, t_diff FROM cnts, tc)
+SELECT op, theta AS theta_hash, sample_hits,
+       CAST(sample_hits AS DOUBLE)
+         / (CAST(theta AS DOUBLE) / {P}.0) AS estimate,
+       true_count
+FROM ops
+"""
+
+
+# ---------------------------------------------------------------------------
 # HDR-histogram quantile sketch over orders.o_totalprice (cents)
 # ---------------------------------------------------------------------------
 
@@ -930,6 +1093,11 @@ SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct_users": QuerySpec(
         "sketch_kmv_distinct_users", sketch_kmv_distinct_users, ORACLE_KMV,
         "k-minimum-values distinct estimate, k=64",
+    ),
+    "sketch_kmv_set_ops": QuerySpec(
+        "sketch_kmv_set_ops", sketch_kmv_set_ops, ORACLE_KMV_SET_OPS,
+        "theta-sketch union/intersection/difference estimates from two "
+        f"k={KMV_SET_K} KMV samples (customer epochs) vs exact",
     ),
     "sketch_quantile_hdr_prices": QuerySpec(
         "sketch_quantile_hdr_prices", sketch_quantile_hdr_prices,

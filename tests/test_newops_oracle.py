@@ -257,3 +257,48 @@ def test_token_budget_select_matches_greedy_prefix(spark):
         out = rows[lang]
         assert (out.docs_kept, out.tokens_kept) == (kept_docs, kept_toks)
         assert out.docs_total == len(grp)
+
+
+def test_weighted_priority_sample_oracle_and_bias(spark):
+    """Oracle twin for sample_weighted_priority, plus the E-S property
+    the op exists for: sampling is size-biased (mean n_chars of the
+    k=100 winners exceeds the corpus mean) and deterministic across
+    re-runs / repartitionings."""
+    from gcp_dbt_data_engineering_spark.operators.pipeline import ES_K
+
+    spec = PIPELINE_SPECS["sample_weighted_priority"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    assert len(rows) == ES_K
+    assert len({r.doc_id for r in rows}) == ES_K  # w/o replacement
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = docs.selectExpr("avg(n_chars) AS m").collect()[0].m
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # weight = n_chars biases up
+    # rerun-stability: same ids from a differently-partitioned input
+    again = spec.spark(spark, SF).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in rows}
+
+
+def test_domain_cap_oracle_and_cap_semantics(spark):
+    """Oracle twin for domain_cap_downsample; every domain keeps
+    min(n_docs, CAP); both the map-side (under-cap) and windowed
+    (over-cap) branches are exercised by the fixture."""
+    from gcp_dbt_data_engineering_spark.operators.pipeline import (
+        DOMAIN_CAP,
+        domain_cap_downsample,
+    )
+
+    spec = PIPELINE_SPECS["domain_cap_downsample"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = domain_cap_downsample(spark, SF).collect()
+    assert all(r.n_kept == min(r.n_docs, DOMAIN_CAP) for r in rows)
+    assert any(r.n_docs > DOMAIN_CAP for r in rows)   # window branch
+    assert any(r.n_docs <= DOMAIN_CAP for r in rows)  # map-side branch
+    # totals reconcile with the raw corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()

@@ -195,3 +195,37 @@ def test_hdr_bucket_sql_parity(spark):
     for v in vals:
         _, pbid, plo = _hdr_py(v)
         assert got[v] == (pbid, plo), v
+
+
+def test_kmv_set_ops_oracle_and_sketch_algebra(spark):
+    """Oracle twin for sketch_kmv_set_ops, plus the theta-sketch
+    invariants: union >= each input's retained sample, inclusion-
+    exclusion holds EXACTLY on the sample counts (the three ops
+    partition the below-theta sample pool), and the union estimate is
+    within the k=256 KMV error band of the true union."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        KMV_SET_K,
+        SPECS,
+    )
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["sketch_kmv_set_ops"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = {r.op: r for r in spec.spark(spark, SF).collect()}
+    assert set(rows) == {"union", "intersect", "a_minus_b"}
+    u, i, d = rows["union"], rows["intersect"], rows["a_minus_b"]
+    # same theta everywhere (the min of the two kth minima)
+    assert u.theta_hash == i.theta_hash == d.theta_hash
+    # sample pool partitions: union hits = (A∩B) + (A\B) + (B\A)
+    assert u.sample_hits >= i.sample_hits + d.sample_hits
+    assert u.sample_hits <= 2 * KMV_SET_K
+    # estimator sanity: ~1/sqrt(k) relative error on the union
+    assert u.true_count > 0
+    rel = abs(u.estimate - u.true_count) / u.true_count
+    assert rel < 4.0 / (KMV_SET_K ** 0.5)
+    # intersection can never exceed the union, in truth or estimate
+    assert i.true_count <= u.true_count
+    assert i.estimate <= u.estimate + 1e-9
