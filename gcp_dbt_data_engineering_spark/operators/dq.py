@@ -1335,6 +1335,91 @@ FROM cusum
 
 
 # ---------------------------------------------------------------------------
+# Seasonal baseline — day-of-week decomposition anomaly flag
+# ---------------------------------------------------------------------------
+
+#: relative deviation from the day-of-week mean that raises the alarm,
+#: as an exact rational (num, den): |n - mean| > (num/den) * mean
+_SEASONAL_DEV = (1, 20)
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily event volume: each
+    day is compared to ITS weekday's mean, not a trailing window — the
+    detector that doesn't page on every Saturday dip. A day alarms
+    when it deviates more than {num}/{den} from its weekday baseline.
+
+    Exactness: weekday index is pure integer date arithmetic (days
+    since a known Monday, mod 7 — never the engines' dayofweek(),
+    whose 0-vs-1 base and week start differ); the residual is the
+    exact integer cross-product ``n·cnt_d − sum_d`` and the alarm
+    comparison is integer (2·den·|r| > 2·num·sum_d form), so the flag
+    is bit-portable. The two reported doubles are single divisions of
+    exact integers.
+
+    Scale posture: the heavy step is the daily rollup (plain keyed
+    aggregate, map-side partials); the weekday window runs over one
+    row per DAY — thousands of rows at any corpus size.
+    """
+    num, den = _SEASONAL_DEV
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = "(PARTITION BY dow)"
+    return (
+        daily.selectExpr(
+            "d",
+            "n",
+            # 1970-01-05 was a Monday: dow 0=Mon .. 6=Sun
+            "datediff(d, DATE '1970-01-05') % 7 AS dow",
+        )
+        .selectExpr(
+            "CAST(d AS STRING) AS day",
+            "dow",
+            "n AS n_events",
+            f"COUNT(*) OVER {w} AS cnt_d",
+            f"SUM(n) OVER {w} AS sum_d",
+        )
+        .selectExpr(
+            "day",
+            "dow",
+            "n_events",
+            "CAST(sum_d AS DOUBLE) / CAST(cnt_d AS DOUBLE) AS dow_mean",
+            "CAST(n_events * cnt_d - sum_d AS DOUBLE)"
+            " / CAST(sum_d AS DOUBLE) AS rel_dev",
+            f"{den} * abs(n_events * cnt_d - sum_d) > {num} * sum_d"
+            " AS alarm",
+        )
+    )
+
+
+ORACLE_SEASONAL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1),
+dowed AS (
+  SELECT d, n,
+         date_diff('day', DATE '1970-01-05', d) % 7 AS dow
+  FROM daily),
+based AS (
+  SELECT d, n, dow,
+         COUNT(*) OVER (PARTITION BY dow) AS cnt_d,
+         SUM(n) OVER (PARTITION BY dow) AS sum_d
+  FROM dowed)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(dow AS BIGINT) AS dow,
+       n AS n_events,
+       CAST(sum_d AS DOUBLE) / CAST(cnt_d AS DOUBLE) AS dow_mean,
+       CAST(n * cnt_d - sum_d AS DOUBLE) / CAST(sum_d AS DOUBLE)
+         AS rel_dev,
+       {_SEASONAL_DEV[1]} * abs(n * cnt_d - sum_d)
+         > {_SEASONAL_DEV[0]} * sum_d AS alarm
+FROM based
+"""
+
+
+# ---------------------------------------------------------------------------
 # PSI drift — population stability index between two epochs
 # ---------------------------------------------------------------------------
 
@@ -1436,6 +1521,13 @@ SPECS: dict[str, QuerySpec] = {
         ORACLE_PSI,
         "population stability index per value bucket, epoch vs epoch "
         "(exact-int cross-products, one rounded ln)",
+    ),
+    "events_seasonal_baseline": QuerySpec(
+        "events_seasonal_baseline",
+        events_seasonal_baseline,
+        ORACLE_SEASONAL,
+        "day-of-week seasonal decomposition anomaly flag: integer-"
+        "exact residual vs the weekday mean",
     ),
     "dq_cusum_drift": QuerySpec(
         "dq_cusum_drift",

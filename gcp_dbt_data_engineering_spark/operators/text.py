@@ -1133,6 +1133,69 @@ LIMIT {RAKE_TOP_K}
 ORACLE_RAKE = _oracle_rake()
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty — fraction of a doc's shingles unique to it
+# ---------------------------------------------------------------------------
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    3-gram shingles that occur in NO other document (corpus doc-
+    frequency 1). Low novelty flags templated/boilerplate/near-dup
+    content from a different angle than pairwise dedup — it needs no
+    candidate pairs at all, so it scales as a plain aggregation where
+    MinHash needs a join.
+
+    Plan: reuses the per-corpus persisted distinct (doc_id, shingle)
+    relation shared with the dedup family, one window over the hash
+    for doc frequency (the shuffle moves compact (h, doc_id) rows),
+    then a per-doc aggregate. Docs shorter than the shingle width have
+    no rows and drop out — same in the oracle.
+    """
+    from .dedup import _shingle_rows
+
+    sh = _shingle_rows(spark, sf_dir)
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        sh.withColumn("df", dfreq)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.expr("CASE WHEN df = 1 THEN 1 ELSE 0 END")).alias(
+                "n_novel"
+            ),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            "CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)"
+            " AS novelty_ratio",
+        )
+    )
+
+
+def _oracle_ngram_novelty() -> str:
+    from .dedup import _sql_shingle_cte
+
+    return f"""
+WITH {_sql_shingle_cte()},
+flagged AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM sh)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+ORACLE_NGRAM_NOVELTY = _oracle_ngram_novelty()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -1172,5 +1235,10 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("text_language_id", text_language_id, ORACLE_LANGUAGE_ID),
         QuerySpec("text_quality_score", text_quality_score, ORACLE_QUALITY),
         QuerySpec("text_fingerprint", text_fingerprint, ORACLE_FINGERPRINT),
+        QuerySpec(
+            "text_ngram_novelty", text_ngram_novelty, ORACLE_NGRAM_NOVELTY,
+            "share of a doc's 3-gram shingles unique to it corpus-wide "
+            "(template detector; no candidate pairs needed)",
+        ),
     )
 }

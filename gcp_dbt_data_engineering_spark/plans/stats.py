@@ -728,6 +728,151 @@ FROM (
 )
 
 
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — distributed confidence interval for the mean
+# ---------------------------------------------------------------------------
+
+#: number of bootstrap replicates
+BOOT_B = 40
+#: percentile-method ranks (1-based of BOOT_B sorted replicate means)
+#: for a ~95% interval: lo = rank 2, hi = rank B-1
+_BOOT_LO_RANK = 2
+_BOOT_HI_RANK = BOOT_B - 1
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Integer CDF cutoffs of Poisson(1) scaled to [0, P): a hash
+    h < t[k] draws weight k (truncated at 6; the tail mass beyond is
+    ~8e-5 and the truncation is identical in both engines). Computed
+    once in Python and INLINED as literals, so cross-engine exactness
+    never depends on either engine's exp()."""
+    import math
+
+    from ..operators import texthash as th
+
+    cum, out, term = 0.0, [], math.exp(-1.0)
+    for k in range(6):
+        cum += term
+        out.append(int(cum * th.P))
+        term /= k + 1
+    return out
+
+
+def _boot_weight_case(hr: str) -> str:
+    ts = _poisson1_thresholds()
+    whens = " ".join(
+        f"WHEN ({hr}) < {t} THEN {k}" for k, t in enumerate(ts)
+    )
+    return f"CASE {whens} ELSE 6 END"
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams") 95% CI for mean(o_totalprice).
+
+    The bootstrap that actually runs on a cluster: instead of drawing
+    B resamples (impossible — a resample of 100 TB is 100 TB), every
+    row contributes a Poisson(1) multiplicity to each of B replicates
+    in ONE scan; counts come from a deterministic per-(row, replicate)
+    hash so the interval is rerun- and engine-stable. The shuffle
+    carries B partial (Σw, Σw·x) pairs per map task — bytes, not rows.
+
+    Exactness: weights are integer CASE ladders over integer hashes
+    (Poisson CDF cutoffs inlined as Python-computed literals);
+    replicate sums are exact DECIMAL; each replicate mean is one
+    double division; the CI picks ranked replicate means by
+    row_number — no engine quantile interpolation anywhere.
+    """
+    from ..operators import texthash as th
+
+    od = load_table(spark, sf_dir, "orders")
+    h0 = th.polyhash("concat('boot', CAST(o_orderkey AS STRING))", "spark")
+    hr = f"((((r + 1) * {th._A0}) % {th.P}) * h0 + r) % {th.P}"
+    reps = (
+        od.selectExpr(f"{h0} AS h0", "o_totalprice")
+        .selectExpr(
+            # BIGINT replicate ids: (r+1)*A0 overflows INT32 under ANSI
+            f"explode(sequence(CAST(0 AS BIGINT), {BOOT_B - 1})) AS r",
+            "h0",
+            "o_totalprice",
+        )
+        .selectExpr(
+            "r",
+            f"{_boot_weight_case(hr)} AS m",
+            "CAST(o_totalprice AS DECIMAL(22,6)) AS x",
+        )
+        .groupBy("r")
+        .agg(
+            F.expr("SUM(m)").alias("n_r"),
+            F.expr("SUM(m * x)").alias("s_r"),
+        )
+        .selectExpr(
+            "r", "CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mean_r"
+        )
+    )
+    ranked = reps.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_r", "r"))
+    )
+    ci = ranked.agg(
+        F.expr(
+            f"MAX(CASE WHEN rk = {_BOOT_LO_RANK} THEN mean_r END)"
+        ).alias("ci_lo"),
+        F.expr(
+            f"MAX(CASE WHEN rk = {_BOOT_HI_RANK} THEN mean_r END)"
+        ).alias("ci_hi"),
+    )
+    point = od.agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("point_mean")
+    )
+    return point.crossJoin(F.broadcast(ci)).selectExpr(
+        f"CAST({BOOT_B} AS BIGINT) AS n_replicates",
+        "point_mean",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def _oracle_bootstrap() -> str:
+    from ..operators import texthash as th
+
+    h0 = th.polyhash("concat('boot', CAST(o_orderkey AS VARCHAR))", "duck")
+    hr = f"((((r + 1) * {th._A0}) % {th.P}) * h0 + r) % {th.P}"
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT {h0} AS h0,
+         CAST(o_totalprice AS DECIMAL(22,6)) AS x
+  FROM orders),
+reps AS (
+  SELECT r, SUM({_boot_weight_case(hr)}) AS n_r,
+         SUM({_boot_weight_case(hr)} * x) AS s_r
+  FROM hashed, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS r)
+  GROUP BY r),
+means AS (
+  SELECT r, CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mean_r
+  FROM reps),
+ranked AS (
+  SELECT mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rk
+  FROM means),
+ci AS (
+  SELECT MAX(CASE WHEN rk = {_BOOT_LO_RANK} THEN mean_r END) AS ci_lo,
+         MAX(CASE WHEN rk = {_BOOT_HI_RANK} THEN mean_r END) AS ci_hi
+  FROM ranked),
+pt AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS point_mean
+  FROM orders)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       point_mean, ci_lo, ci_hi
+FROM pt, ci
+"""
+
+
+ORACLE_BOOTSTRAP = _oracle_bootstrap()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -761,5 +906,9 @@ SPECS: dict[str, QuerySpec] = {
         QuerySpec("orders_hash_sample", orders_hash_sample,
                   ORACLE_HASH_SAMPLE,
                   "md5-prefix deterministic 1/16 sample + sample stats"),
+        QuerySpec("stats_bootstrap_ci", stats_bootstrap_ci,
+                  ORACLE_BOOTSTRAP,
+                  "Poisson-bootstrap 95% CI for the mean: B=40 "
+                  "replicates in one scan, hash-deterministic weights"),
     ]
 }

@@ -302,3 +302,93 @@ def test_domain_cap_oracle_and_cap_semantics(spark):
     # totals reconcile with the raw corpus
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_ngram_novelty_oracle_and_planted_template(spark, tmp_path):
+    """Oracle twin for text_ngram_novelty; a planted pair of identical
+    docs must drive both their novelty ratios to 0 while a unique doc
+    keeps ratio 1."""
+    from gcp_dbt_data_engineering_spark.operators.text import (
+        SPECS as TSPECS,
+        text_ngram_novelty,
+    )
+
+    spec = TSPECS["text_ngram_novelty"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    # synthetic corpus: docs 1,2 identical; doc 3 disjoint
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (3, "zeta eta theta iota kappa", "en", "s", 25),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in text_ngram_novelty(spark, str(d)).collect()}
+    assert rows[1].novelty_ratio == 0.0
+    assert rows[2].novelty_ratio == 0.0
+    assert rows[3].novelty_ratio == 1.0
+
+
+def test_seasonal_baseline_oracle_and_weekday_semantics(spark):
+    """Oracle twin for events_seasonal_baseline; weekday index is the
+    documented days-since-Monday mod 7; per-weekday residuals sum to
+    zero exactly (decomposition identity); alarms are discriminating."""
+    import datetime
+
+    from gcp_dbt_data_engineering_spark.operators.dq import SPECS as DQS
+
+    spec = DQS["events_seasonal_baseline"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    for r in rows:
+        d = datetime.date.fromisoformat(r.day)
+        assert r.dow == d.weekday()  # 0=Monday, matches the anchor
+    # residual identity: sum over a weekday of (n*cnt - sum) == 0
+    by_dow: dict[int, int] = {}
+    cnt_by_dow: dict[int, int] = {}
+    for r in rows:
+        cnt_by_dow[r.dow] = cnt_by_dow.get(r.dow, 0) + 1
+    for r in rows:
+        resid = r.n_events * cnt_by_dow[r.dow] - sum(
+            x.n_events for x in rows if x.dow == r.dow
+        )
+        by_dow[r.dow] = by_dow.get(r.dow, 0) + resid
+    assert all(v == 0 for v in by_dow.values())
+    n_alarms = sum(1 for r in rows if r.alarm)
+    assert 0 < n_alarms < len(rows) // 2
+
+
+def test_bootstrap_ci_oracle_and_statistics(spark):
+    """Oracle twin for stats_bootstrap_ci; the interval brackets the
+    point estimate, is rerun-stable, and its width is in the CLT
+    ballpark (1x-10x of 2*1.96*sd/sqrt(n) — loose band, catches a
+    degenerate or wildly-miscalibrated resampler)."""
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        SPECS as SSPECS,
+    )
+
+    spec = SSPECS["stats_bootstrap_ci"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    row = spec.spark(spark, SF).collect()[0]
+    assert row.ci_lo < row.point_mean < row.ci_hi
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    import math
+
+    stats = od.selectExpr(
+        "avg(o_totalprice) AS m",
+        "stddev_samp(o_totalprice) AS sd",
+        "count(*) AS n",
+    ).collect()[0]
+    clt = 2 * 1.96 * stats.sd / math.sqrt(stats.n)
+    width = row.ci_hi - row.ci_lo
+    assert 0.5 * clt < width < 10 * clt
+    again = spec.spark(spark, SF).collect()[0]
+    assert (again.ci_lo, again.ci_hi) == (row.ci_lo, row.ci_hi)
