@@ -766,6 +766,29 @@ def _boot_weight_case(hr: str) -> str:
     return f"CASE {whens} ELSE 6 END"
 
 
+def _boot_mix(h: str, dialect: str) -> str:
+    """Avalanche a polyhash before the per-replicate affine transforms.
+
+    Raw polyhashes of sequential decimal keys sit in arithmetic bands;
+    an affine map preserves the banding, and a whole replicate can then
+    land under (or over) one Poisson threshold — observed at sf0.001 as
+    a replicate with ZERO total weight. Two xor-shift + LCG rounds
+    (the sketch module's avalanche recipe, exact in both engines —
+    inputs < 2^30 so products stay < 2^62) scatter the bands.
+    """
+    from ..operators import texthash as th
+
+    def xs(e: str, s: int) -> str:
+        if dialect == "spark":
+            return f"(({e}) ^ shiftright(({e}), {s}))"
+        return f"xor(({e}), (({e}) >> {s}))"
+
+    g = xs(h, 17)
+    g = f"((({g}) * 1103515245 + 12345) % {th.P})"
+    g = xs(g, 13)
+    return f"((({g}) * 69069 + 1) % {th.P})"
+
+
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
     for massive data streams") 95% CI for mean(o_totalprice).
@@ -786,7 +809,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import texthash as th
 
     od = load_table(spark, sf_dir, "orders")
-    h0 = th.polyhash("concat('boot', CAST(o_orderkey AS STRING))", "spark")
+    h0 = _boot_mix(
+        th.polyhash("concat('boot', CAST(o_orderkey AS STRING))", "spark"),
+        "spark",
+    )
     hr = f"((((r + 1) * {th._A0}) % {th.P}) * h0 + r) % {th.P}"
     reps = (
         od.selectExpr(f"{h0} AS h0", "o_totalprice")
@@ -838,7 +864,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_bootstrap() -> str:
     from ..operators import texthash as th
 
-    h0 = th.polyhash("concat('boot', CAST(o_orderkey AS VARCHAR))", "duck")
+    h0 = _boot_mix(
+        th.polyhash("concat('boot', CAST(o_orderkey AS VARCHAR))", "duck"),
+        "duck",
+    )
     hr = f"((((r + 1) * {th._A0}) % {th.P}) * h0 + r) % {th.P}"
     return f"""
 WITH hashed AS MATERIALIZED (
