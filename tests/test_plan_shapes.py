@@ -58,6 +58,21 @@ BUDGETS = {
     "dq_psi_drift": (5, 0),
     # one user-partition carrying all three stage minima
     "events_sequential_funnel": (3, 0),
+    # round-7 ops
+    # two per-set top-k windows + <=2k-row membership agg + 1-row
+    # theta/truth sides (attach as BNLJ, not BHJ)
+    "sketch_kmv_set_ops": (12, 0),
+    # map-side E-S key + TakeOrdered: ZERO exchanges
+    "sample_weighted_priority": (0, 0),
+    # broadcast count join keeps under-cap domains map-side; only
+    # over-cap rows enter the ranking window
+    "domain_cap_downsample": (7, 2),
+    # shingle relation + one hash window + per-doc agg
+    "text_ngram_novelty": (4, 0),
+    # daily rollup + per-weekday window over one row per day
+    "events_seasonal_baseline": (2, 0),
+    # B partial (Σw, Σw·x) pairs per map task; 1-row CI/point sides
+    "stats_bootstrap_ci": (5, 0),
 }
 
 
