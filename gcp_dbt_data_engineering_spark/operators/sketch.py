@@ -749,6 +749,151 @@ FROM mins
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window HLL: trailing 7-day distinct users from per-day registers
+# ---------------------------------------------------------------------------
+
+#: trailing window width in calendar days
+HLL_WINDOW_DAYS = 7
+
+
+def sketch_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {HLL_WINDOW_DAYS}-day distinct-user estimate per day,
+    derived ENTIRELY from per-day HLL register tables — the time-window
+    payoff of sketch mergeability: a deployment stores one 256-register
+    state per day (KBs) and answers ANY trailing window by per-bucket
+    max over the stored states, never rescanning the events.
+
+    Plan: one grouped pass builds (day, bucket → max rank); a dense
+    (days × 256) grid (bounded: both sides are calendar/constant sized)
+    left-joins the registers, and a RANGE window over the integer day
+    number merges each bucket's trailing week — RANGE, not ROWS, so
+    days with no traffic still align the calendar correctly. The exact
+    trailing distinct rides along via a banded day-range join for error
+    inspection (the expensive half — drop it at 100 TB).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _hll_hash("user_id", "spark")
+    per_day = (
+        ev.selectExpr("CAST(ts AS DATE) AS d", f"{h} AS hh")
+        .selectExpr(
+            "d",
+            f"hh % {HLL_M} AS bucket",
+            f"CAST(hh / {HLL_M} AS BIGINT) AS rem",
+        )
+        .selectExpr(
+            "d",
+            "bucket",
+            "CASE WHEN rem = 0 THEN 24 ELSE 24 - length(bin(rem)) END"
+            " AS rank",
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    days = per_day.select("d").distinct()
+    buckets = spark.range(HLL_M).selectExpr("CAST(id AS BIGINT) AS bucket")
+    dense = (
+        days.crossJoin(F.broadcast(buckets))
+        .join(per_day, ["d", "bucket"], "left")
+        .selectExpr(
+            "d",
+            "bucket",
+            "COALESCE(m_j, 0) AS m_j",
+            "datediff(d, DATE '1970-01-01') AS dn",
+        )
+    )
+    w = (
+        f"(PARTITION BY bucket ORDER BY dn RANGE BETWEEN"
+        f" {HLL_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW)"
+    )
+    ests = (
+        dense.selectExpr("d", "bucket", f"MAX(m_j) OVER {w} AS m7")
+        .groupBy("d")
+        .agg(
+            F.expr("SUM(shiftleft(CAST(1 AS BIGINT), 24 - m7))").alias(
+                "z_scaled"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN m7 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_empty_buckets"),
+        )
+    )
+    userdays = (
+        ev.selectExpr("CAST(ts AS DATE) AS ud", "user_id")
+        .distinct()
+        .selectExpr("datediff(ud, DATE '1970-01-01') AS udn", "user_id")
+    )
+    truth = (
+        userdays.join(
+            F.broadcast(
+                days.selectExpr(
+                    "d", "datediff(d, DATE '1970-01-01') AS dn"
+                )
+            ),
+            F.expr(f"udn BETWEEN dn - {HLL_WINDOW_DAYS - 1} AND dn"),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("true_distinct_7d"))
+    )
+    return ests.join(truth, "d").selectExpr(
+        "CAST(d AS STRING) AS day",
+        "n_empty_buckets",
+        f"{_HLL_PF} / CAST(z_scaled AS DOUBLE) AS hll_estimate",
+        "true_distinct_7d",
+    )
+
+
+ORACLE_HLL_SLIDING = f"""
+WITH hashed AS (
+  SELECT CAST(ts AS DATE) AS d, user_id,
+         {_hll_hash('user_id', 'duckdb')} AS hh
+  FROM events),
+per_day AS (
+  SELECT d, hh % {HLL_M} AS bucket,
+         MAX(CASE WHEN hh // {HLL_M} = 0 THEN 24
+                  ELSE 24 - length(bin(hh // {HLL_M})) END) AS m_j
+  FROM hashed GROUP BY d, hh % {HLL_M}),
+days AS (SELECT DISTINCT d FROM per_day),
+dense AS (
+  SELECT days.d, CAST(g.range AS BIGINT) AS bucket,
+         COALESCE(p.m_j, 0) AS m_j,
+         date_diff('day', DATE '1970-01-01', days.d) AS dn
+  FROM days
+  CROSS JOIN range({HLL_M}) g
+  LEFT JOIN per_day p
+    ON p.d = days.d AND p.bucket = CAST(g.range AS BIGINT)),
+merged AS (
+  SELECT d, bucket,
+         MAX(m_j) OVER (PARTITION BY bucket ORDER BY dn
+                        RANGE BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
+                        AND CURRENT ROW) AS m7
+  FROM dense),
+ests AS (
+  SELECT d,
+         SUM(1::BIGINT << (24 - m7)) AS z_scaled,
+         CAST(SUM(CASE WHEN m7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty_buckets
+  FROM merged GROUP BY d),
+userdays AS (
+  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           AS udn, user_id
+  FROM events),
+truth AS (
+  SELECT days.d, COUNT(DISTINCT user_id) AS true_distinct_7d
+  FROM days
+  JOIN userdays
+    ON udn BETWEEN date_diff('day', DATE '1970-01-01', days.d)
+                     - {HLL_WINDOW_DAYS - 1}
+               AND date_diff('day', DATE '1970-01-01', days.d)
+  GROUP BY days.d)
+SELECT CAST(e.d AS VARCHAR) AS day,
+       n_empty_buckets,
+       {_HLL_PF} / CAST(z_scaled AS DOUBLE) AS hll_estimate,
+       true_distinct_7d
+FROM ests e JOIN truth t ON e.d = t.d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Theta-sketch set operations over two KMV samples (orders epochs)
 # ---------------------------------------------------------------------------
 
@@ -1093,6 +1238,12 @@ SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct_users": QuerySpec(
         "sketch_kmv_distinct_users", sketch_kmv_distinct_users, ORACLE_KMV,
         "k-minimum-values distinct estimate, k=64",
+    ),
+    "sketch_hll_sliding_window": QuerySpec(
+        "sketch_hll_sliding_window", sketch_hll_sliding_window,
+        ORACLE_HLL_SLIDING,
+        f"trailing {HLL_WINDOW_DAYS}-day distinct users from per-day "
+        "HLL registers: calendar RANGE merge, no event rescan",
     ),
     "sketch_kmv_set_ops": QuerySpec(
         "sketch_kmv_set_ops", sketch_kmv_set_ops, ORACLE_KMV_SET_OPS,

@@ -73,6 +73,9 @@ BUDGETS = {
     "events_seasonal_baseline": (2, 0),
     # B partial (Σw, Σw·x) pairs per map task; 1-row CI/point sides
     "stats_bootstrap_ci": (5, 0),
+    # per-day register build is the only full scan; dense grid,
+    # calendar window and truth rider all run over bounded relations
+    "sketch_hll_sliding_window": (12, 1),
 }
 
 

@@ -229,3 +229,35 @@ def test_kmv_set_ops_oracle_and_sketch_algebra(spark):
     # intersection can never exceed the union, in truth or estimate
     assert i.true_count <= u.true_count
     assert i.estimate <= u.estimate + 1e-9
+
+
+def test_hll_sliding_window_oracle_and_calendar_merge(spark):
+    """Oracle twin for sketch_hll_sliding_window; the trailing-week
+    merge must equal registers REBUILT from the raw 7-day slice (the
+    mergeability contract, day-partitioned), and after the linear-
+    counting correction (client-side, from the reported empty-bucket
+    count) the estimate lands within 3 sigma of the exact trailing
+    distinct."""
+    import math
+
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        HLL_M,
+        SPECS,
+    )
+    from .oracle_harness import compare
+
+    SF = "/root/testdata/sf0.01"
+    spec = SPECS["sketch_hll_sliding_window"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    assert len(rows) >= 7
+    for r in rows:
+        # small-range regime here: correct via linear counting
+        v = r.n_empty_buckets
+        est = HLL_M * math.log(HLL_M / v) if v > 0 else r.hll_estimate
+        sigma = 1.04 / math.sqrt(HLL_M) * max(r.true_distinct_7d, 1)
+        assert abs(est - r.true_distinct_7d) <= max(3 * sigma, 25), (
+            r.day, est, r.true_distinct_7d
+        )
