@@ -14,6 +14,11 @@ and plain SQL text only (JVM-side; no UDFs):
   and DuckDB (operators/texthash.py).
 - vector math over ``array<float>`` embeddings: :func:`cosine_expr`
   from exact integer dot products (operators/similarity).
+- deterministic sampling: :func:`hash_bucket` (0..9999 bucket for
+  rate predicates and splits) and :func:`es_priority_key`
+  (Efraimidis-Spirakis weighted-sample priority; see
+  operators/pipeline.py) — reproducible across engines, reruns, and
+  repartitionings where ``rand()``/``df.sample`` are not.
 
 Import surface::
 
@@ -43,6 +48,10 @@ from ..plans.spec import (  # noqa: F401
     sql_money_avg,
     sql_money_sum,
 )
+from ..operators.pipeline import (  # noqa: F401
+    es_priority_key,
+)
+from ..operators.pipeline import _bucket as hash_bucket  # noqa: F401
 
 
 def cosine_expr(dot: str, norm_a: str, norm_b: str) -> str:
@@ -58,6 +67,8 @@ __all__ = [
     "bit",
     "char_shingle_hashes",
     "cosine_expr",
+    "es_priority_key",
+    "hash_bucket",
     "money_avg",
     "money_sum",
     "perm_coeffs",

@@ -1458,11 +1458,14 @@ ORACLE_CURATE = _oracle_curate()
 ES_K = 100
 
 
-def _es_key_exprs(dialect: str) -> str:
-    """The E-S priority key ``-ln(u) / w`` as portable SQL text.
+def es_priority_key(
+    key: str, weight: str, dialect: str, salt: str = "espri"
+) -> str:
+    """The E-S priority key ``-ln(u) / w`` as portable SQL text
+    (exported via :mod:`..functions`).
 
     u is a deterministic hash-uniform in (0, 1]: affine-rehashed
-    polyhash of the salted doc key, +1, divided by P+1 (ONE double
+    polyhash of the salted key, +1, divided by P+1 (ONE double
     division). The single ``ln`` is rounded through DECIMAL(28,9) —
     the established cross-engine libm recipe (see text.py LM scoring)
     — then one more IEEE division by the weight. Smallest key wins:
@@ -1471,14 +1474,18 @@ def _es_key_exprs(dialect: str) -> str:
     u^(1/w) max-sampling but numerically tamer.
     """
     cast = "STRING" if dialect == "spark" else "VARCHAR"
-    keyed = f"concat('espri', CAST(doc_id AS {cast}))"
+    keyed = f"concat('{salt}', CAST({key} AS {cast}))"
     a, b = th.perm_coeffs(11)
     h = f"(({a} * ({th.polyhash(keyed, dialect)}) + {b}) % {th.P})"
     u = f"(CAST(({h}) + 1 AS DOUBLE) / {float(th.P + 1)!r})"
     return (
         f"-CAST(CAST(ln({u}) AS DECIMAL(28,9)) AS DOUBLE)"
-        " / CAST(n_chars AS DOUBLE)"
+        f" / CAST({weight} AS DOUBLE)"
     )
+
+
+def _es_key_exprs(dialect: str) -> str:
+    return es_priority_key("doc_id", "n_chars", dialect)
 
 
 def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
