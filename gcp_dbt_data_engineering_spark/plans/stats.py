@@ -836,6 +836,8 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r", "CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mean_r"
         )
     )
+    # unpartitioned window over exactly BOOT_B rows (the replicate
+    # means) — bounded by construction at any corpus size
     ranked = reps.withColumn(
         "rk", F.row_number().over(Window.orderBy("mean_r", "r"))
     )
