@@ -523,21 +523,36 @@ WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {VERIFY_T}
 # 4. SimHash near-dup pairs (hamming <= 4, recall-exact via 5 banded chunks)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 HAMMING_T = 4
 #: HAMMING_T + 1 chunks is the pigeonhole MINIMUM for exact recall at
 #: hamming <= HAMMING_T — and the minimum is also the FASTEST choice:
 #: candidate volume is sum_k n^2 / 2^width_k, so fewer chunks means both
-#: fewer exploded rows (5n not 8n) and wider buckets (2^6..2^7 = 64..128
-#: values, not 2^4 = 16).  The original 8x4-bit banding (complete for
-#: hamming <= 7, far looser than the <= 4 filter) measured n^2/2
-#: streamed candidates = 1.25e11 at the 500k-doc sf10; this 5-chunk
-#: partition is n^2/16 — ~8x fewer — with byte-identical output.  At a
-#: real 100 TB corpus you would widen SIMHASH_BITS to 64 so each of the
-#: 5 chunks spans 12-13 bits (2^12+ buckets); both engines' expressions
-#: derive from these constants, so that is a constants-only change.
-SIMHASH_CHUNK_WIDTHS = (7, 7, 6, 6, 6)  # sums to SIMHASH_BITS
-SIMHASH_CHUNK_OFFSETS = (0, 7, 14, 20, 26)
+#: fewer exploded rows (5n not 8n) and wider buckets.  The original
+#: 8x4-bit banding (complete for hamming <= 7, far looser than the <= 4
+#: filter) measured n^2/2 streamed candidates = 1.25e11 at the 500k-doc
+#: sf10; the 5-chunk partition cut that ~8x with byte-identical output.
+#: Width history: 32 bits (really 30 — the shingle hash carries < 2^30)
+#: measured output-pair slope 1.9 sf1→sf10 (SCALE_CURVE.json): at 500k
+#: docs the random-collision floor of a 30-bit fingerprint at
+#: hamming <= 4 (P ~ C(30,<=4)/2^30 per pair) dominates real near-dups
+#: and output grows ~quadratically.  60 bits (two independent 30-bit
+#: feature hashes) push that floor to ~C(60,<=4)/2^60 ~ 5e-13 —
+#: negligible at any realistic corpus — restoring ~linear output
+#: growth, and each chunk spans 12 bits (4096 buckets), shrinking the
+#: candidate multiset another 64x on uniform corpora.
+SIMHASH_CHUNK_WIDTHS = (12, 12, 12, 12, 12)  # sums to SIMHASH_BITS
+SIMHASH_CHUNK_OFFSETS = (0, 12, 24, 36, 48)
+
+#: second feature hash: affine rehash of the shingle hash (bits 30-59)
+_SIM_A2, _SIM_B2 = th.perm_coeffs(17)
+
+
+def _sim_bit(j: int, dialect: str) -> str:
+    """Feature bit j of the 60-bit space: bits 0-29 from the shingle
+    hash h, 30-59 from its affine rehash h2 (both < 2^30)."""
+    src, off = ("h", 0) if j < 30 else ("h2", 30)
+    return th.bit(src, str(j - off), dialect)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,11 +571,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 4 filter: the output is exact (no LSH luck involved), and the
     oracle agrees exactly.
     """
-    wh = _shingle_rows(spark, sf_dir)
+    wh = _shingle_rows(spark, sf_dir).selectExpr(
+        "doc_id",
+        "h",
+        f"(({_SIM_A2} * h + {_SIM_B2}) % {th.P}) AS h2",
+    )
     sign_aggs = [
         F.sum(
             F.expr(
-                f"CASE WHEN {th.bit('h', str(j), 'spark')} = 1"
+                f"CASE WHEN {_sim_bit(j, 'spark')} = 1"
                 " THEN 1 ELSE -1 END"
             )
         ).alias(f"s{j}")
@@ -620,7 +639,7 @@ def _sql_chunk_values() -> str:
 
 def _sql_simhash() -> str:
     sign_cols = ",\n       ".join(
-        f"SUM(CASE WHEN {th.bit('h', str(j), 'duck')} = 1 THEN 1 ELSE -1 END)"
+        f"SUM(CASE WHEN {_sim_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END)"
         f" AS s{j}"
         for j in range(SIMHASH_BITS)
     )
@@ -630,9 +649,11 @@ def _sql_simhash() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""
+shx AS (SELECT doc_id, h,
+               (({_SIM_A2} * h + {_SIM_B2}) % {th.P}) AS h2 FROM sh),
 signs AS (SELECT doc_id,
        {sign_cols}
-       FROM sh GROUP BY doc_id),
+       FROM shx GROUP BY doc_id),
 sim AS (SELECT doc_id, {fp} AS simhash FROM signs),
 chunks AS (SELECT doc_id, simhash, k, (simhash >> off) & mask AS ck
            FROM sim, (VALUES {_sql_chunk_values()}) AS c(k, off, mask))"""
