@@ -10,7 +10,7 @@ strategies a large-scale training-data pipeline needs:
                                shingles (inverted-index PPJoin shape).
 - ``dedup_minhash_lsh``      — MinHash signatures -> banded LSH bucket
                                join -> exact-Jaccard verification.
-- ``dedup_simhash``          — 32-bit SimHash + 5-chunk banding;
+- ``dedup_simhash``          — 60-bit SimHash + 5-chunk banding;
                                pigeonhole-exact for hamming <= 4.
 - ``dedup_embedding_cosine`` — near-dup pairs by cosine over quantized
                                int64 embeddings, blocked by ``label``.
@@ -34,9 +34,9 @@ Scale posture (100 TB):
   partial aggs), not 16 jobs; LSH bucket join replaces the O(n^2)
   pairing with per-bucket blow-up. Skewed buckets (boilerplate docs)
   would salt or cap-by-frequency here — noted, not needed at test SF.
-- SimHash: one groupBy(doc_id) with 32 partial-agg sign counters, then
-  an 8-way chunk-equality self-join (hamming<=4 has exact recall by
-  pigeonhole over 8 chunks of 4 bits).
+- SimHash: one groupBy(doc_id) with 60 partial-agg sign counters, then
+  a 5-way chunk-equality self-join (hamming<=4 has exact recall by
+  pigeonhole over 5 chunks of 12 bits).
 - Embedding near-dup: ``applyInPandas`` per blocking key — the classic
   blocked near-dup pattern; at 100 TB the block key becomes an LSH
   bucket (see ``similarity.py``) instead of the synthetic ``label``.
@@ -556,7 +556,7 @@ def _sim_bit(j: int, dialect: str) -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over distinct shingle hashes; pairs hamming<=4.
+    """60-bit SimHash over distinct shingle hashes; pairs hamming<=4.
 
     Features are 3-word shingles, not single words: the synthetic
     corpus has a ~40-word vocabulary, so word-level simhashes collapse
@@ -571,61 +571,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 4 filter: the output is exact (no LSH luck involved), and the
     oracle agrees exactly.
     """
-    wh = _shingle_rows(spark, sf_dir).selectExpr(
-        "doc_id",
-        "h",
-        f"(({_SIM_A2} * h + {_SIM_B2}) % {th.P}) AS h2",
+    # ONE spark.sql statement instead of a DataFrame chain: each chain
+    # step eagerly re-analyzes the growing 60-expression tree (measured
+    # ~1.2 s of driver CPU per build; the single-SQL form is 0.5 s and
+    # executes ~1 s faster) — the round-2 "compile to SQL text
+    # end-to-end" discipline applied here.
+    _shingle_rows(spark, sf_dir).createOrReplaceTempView(
+        "__graft_simhash_sh"
     )
-    sign_aggs = [
-        F.sum(
-            F.expr(
-                f"CASE WHEN {_sim_bit(j, 'spark')} = 1"
-                " THEN 1 ELSE -1 END"
-            )
-        ).alias(f"s{j}")
+    sign_cols = ",\n       ".join(
+        f"SUM(CASE WHEN {_sim_bit(j, 'spark')} = 1 THEN 1 ELSE -1 END)"
+        f" AS s{j}"
         for j in range(SIMHASH_BITS)
-    ]
+    )
     fp_expr = " + ".join(
         f"CASE WHEN s{j} > 0 THEN {th.shiftleft_one(str(j), 'spark')}"
         " ELSE CAST(0 AS BIGINT) END"
         for j in range(SIMHASH_BITS)
     )
-    sim = (
-        wh.groupBy("doc_id")
-        .agg(*sign_aggs)
-        .selectExpr("doc_id", f"{fp_expr} AS simhash")
-    )
-    chunk_arr = F.array(
-        *[
-            F.expr(f"(shiftright(simhash, {off}) & {(1 << w) - 1})")
-            for off, w in zip(SIMHASH_CHUNK_OFFSETS, SIMHASH_CHUNK_WIDTHS)
-        ]
-    )
-    chunks = sim.select(
-        "doc_id", "simhash", F.posexplode(chunk_arr).alias("k", "ck")
-    )
-    x = chunks.selectExpr("doc_id AS doc_a", "simhash AS fa", "k", "ck")
-    y = chunks.selectExpr("doc_id AS doc_b", "simhash AS fb", "k", "ck")
-    return (
-        x.join(y, ["k", "ck"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # hamming BEFORE the candidate-dedup distinct: bit_count on the
-        # streaming join output is nearly free, while distinct() is a
-        # shuffle whose input would otherwise be the FULL candidate
-        # multiset — on chunk-saturated corpora (replica cliques, or
-        # any n large versus the 2^4-value chunk space) that multiset
-        # is ~n²/2^4 rows and the distinct dominated the whole spec
-        # (measured at the 500k-doc sf10: 17 min, almost all in the
-        # pre-filter distinct; pairs actually at hamming<=4 were 7.0M).
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            f"CAST(bit_count({th.xor('fa', 'fb', 'spark')}) AS INT)"
-            " AS hamming",
+    chunk_vals = ", ".join(
+        f"({k}, {off}, {(1 << w) - 1})"
+        for k, (off, w) in enumerate(
+            zip(SIMHASH_CHUNK_OFFSETS, SIMHASH_CHUNK_WIDTHS)
         )
-        .filter(F.col("hamming") <= HAMMING_T)
-        .distinct()
     )
+    # hamming BEFORE the candidate-dedup distinct: bit_count on the
+    # streaming join output is nearly free, while distinct() is a
+    # shuffle whose input would otherwise be the FULL candidate
+    # multiset — on chunk-saturated corpora that multiset dominated
+    # the whole spec (measured pre-widening at the 500k-doc sf10:
+    # 17 min, almost all in the pre-filter distinct).
+    return spark.sql(f"""
+WITH shx AS (SELECT doc_id, h,
+                    (({_SIM_A2} * h + {_SIM_B2}) % {th.P}) AS h2
+             FROM __graft_simhash_sh),
+signs AS (SELECT doc_id,
+       {sign_cols}
+       FROM shx GROUP BY doc_id),
+sim AS (SELECT doc_id, {fp_expr} AS simhash FROM signs),
+chunks AS (SELECT doc_id, simhash, k,
+                  (shiftright(simhash, off) & mask) AS ck
+           FROM sim, (VALUES {chunk_vals}) AS c(k, off, mask))
+SELECT DISTINCT doc_a, doc_b, hamming
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count({th.xor('a.simhash', 'b.simhash', 'spark')})
+              AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.k = b.k AND a.ck = b.ck AND a.doc_id < b.doc_id)
+WHERE hamming <= {HAMMING_T}
+""")
 
 
 def _sql_chunk_values() -> str:
