@@ -729,6 +729,197 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Market-basket affinity — support / confidence / lift on order baskets
+# ---------------------------------------------------------------------------
+
+#: minimum co-occurrence count for a reported pair
+BASKET_MIN_SUPPORT = 2
+#: pairs reported (top by support, total-order tiebreak)
+BASKET_TOP_K = 20
+
+
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: for part pairs bought
+    together, support / confidence / lift (the Apriori first pass —
+    all higher-order rules derive from these pair statistics).
+
+    Plan: distinct (order, part) → self-join on the ORDER key (the
+    shuffle is on l_orderkey; per-order fan-out is bounded by basket
+    size, C(7,2) here — never all-pairs over parts) → pair counts →
+    two broadcast-able marginal joins + a 1-row total. Doubles are
+    single divisions of exact BIGINT counts. Top-{BASKET_TOP_K} by
+    (support, part_a, part_b): total-order deterministic.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tot = li.agg(
+        F.countDistinct("l_orderkey").alias("__n_orders")
+    )
+    marg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = li.selectExpr("l_orderkey", "l_partkey AS part_a")
+    b = li.selectExpr("l_orderkey", "l_partkey AS part_b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            marg.selectExpr("l_partkey AS part_a", "n_part AS n_a"),
+            "part_a",
+        )
+        .join(
+            marg.selectExpr("l_partkey AS part_b", "n_part AS n_b"),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "n_a",
+            "n_b",
+            "CAST(pair_support AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " AS confidence_a_b",
+            "CAST(pair_support * __n_orders AS DOUBLE)"
+            " / CAST(n_a * n_b AS DOUBLE) AS lift",
+        )
+        .orderBy(F.desc("pair_support"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+ORACLE_BASKET = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+marg AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS pair_support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT})
+SELECT part_a, part_b, pair_support,
+       ma.n_part AS n_a, mb.n_part AS n_b,
+       CAST(pair_support AS DOUBLE) / CAST(ma.n_part AS DOUBLE)
+         AS confidence_a_b,
+       CAST(pair_support * n_orders AS DOUBLE)
+         / CAST(ma.n_part * mb.n_part AS DOUBLE) AS lift
+FROM pairs
+JOIN marg ma ON ma.l_partkey = part_a
+JOIN marg mb ON mb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY pair_support DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient — revenue concentration via two-phase distributed rank
+# ---------------------------------------------------------------------------
+
+_GINI_BUCKETS = 1000
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration KPI (how much of the book the top customers carry).
+
+    G = Σ (2·rank − n − 1)·r / (n · Σ r) over revenues sorted
+    ascending. The global rank uses the SAME two-phase shape as
+    orders_decile_stats: value-range buckets from a broadcast bounds
+    row, per-bucket row_number (each window sorts one bucket, never
+    the table), plus a ≤{_GINI_BUCKETS}-row offset stitch — no
+    single-task global sort at any scale. Tie order cannot change the
+    sum (equal r values commute through their rank block), and the
+    (revenue, custkey) tiebreak makes ranks fully deterministic
+    anyway. Revenue sums are exact DECIMAL; rank cross-products stay
+    exact DECIMAL(38,6); the final G is one double division.
+    """
+    od = _t(spark, sf_dir, "orders")
+    rev = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("r")
+    )
+    bounds = rev.agg(
+        F.min("r").alias("__lo"),
+        F.max("r").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    B = _GINI_BUCKETS
+    b = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.least(
+            F.lit(B - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("r") - F.col("__lo")).cast("double")
+                    / F.greatest(
+                        (F.col("__hi") - F.col("__lo")).cast("double")
+                        / F.lit(float(B)),
+                        F.lit(1e-12),
+                    )
+                ).cast("int"),
+            ),
+        ),
+    )
+    counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(
+        F.asc("r"), F.asc("o_custkey")
+    )
+    ranked = b.join(F.broadcast(offsets), "__bkt").withColumn(
+        "__rn", F.col("__off") + F.row_number().over(w_in)
+    )
+    return ranked.agg(
+        F.expr("MAX(__n)").alias("n_customers"),
+        F.expr("CAST(SUM(r) AS DOUBLE)").alias("total_revenue"),
+        F.expr(
+            "CAST(CAST(SUM((2 * __rn - __n - 1) * r) AS DOUBLE)"
+            " / (CAST(MAX(__n) AS DOUBLE)"
+            "    * CAST(SUM(r) AS DOUBLE)) AS DOUBLE)"
+        ).alias("gini"),
+    ).selectExpr(
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "total_revenue",
+        "gini",
+    )
+
+
+ORACLE_GINI = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS r
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT r, o_custkey,
+         ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM rev)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(r) AS DOUBLE) AS total_revenue,
+       CAST(CAST(SUM((2 * rn - n - 1) * r) AS DOUBLE)
+            / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+            AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Poisson bootstrap — distributed confidence interval for the mean
 # ---------------------------------------------------------------------------
 
@@ -941,5 +1132,13 @@ SPECS: dict[str, QuerySpec] = {
                   ORACLE_BOOTSTRAP,
                   "Poisson-bootstrap 95% CI for the mean: B=40 "
                   "replicates in one scan, hash-deterministic weights"),
+        QuerySpec("basket_part_affinity", basket_part_affinity,
+                  ORACLE_BASKET,
+                  "market-basket support/confidence/lift: order-keyed "
+                  "self-join, bounded basket fan-out"),
+        QuerySpec("customer_revenue_gini", customer_revenue_gini,
+                  ORACLE_GINI,
+                  "Gini of customer revenue via two-phase distributed "
+                  "rank (no global sort), exact decimal cross-products"),
     ]
 }

@@ -392,3 +392,81 @@ def test_bootstrap_ci_oracle_and_statistics(spark):
     assert 0.5 * clt < width < 10 * clt
     again = spec.spark(spark, SF).collect()[0]
     assert (again.ci_lo, again.ci_hi) == (row.ci_lo, row.ci_hi)
+
+
+def test_basket_affinity_oracle_and_apriori_identities(spark):
+    """Oracle twin for basket_part_affinity; support/confidence/lift
+    identities hold (confidence = support/n_a, lift symmetric in a/b
+    up to the marginals, lift > 1 for every reported pair on this
+    corpus would be suspicious — assert a mix is possible but the
+    arithmetic is exact)."""
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        BASKET_MIN_SUPPORT,
+        BASKET_TOP_K,
+        SPECS as SSPECS,
+    )
+
+    spec = SSPECS["basket_part_affinity"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    assert 0 < len(rows) <= BASKET_TOP_K
+    n_orders = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.pair_support >= BASKET_MIN_SUPPORT
+        assert r.pair_support <= min(r.n_a, r.n_b)
+        assert r.confidence_a_b == r.pair_support / r.n_a
+        assert r.lift == (r.pair_support * n_orders) / (r.n_a * r.n_b)
+
+
+def test_gini_oracle_and_inequality_semantics(spark):
+    """Oracle twin for customer_revenue_gini; G in [0, 1); a planted
+    perfectly-equal corpus gives G == 0 and a winner-takes-all corpus
+    approaches 1 - 1/n (the finite-sample maximum)."""
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        SPECS as SSPECS,
+        customer_revenue_gini,
+    )
+
+    spec = SSPECS["customer_revenue_gini"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    row = spec.spark(spark, SF).collect()[0]
+    assert 0.0 < row.gini < 1.0
+
+    import gcp_dbt_data_engineering_spark.plans.stats as S
+
+    def with_orders(rows, schema, fn):
+        df = spark.createDataFrame(rows, schema)
+        df.createOrReplaceTempView("__gini_orders")
+        orig = S.load_table
+        S.load_table = lambda sp, sf, t: (
+            sp.table("__gini_orders") if t == "orders"
+            else orig(sp, sf, t)
+        )
+        try:
+            return fn()
+        finally:
+            S.load_table = orig
+
+    schema = "o_custkey long, o_totalprice double"
+    equal = [(i, 100.0) for i in range(1, 51)]
+    g0 = with_orders(
+        equal, schema,
+        lambda: customer_revenue_gini(spark, SF).collect()[0].gini,
+    )
+    assert g0 == 0.0
+    skew = [(i, 0.01) for i in range(1, 50)] + [(50, 1_000_000.0)]
+    g1 = with_orders(
+        skew, schema,
+        lambda: customer_revenue_gini(spark, SF).collect()[0].gini,
+    )
+    assert g1 > 0.95

@@ -76,6 +76,15 @@ BUDGETS = {
     # per-day register build is the only full scan; dense grid,
     # calendar window and truth rider all run over bounded relations
     "sketch_hll_sliding_window": (12, 1),
+    # order-keyed self-join (bounded basket fan-out), marginals join
+    # broadcast-eligible at this SF, 1-row total
+    "basket_part_affinity": (14, 2),
+    # two-phase rank: bounds broadcast, per-bucket windows, <=1000-row
+    # offset stitch — no global-sort exchange
+    "customer_revenue_gini": (14, 1),
+    # 60-bit fingerprint, single-SQL compile; one groupBy(doc_id), one
+    # 5-chunk candidate join on the banded key
+    "dedup_simhash": (8, 0),
 }
 
 
