@@ -1420,6 +1420,92 @@ FROM based
 
 
 # ---------------------------------------------------------------------------
+# EWMA burst detection — exact dyadic smoothing kernel
+# ---------------------------------------------------------------------------
+
+#: truncated EWMA kernel length (alpha = 1/2: weight 2^-(k+1) on lag k)
+_EWMA_K = 16
+#: burst alarm when today's volume exceeds BURST_X x yesterday's EWMA
+_EWMA_BURST_X = 2
+
+
+def events_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=1/2) of daily event volume + burst alarm — the
+    smoothing every volume monitor runs before thresholding, bit-exact
+    across engines because the dyadic kernel is kept in INTEGERS:
+    ewma·2^K = Σ lag_k(n)·2^(K-1-k) (truncated at K lags; days with
+    shorter history use the available prefix — same in both engines),
+    so the smoothed value is an exact BIGINT dot product and the burst
+    comparison n > {X}·ewma_prev is the integer cross-product
+    n·2^K > {X}·ewma_prev_scaled. The only double is the final display
+    division by 2^K (exact power-of-two scaling).
+
+    Scale posture: the kernel runs over one row per DAY (bounded
+    relation, same discipline as CUSUM/seasonal); the heavy step is
+    the daily rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = "(ORDER BY d)"
+    scaled = " + ".join(
+        f"COALESCE(LAG(n, {k}) OVER {w}, 0)"
+        f" * CAST({1 << (_EWMA_K - 1 - k)} AS BIGINT)"
+        for k in range(_EWMA_K)
+    )
+    # windows over one-row-per-day relations: bounded by the calendar,
+    # the documented exception to the no-unpartitioned-window rule
+    return (
+        daily.selectExpr("d", "n", f"{scaled} AS ewma_scaled")
+        .selectExpr(
+            "d", "n", "ewma_scaled",
+            f"LAG(ewma_scaled) OVER {w} AS prev_scaled",
+        )
+        .selectExpr(
+            "CAST(d AS STRING) AS day",
+            "n AS n_events",
+            f"CAST(ewma_scaled AS DOUBLE) / {float(1 << _EWMA_K)!r}"
+            " AS ewma",
+            "prev_scaled IS NOT NULL AND"
+            f" n * CAST({1 << _EWMA_K} AS BIGINT)"
+            f" > {_EWMA_BURST_X} * prev_scaled AS burst",
+        )
+    )
+
+
+def _oracle_ewma() -> str:
+    w = "(ORDER BY d)"
+    scaled = " + ".join(
+        f"COALESCE(LAG(n, {k}) OVER {w}, 0)"
+        f" * CAST({1 << (_EWMA_K - 1 - k)} AS BIGINT)"
+        for k in range(_EWMA_K)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1),
+smoothed AS (
+  SELECT d, n, {scaled} AS ewma_scaled
+  FROM daily),
+lagged AS (
+  SELECT d, n, ewma_scaled,
+         LAG(ewma_scaled) OVER {w} AS prev_scaled
+  FROM smoothed)
+SELECT CAST(d AS VARCHAR) AS day,
+       n AS n_events,
+       CAST(ewma_scaled AS DOUBLE) / {float(1 << _EWMA_K)!r} AS ewma,
+       prev_scaled IS NOT NULL AND
+         n * CAST({1 << _EWMA_K} AS BIGINT)
+           > {_EWMA_BURST_X} * prev_scaled AS burst
+FROM lagged
+"""
+
+
+ORACLE_EWMA = _oracle_ewma()
+
+
+# ---------------------------------------------------------------------------
 # PSI drift — population stability index between two epochs
 # ---------------------------------------------------------------------------
 
@@ -1521,6 +1607,13 @@ SPECS: dict[str, QuerySpec] = {
         ORACLE_PSI,
         "population stability index per value bucket, epoch vs epoch "
         "(exact-int cross-products, one rounded ln)",
+    ),
+    "events_ewma_volume": QuerySpec(
+        "events_ewma_volume",
+        events_ewma_volume,
+        ORACLE_EWMA,
+        "EWMA burst detector with an exact dyadic kernel (2^-(k+1) "
+        "decimal literals; no float accumulation)",
     ),
     "events_seasonal_baseline": QuerySpec(
         "events_seasonal_baseline",

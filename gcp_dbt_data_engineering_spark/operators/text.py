@@ -1196,6 +1196,106 @@ GROUP BY doc_id
 ORACLE_NGRAM_NOVELTY = _oracle_ngram_novelty()
 
 
+# ---------------------------------------------------------------------------
+# PMI word co-occurrence — association strength over a bounded vocab
+# ---------------------------------------------------------------------------
+
+#: vocabulary cap: only the top-V words by document frequency enter
+#: the pair space, so per-doc fan-out is bounded by C(V,2) at ANY
+#: corpus size (unbounded-vocab PMI is a quadratic blow-up waiting on
+#: the first crawl shard)
+PMI_TOP_V = 32
+#: minimum co-occurring docs for a reported pair
+PMI_MIN_CO = 5
+#: pairs reported (top by co-occurrence, total-order tiebreak)
+PMI_TOP_K = 30
+
+
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in a
+    document — the collocation/association statistic (Church & Hanks
+    1990) every corpus-analysis stack ships.
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over document frequencies.
+    Plan: distinct (doc, word) restricted to the broadcast top-{V}
+    vocabulary (df-ranked, total-order tiebreak), doc-keyed self-join
+    (fan-out ≤ C(V,2) per doc — bounded, linear in corpus), pair
+    counts, broadcast marginals. The single ``ln`` rides the
+    DECIMAL(28,9) rounding recipe; its argument is a ratio of exact
+    BIGINT cross-products.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.selectExpr(
+            "doc_id", f"explode({th.words('text', 'spark')}) AS w"
+        )
+        .distinct()
+    )
+    topv = F.broadcast(
+        dw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .orderBy(F.desc("n_w"), "w")
+        .limit(PMI_TOP_V)
+    )
+    dv = dw.join(topv, "w").select("doc_id", "w", "n_w")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    a = dv.selectExpr("doc_id", "w AS word_a", "n_w AS n_a")
+    b = dv.selectExpr("doc_id", "w AS word_b", "n_w AS n_b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_CO)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "word_a",
+            "word_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "CAST(CAST(ln("
+            "  CAST(n_ab * __nd AS DOUBLE)"
+            "  / CAST(n_a * n_b AS DOUBLE)"
+            ") AS DECIMAL(28,9)) AS DOUBLE) AS pmi",
+        )
+        .orderBy(F.desc("n_ab"), "word_a", "word_b")
+        .limit(PMI_TOP_K)
+    )
+
+
+def _oracle_pmi() -> str:
+    w = th.words("text", "duck")
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({w}) AS w FROM documents),
+topv AS (
+  SELECT w, COUNT(*) AS n_w FROM dw GROUP BY w
+  ORDER BY COUNT(*) DESC, w LIMIT {PMI_TOP_V}),
+dv AS (SELECT doc_id, dw.w, n_w FROM dw JOIN topv ON dw.w = topv.w),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.w AS word_a, b.w AS word_b, a.n_w AS n_a, b.n_w AS n_b,
+         COUNT(*) AS n_ab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {PMI_MIN_CO})
+SELECT word_a, word_b, n_ab, n_a, n_b,
+       CAST(CAST(ln(
+         CAST(n_ab * n_docs AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE)
+       ) AS DECIMAL(28,9)) AS DOUBLE) AS pmi
+FROM pairs, nd
+ORDER BY n_ab DESC, word_a, word_b
+LIMIT {PMI_TOP_K}
+"""
+
+
+ORACLE_PMI = _oracle_pmi()
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in (
@@ -1239,6 +1339,11 @@ SPECS: dict[str, QuerySpec] = {
             "text_ngram_novelty", text_ngram_novelty, ORACLE_NGRAM_NOVELTY,
             "share of a doc's 3-gram shingles unique to it corpus-wide "
             "(template detector; no candidate pairs needed)",
+        ),
+        QuerySpec(
+            "text_pmi_cooccurrence", text_pmi_cooccurrence, ORACLE_PMI,
+            "PMI word collocations over a bounded top-V vocabulary "
+            "(doc-keyed self-join, fan-out <= C(V,2))",
         ),
     )
 }

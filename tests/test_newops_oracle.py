@@ -470,3 +470,79 @@ def test_gini_oracle_and_inequality_semantics(spark):
         lambda: customer_revenue_gini(spark, SF).collect()[0].gini,
     )
     assert g1 > 0.95
+
+
+def test_pmi_oracle_and_collocation_identities(spark):
+    """Oracle twin for text_pmi_cooccurrence; PMI arithmetic identities
+    hold and the vocabulary cap is honored."""
+    import math
+
+    from gcp_dbt_data_engineering_spark.operators.text import (
+        PMI_MIN_CO,
+        PMI_TOP_K,
+        SPECS as TSPECS,
+    )
+
+    spec = TSPECS["text_pmi_cooccurrence"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows:
+        assert r.word_a < r.word_b
+        assert r.n_ab >= PMI_MIN_CO
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        truth = math.log(r.n_ab * n_docs / (r.n_a * r.n_b))
+        assert abs(r.pmi - truth) < 1e-8  # one DECIMAL(28,9) rounding
+
+
+def test_ewma_oracle_and_planted_burst(spark):
+    """Oracle twin for events_ewma_volume; the scaled-integer kernel
+    equals the float EWMA to kernel-truncation accuracy; a planted
+    5x volume day must raise the burst flag (and only it)."""
+    from gcp_dbt_data_engineering_spark.operators.dq import (
+        SPECS as DQS,
+        events_ewma_volume,
+    )
+
+    spec = DQS["events_ewma_volume"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = sorted(spec.spark(spark, SF).collect(), key=lambda r: r.day)
+    # float cross-check (kernel truncated at 16 lags -> ~2^-16 tail)
+    ns = [r.n_events for r in rows]
+    for i, r in enumerate(rows):
+        truth = sum(
+            ns[i - k] * 2.0 ** -(k + 1) for k in range(min(i + 1, 16))
+        )
+        assert abs(r.ewma - truth) < 1e-9
+    assert not any(r.burst for r in rows)  # stationary corpus
+
+    # positive control: one day at 5x volume
+    import gcp_dbt_data_engineering_spark.operators.dq as DQ
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    spike_day = rows[10].day
+    boosted = ev.unionByName(
+        ev.filter(F.expr(f"CAST(ts AS DATE) = DATE '{spike_day}'"))
+        .limit(10**9)
+        .crossJoin(spark.range(4))
+        .drop("id")
+    )
+    boosted.createOrReplaceTempView("__ewma_boosted")
+    orig = DQ.load_table
+    try:
+        DQ.load_table = lambda sp, sf, t: (
+            sp.table("__ewma_boosted") if t == "events"
+            else orig(sp, sf, t)
+        )
+        rows2 = {r.day: r for r in events_ewma_volume(spark, SF).collect()}
+    finally:
+        DQ.load_table = orig
+    assert rows2[spike_day].burst
+    later = [r for d, r in rows2.items() if d > spike_day]
+    assert sum(1 for r in later if r.burst) == 0  # decay absorbs it

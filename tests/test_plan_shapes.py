@@ -85,6 +85,10 @@ BUDGETS = {
     # 60-bit fingerprint, single-SQL compile; one groupBy(doc_id), one
     # 5-chunk candidate join on the banded key
     "dedup_simhash": (8, 0),
+    # top-V vocab broadcast, doc-keyed self-join, broadcast total
+    "text_pmi_cooccurrence": (13, 2),
+    # daily rollup + bounded calendar windows
+    "events_ewma_volume": (2, 0),
 }
 
 
