@@ -729,6 +729,178 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Cohort LTV matrix — first-order cohort x order month revenue
+# ---------------------------------------------------------------------------
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime-value matrix: customers grouped by
+    their FIRST order month, revenue tracked per subsequent month —
+    the cohort table every growth dashboard opens with (months_since
+    lets the consumer pivot to the triangular view).
+
+    Plan: one agg for each customer's cohort month (min over orders),
+    joined back on o_custkey (at this dim/fact ratio Spark picks the
+    broadcast; at 100 TB both sides shuffle on the SAME key, so the
+    join is co-partitioned with the upstream agg), then the
+    (cohort, month) rollup. months_since is pure integer month
+    arithmetic; revenue is the exact-decimal money sum.
+    """
+    od = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_totalprice",
+        "YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS m",
+    )
+    first = od.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        od.join(first, "o_custkey")
+        .groupBy("m0", "m")
+        .agg(
+            money_sum(F.col("o_totalprice"), "revenue"),
+            F.countDistinct("o_custkey").alias("n_active"),
+        )
+        .selectExpr(
+            "CAST(m0 div 12 AS BIGINT) * 100 + (m0 % 12) + 1"
+            " AS cohort_month",
+            "CAST(m - m0 AS BIGINT) AS months_since",
+            "n_active",
+            "revenue",
+        )
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+WITH od AS (
+  SELECT o_custkey, o_totalprice,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS m
+  FROM orders),
+first AS (
+  SELECT o_custkey, MIN(m) AS m0 FROM od GROUP BY 1)
+SELECT CAST(m0 // 12 AS BIGINT) * 100 + (m0 % 12) + 1 AS cohort_month,
+       CAST(m - m0 AS BIGINT) AS months_since,
+       CAST(COUNT(DISTINCT od.o_custkey) AS BIGINT) AS n_active,
+       {sql_money_sum('o_totalprice', 'revenue')}
+FROM od JOIN first ON od.o_custkey = first.o_custkey
+GROUP BY m0, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Runs test — Wald–Wolfowitz randomness check on daily volume deltas
+# ---------------------------------------------------------------------------
+
+
+def dq_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test over the SIGNS of day-over-day volume
+    deltas — the nonparametric "is this series random or trending /
+    oscillating" check a monitoring stack runs beside the magnitude
+    detectors (CUSUM/EWMA catch level shifts; the runs test catches
+    autocorrelation with NO distributional assumption).
+
+    Exactness: signs, run count, and n+/n− are integers from one lag
+    window over the bounded per-day relation; the expected-runs and
+    variance terms are single IEEE expressions over exact integers,
+    and the z-score's sqrt rides the DECIMAL(28,9) rounding recipe
+    (the established cross-engine libm rule). Zero deltas drop (the
+    standard treatment). Output is ONE row: observed vs expected runs
+    and the |z| > 1.96 verdict.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = "(ORDER BY d)"
+    signs = (
+        daily.selectExpr("d", "n", f"LAG(n) OVER {w} AS prev")
+        .filter("prev IS NOT NULL AND n <> prev")
+        .selectExpr(
+            "d", "CASE WHEN n > prev THEN 1 ELSE 0 END AS up"
+        )
+    )
+    runs = signs.selectExpr(
+        "d", "up", "LAG(up) OVER (ORDER BY d) AS pup"
+    )
+    return (
+        runs.agg(
+            F.expr(
+                "SUM(CASE WHEN pup IS NULL OR up <> pup"
+                " THEN 1 ELSE 0 END)"
+            ).alias("n_runs"),
+            F.expr("SUM(up)").alias("n_up"),
+            F.expr("SUM(1 - up)").alias("n_down"),
+        )
+        .selectExpr(
+            "n_runs",
+            "n_up",
+            "n_down",
+            "1.0 + 2.0 * CAST(n_up * n_down AS DOUBLE)"
+            " / CAST(n_up + n_down AS DOUBLE) AS expected_runs",
+            "CAST(2 * n_up * n_down"
+            "     * (2 * n_up * n_down - n_up - n_down) AS DOUBLE)"
+            " / (CAST((n_up + n_down) * (n_up + n_down) AS DOUBLE)"
+            "    * CAST(n_up + n_down - 1 AS DOUBLE)) AS var_runs",
+        )
+        .selectExpr(
+            "n_runs",
+            "n_up",
+            "n_down",
+            "expected_runs",
+            # var_runs = 0 iff the series is one-sided (n_up or n_down
+            # is 0): z is undefined and a monotone run of any length
+            # >= 10 is trivially nonrandom
+            "CASE WHEN var_runs > 0 THEN"
+            " (CAST(n_runs AS DOUBLE) - expected_runs)"
+            " / CAST(CAST(sqrt(var_runs) AS DECIMAL(28,9)) AS DOUBLE)"
+            " END AS z",
+            "CASE WHEN var_runs > 0 THEN"
+            " abs((CAST(n_runs AS DOUBLE) - expected_runs)"
+            " / CAST(CAST(sqrt(var_runs) AS DECIMAL(28,9)) AS DOUBLE))"
+            " > 1.96"
+            " ELSE n_up + n_down >= 10 END AS nonrandom",
+        )
+    )
+
+
+ORACLE_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1),
+signs AS (
+  SELECT d, CASE WHEN n > prev THEN 1 ELSE 0 END AS up
+  FROM (SELECT d, n, LAG(n) OVER (ORDER BY d) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND n <> prev),
+runs AS (
+  SELECT up, LAG(up) OVER (ORDER BY d) AS pup FROM signs),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN pup IS NULL OR up <> pup THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs,
+         CAST(SUM(up) AS BIGINT) AS n_up,
+         CAST(SUM(1 - up) AS BIGINT) AS n_down
+  FROM runs),
+terms AS (
+  SELECT n_runs, n_up, n_down,
+         1.0 + 2.0 * CAST(n_up * n_down AS DOUBLE)
+           / CAST(n_up + n_down AS DOUBLE) AS expected_runs,
+         CAST(2 * n_up * n_down
+              * (2 * n_up * n_down - n_up - n_down) AS DOUBLE)
+           / (CAST((n_up + n_down) * (n_up + n_down) AS DOUBLE)
+              * CAST(n_up + n_down - 1 AS DOUBLE)) AS var_runs
+  FROM agg)
+SELECT n_runs, n_up, n_down, expected_runs,
+       CASE WHEN var_runs > 0 THEN
+         (CAST(n_runs AS DOUBLE) - expected_runs)
+           / CAST(CAST(sqrt(var_runs) AS DECIMAL(28,9)) AS DOUBLE)
+       END AS z,
+       CASE WHEN var_runs > 0 THEN
+         abs((CAST(n_runs AS DOUBLE) - expected_runs)
+           / CAST(CAST(sqrt(var_runs) AS DECIMAL(28,9)) AS DOUBLE))
+           > 1.96
+       ELSE n_up + n_down >= 10 END AS nonrandom
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Market-basket affinity — support / confidence / lift on order baskets
 # ---------------------------------------------------------------------------
 
@@ -1140,5 +1312,13 @@ SPECS: dict[str, QuerySpec] = {
                   ORACLE_GINI,
                   "Gini of customer revenue via two-phase distributed "
                   "rank (no global sort), exact decimal cross-products"),
+        QuerySpec("orders_cohort_ltv", orders_cohort_ltv,
+                  ORACLE_COHORT_LTV,
+                  "first-order-month cohort x month LTV matrix "
+                  "(co-partitioned cohort join, exact money sums)"),
+        QuerySpec("dq_runs_test", dq_runs_test,
+                  ORACLE_RUNS_TEST,
+                  "Wald-Wolfowitz runs test on daily volume deltas "
+                  "(integer runs/signs, one rounded sqrt)"),
     ]
 }

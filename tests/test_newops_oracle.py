@@ -546,3 +546,80 @@ def test_ewma_oracle_and_planted_burst(spark):
     assert rows2[spike_day].burst
     later = [r for d, r in rows2.items() if d > spike_day]
     assert sum(1 for r in later if r.burst) == 0  # decay absorbs it
+
+
+def test_cohort_ltv_oracle_and_matrix_identities(spark):
+    """Oracle twin for orders_cohort_ltv; the matrix reconciles with
+    the raw table: total revenue and per-cohort month-0 activity match
+    first-order facts."""
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        SPECS as SSPECS,
+    )
+
+    spec = SSPECS["orders_cohort_ltv"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    rows = spec.spark(spark, SF).collect()
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    total = float(
+        od.selectExpr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) t"
+        ).collect()[0].t
+    )
+    # float sum over 1.8k cohort cells: allow accumulation ulps
+    assert abs(sum(r.revenue for r in rows) - total) < 1e-4
+    assert all(r.months_since >= 0 for r in rows)
+    # month 0 exists for every cohort (a cohort is BORN with activity)
+    cohorts = {r.cohort_month for r in rows}
+    m0 = {r.cohort_month for r in rows if r.months_since == 0}
+    assert cohorts == m0
+
+
+def test_runs_test_oracle_and_controls(spark):
+    """Oracle twin for dq_runs_test; a planted strictly-alternating
+    series maximizes runs (z >> 1.96) and a monotone series minimizes
+    them (z << -1.96); the stationary corpus is not flagged."""
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        SPECS as SSPECS,
+        dq_runs_test,
+    )
+
+    spec = SSPECS["dq_runs_test"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+    base = spec.spark(spark, SF).collect()[0]
+    assert not base.nonrandom  # stationary synthetic corpus
+
+    import datetime
+
+    import gcp_dbt_data_engineering_spark.plans.stats as S
+
+    def with_events(counts, fn):
+        rows = []
+        eid = 0
+        for i, c in enumerate(counts):
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(i)
+            for _ in range(c):
+                rows.append((eid, ts))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        df.createOrReplaceTempView("__runs_events")
+        orig = S.load_table
+        S.load_table = lambda sp, sf, t: (
+            sp.table("__runs_events") if t == "events"
+            else orig(sp, sf, t)
+        )
+        try:
+            return fn()
+        finally:
+            S.load_table = orig
+
+    zig = [3 if i % 2 else 1 for i in range(40)]  # alternating
+    r = with_events(zig, lambda: dq_runs_test(spark, SF).collect()[0])
+    assert r.nonrandom and r.z > 1.96
+    mono = list(range(1, 41))  # strictly increasing: ONE run
+    r2 = with_events(mono, lambda: dq_runs_test(spark, SF).collect()[0])
+    # one-sided series: variance degenerates, z undefined, trivially
+    # nonrandom
+    assert r2.n_runs == 1 and r2.nonrandom and r2.z is None

@@ -89,6 +89,10 @@ BUDGETS = {
     "text_pmi_cooccurrence": (13, 2),
     # daily rollup + bounded calendar windows
     "events_ewma_volume": (2, 0),
+    # cohort-month agg + co-partitioned custkey join + matrix rollup
+    "orders_cohort_ltv": (5, 1),
+    # daily rollup + two bounded calendar lags + 1-row agg
+    "dq_runs_test": (2, 0),
 }
 
 
