@@ -292,6 +292,68 @@ FROM z GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction — the routine 100 TB table-maintenance op
+# ---------------------------------------------------------------------------
+
+#: fragmentation of the staged input (shards of the orders table)
+COMPACT_SHARDS = 64
+#: target rows per compacted file (the deterministic stand-in for a
+#: bytes-per-file target: parquet byte sizes vary with encoder
+#: versions, row counts do not)
+COMPACT_ROWS_PER_FILE = 4096
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: read a fragmented table ({S} shard files
+    — the state every streaming/incremental ingest leaves behind),
+    rewrite it as ceil(rows / {R}) right-sized files, and prove the
+    rewrite changed LAYOUT, never CONTENT. At 100 TB this is the
+    maintenance job that keeps scan task counts (and NameNode/manifest
+    pressure) sane; the proof obligation — content-identical before
+    and after — is exactly what the oracle checks by aggregating the
+    raw table.
+
+    The fragmented input stages once per sf_dir (repartition({S}) on
+    the write); compaction runs every call (it IS the measured op):
+    one wide repartition to the target file count, then a parquet
+    rewrite + read-back. Output: row count + exact revenue checksum
+    computed FROM THE COMPACTED FILES, so any row lost or doubled by
+    the rewrite breaks the oracle match.
+    """
+    frag = f"{ART}/{_sf_tag(sf_dir)}_fragmented_orders"
+    if not _have(frag):
+        load_table(spark, sf_dir, "orders").repartition(
+            COMPACT_SHARDS
+        ).write.mode("overwrite").parquet(frag)
+    df = spark.read.parquet(frag)
+    n = df.count()
+    target = max(1, -(-n // COMPACT_ROWS_PER_FILE))
+    compacted = f"{ART}/{_sf_tag(sf_dir)}_compacted_orders"
+    df.repartition(target).write.mode("overwrite").parquet(compacted)
+    out = spark.read.parquet(compacted)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("o_totalprice"), "revenue_checksum"),
+        F.countDistinct("o_orderkey").alias("n_distinct_keys"),
+    ).selectExpr(
+        "n_rows",
+        f"CAST({target} AS BIGINT) AS n_files_target",
+        "n_distinct_keys",
+        "revenue_checksum",
+    )
+
+
+ORACLE_COMPACT = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(GREATEST(1, CAST(ceil(COUNT(*) / {COMPACT_ROWS_PER_FILE}.0)
+            AS BIGINT)) AS BIGINT) AS n_files_target,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_keys,
+       {sql_money_sum('o_totalprice', 'revenue_checksum')}
+FROM orders
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -307,5 +369,10 @@ SPECS: dict[str, QuerySpec] = {
                   ORACLE_ZORDER,
                   "Morton-clustered layout: per-cell (user, minute) "
                   "bounding boxes, the file-skipping quantity"),
+        QuerySpec("compact_small_files", compact_small_files,
+                  ORACLE_COMPACT,
+                  "small-file compaction: 64 shards -> right-sized "
+                  "files, content-identity proven against the raw "
+                  "table", kind="materialization", batches=1),
     ]
 }

@@ -623,3 +623,34 @@ def test_runs_test_oracle_and_controls(spark):
     # one-sided series: variance degenerates, z undefined, trivially
     # nonrandom
     assert r2.n_runs == 1 and r2.nonrandom and r2.z is None
+
+
+def test_compact_small_files_oracle_and_layout(spark):
+    """Oracle twin for compact_small_files; the rewrite really
+    compacts (fragmented shard count -> ceil(rows/target) files on
+    disk) and preserves content exactly."""
+    import glob
+
+    from gcp_dbt_data_engineering_spark.plans.layout import (
+        ART,
+        COMPACT_ROWS_PER_FILE,
+        COMPACT_SHARDS,
+        SPECS as LSPECS,
+        _sf_tag,
+    )
+
+    spec = LSPECS["compact_small_files"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    tag = _sf_tag(SF)
+    frag = glob.glob(f"{ART}/{tag}_fragmented_orders/*.parquet")
+    comp = glob.glob(f"{ART}/{tag}_compacted_orders/*.parquet")
+    assert len(frag) == COMPACT_SHARDS
+    n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert len(comp) == max(1, -(-n // COMPACT_ROWS_PER_FILE))
+    assert len(comp) < len(frag)
+    # content identity beyond the checksum: full anti-join is empty
+    a = spark.read.parquet(f"{ART}/{tag}_compacted_orders")
+    b = spark.read.parquet(f"{SF}/orders.parquet")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
