@@ -195,3 +195,65 @@ def test_psi_drift_oracle_and_injected_drift(spark):
     finally:
         DQ.load_table = orig
     assert drifted_psi > 0.25
+
+
+def test_poisson_bootstrap_weight_distribution(spark):
+    """The avalanched per-(row, replicate) hash draws weights whose
+    empirical frequencies match Poisson(1) — the property the CI's
+    validity rests on (and the one the banded raw polyhash violated:
+    a whole replicate drew weight 0 at sf0.001)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from gcp_dbt_data_engineering_spark.operators import texthash as th
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        BOOT_B,
+        _boot_mix,
+        _boot_weight_case,
+    )
+
+    h0 = _boot_mix(
+        th.polyhash("concat('boot', CAST(id AS STRING))", "spark"),
+        "spark",
+    )
+    hr = f"((((r + 1) * {th._A0}) % {th.P}) * h0 + r) % {th.P}"
+    n = 20_000
+    freq = {
+        r.m: r.c
+        for r in (
+            spark.range(n)
+            .selectExpr(f"{h0} AS h0")
+            .selectExpr(
+                f"explode(sequence(CAST(0 AS BIGINT), {BOOT_B - 1}))"
+                " AS r",
+                "h0",
+            )
+            .selectExpr(f"{_boot_weight_case(hr)} AS m")
+            .groupBy("m")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+    }
+    total = n * BOOT_B
+    pmf = math.exp(-1.0)
+    for k in range(4):  # k=0..3 carry 98% of the mass
+        p_emp = freq.get(k, 0) / total
+        assert abs(p_emp - pmf) < 0.01, (k, p_emp, pmf)
+        pmf /= k + 1
+    # per-replicate totals: none degenerate (the ADVICE-r6-era bug)
+    per_r = (
+        spark.range(n)
+        .selectExpr(f"{h0} AS h0")
+        .selectExpr(
+            f"explode(sequence(CAST(0 AS BIGINT), {BOOT_B - 1})) AS r",
+            "h0",
+        )
+        .selectExpr("r", f"{_boot_weight_case(hr)} AS m")
+        .groupBy("r")
+        .agg(F.sum("m").alias("s"))
+        .collect()
+    )
+    assert all(r.s > 0 for r in per_r)
+    # and replicate totals concentrate around n (Poisson sums)
+    assert all(abs(r.s - n) < 5 * math.sqrt(n) for r in per_r)

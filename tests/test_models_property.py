@@ -96,3 +96,55 @@ def test_model_graph_matches_duckdb_replay(spark, gm):
             tuple(int(x) for x in row) for row in df.collect()
         )
         assert got == expected[name], name
+
+
+def test_quote_aware_arg_split_roundtrip_property():
+    """Property (ADVICE r6 fix): the quote-aware splitter is the exact
+    inverse of a comma-join — segments rejoin to the original text —
+    and never splits inside a quoted region (balanced quotes)."""
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        _split_args_quote_aware,
+    )
+
+    seg_chars = st.text(
+        alphabet="abc_ 09().", min_size=0, max_size=8
+    )
+    quoted = st.builds(
+        lambda body, q: q + body.replace(q, q * 2) + q,
+        st.text(alphabet="abc, ':\"", min_size=0, max_size=8),
+        st.sampled_from(["'", '"']),
+    )
+    segment = st.lists(
+        st.one_of(seg_chars, quoted), min_size=0, max_size=3
+    ).map("".join)
+
+    @settings(
+        max_examples=300,
+        deadline=None,
+        suppress_health_check=[HealthCheck.filter_too_much],
+    )
+    @given(st.lists(segment, min_size=1, max_size=4))
+    def check(segments):
+        text = ",".join(segments)
+        parts = _split_args_quote_aware(text)
+        # roundtrip is ALWAYS exact
+        assert ",".join(parts) == text
+        # a comma inside a quoted region never splits: every part has
+        # balanced quote state (scan ends outside a literal)
+        for part in parts:
+            quote = None
+            i = 0
+            while i < len(part):
+                ch = part[i]
+                if quote is None:
+                    if ch in "'\"":
+                        quote = ch
+                elif ch == quote:
+                    if i + 1 < len(part) and part[i + 1] == quote:
+                        i += 1
+                    else:
+                        quote = None
+                i += 1
+            assert quote is None, part
+
+    check()
