@@ -901,6 +901,101 @@ FROM terms
 
 
 # ---------------------------------------------------------------------------
+# Chi-squared independence — contingency test between two dimensions
+# ---------------------------------------------------------------------------
+
+#: chi-squared critical value at alpha = 0.05 for (5-1)x(3-1) = 8 dof
+#: (the fixed contingency shape of priority x status); inlined as a
+#: literal so no engine evaluates an inverse-CDF
+_CHI2_CRIT_8DOF = 15.50731305586545
+
+
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between order priority
+    and order status — the categorical-drift / segmentation-sanity
+    check (are the dimensions independent, or does one priority class
+    attract a different status mix?).
+
+    Exactness: observed counts O, row totals R, column totals C and
+    the grand total N are exact BIGINTs; each cell's statistic uses
+    the integer identity (O·N − R·C)²/(N·R·C), evaluated as ONE fixed
+    double expression over exact integers and rounded through
+    DECIMAL(28,9) so the 15-cell sum is an exact decimal fold
+    (double summation order would be shuffle-dependent). The verdict
+    compares against the inlined 8-dof critical value — no inverse
+    CDF in either engine.
+
+    Plan: one grouped count (map-side partials), window row/column
+    totals over the ≤15-cell relation, a 1-row final fold.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cells = od.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    totals = cells.selectExpr(
+        "p",
+        "s",
+        "o",
+        "SUM(o) OVER (PARTITION BY p) AS r",
+        "SUM(o) OVER (PARTITION BY s) AS c",
+        "SUM(o) OVER () AS n",
+    )
+    term = (
+        "CAST(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) AS DOUBLE)"
+    )
+    return (
+        totals.selectExpr(
+            "p",
+            "s",
+            "o",
+            f"CAST(({term}) * ({term})"
+            " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)"
+            "    * CAST(c AS DOUBLE)) AS DECIMAL(28,9)) AS cell_chi2",
+        )
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cells"),
+            F.expr("CAST(SUM(cell_chi2) AS DOUBLE)").alias("chi2"),
+        )
+        .selectExpr(
+            "n_cells",
+            "chi2",
+            "CAST(8 AS BIGINT) AS dof",
+            f"chi2 > {_CHI2_CRIT_8DOF!r} AS dependent",
+        )
+    )
+
+
+ORACLE_CHI2 = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2),
+totals AS (
+  SELECT p, s, o,
+         SUM(o) OVER (PARTITION BY p) AS r,
+         SUM(o) OVER (PARTITION BY s) AS c,
+         SUM(o) OVER () AS n
+  FROM cells),
+terms AS (
+  SELECT CAST(
+           (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+              * CAST(c AS DOUBLE)) AS DECIMAL(28,9)) AS cell_chi2
+  FROM totals)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell_chi2) AS DOUBLE) AS chi2,
+       CAST(8 AS BIGINT) AS dof,
+       CAST(SUM(cell_chi2) AS DOUBLE) > {_CHI2_CRIT_8DOF!r}
+         AS dependent
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Market-basket affinity — support / confidence / lift on order baskets
 # ---------------------------------------------------------------------------
 
@@ -1320,5 +1415,10 @@ SPECS: dict[str, QuerySpec] = {
                   ORACLE_RUNS_TEST,
                   "Wald-Wolfowitz runs test on daily volume deltas "
                   "(integer runs/signs, one rounded sqrt)"),
+        QuerySpec("dq_chi2_independence", dq_chi2_independence,
+                  ORACLE_CHI2,
+                  "Pearson chi-squared independence of priority x "
+                  "status (decimal-rounded cell terms, inlined "
+                  "critical value)"),
     ]
 }

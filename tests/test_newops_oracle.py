@@ -654,3 +654,61 @@ def test_compact_small_files_oracle_and_layout(spark):
     a = spark.read.parquet(f"{ART}/{tag}_compacted_orders")
     b = spark.read.parquet(f"{SF}/orders.parquet")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_chi2_oracle_and_scipy_free_controls(spark):
+    """Oracle twin for dq_chi2_independence; statistic matches the
+    textbook O/E formulation in Python; a planted dependent table
+    (status fully determined by priority) flips the verdict."""
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        SPECS as SSPECS,
+        dq_chi2_independence,
+    )
+
+    spec = SSPECS["dq_chi2_independence"]
+    res = compare(spec.spark(spark, SF), spec.oracle, SF)
+    assert res["match"], res
+
+    row = spec.spark(spark, SF).collect()[0]
+    # python ground truth from the raw contingency table
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    cells = {
+        (r.p, r.s): r.o
+        for r in od.selectExpr(
+            "o_orderpriority AS p", "o_orderstatus AS s"
+        ).groupBy("p", "s").count().withColumnRenamed("count", "o")
+        .collect()
+    }
+    ps = sorted({p for p, _ in cells})
+    ss = sorted({s for _, s in cells})
+    n = sum(cells.values())
+    chi2 = 0.0
+    for p in ps:
+        for s in ss:
+            o = cells.get((p, s), 0)
+            e = sum(cells.get((p, x), 0) for x in ss) * sum(
+                cells.get((y, s), 0) for y in ps
+            ) / n
+            if e:
+                chi2 += (o - e) ** 2 / e
+    assert abs(row.chi2 - chi2) < 1e-6
+    assert not row.dependent  # synthetic dims are independent
+
+    # positive control: status a deterministic function of priority
+    import gcp_dbt_data_engineering_spark.plans.stats as S
+    import pyspark.sql.functions as F
+
+    dep = od.withColumn(
+        "o_orderstatus",
+        F.expr("CASE WHEN o_orderpriority < '3' THEN 'F' ELSE 'O' END"),
+    )
+    dep.createOrReplaceTempView("__chi2_dep")
+    orig = S.load_table
+    try:
+        S.load_table = lambda sp, sf, t: (
+            sp.table("__chi2_dep") if t == "orders" else orig(sp, sf, t)
+        )
+        r2 = dq_chi2_independence(spark, SF).collect()[0]
+    finally:
+        S.load_table = orig
+    assert r2.dependent and r2.chi2 > 1000

@@ -93,6 +93,8 @@ BUDGETS = {
     "orders_cohort_ltv": (5, 1),
     # daily rollup + two bounded calendar lags + 1-row agg
     "dq_runs_test": (2, 0),
+    # one grouped count + windows over the <=15-cell relation
+    "dq_chi2_independence": (3, 0),
 }
 
 
