@@ -576,9 +576,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.2 s of driver CPU per build; the single-SQL form is 0.5 s and
     # executes ~1 s faster) — the round-2 "compile to SQL text
     # end-to-end" discipline applied here.
-    _shingle_rows(spark, sf_dir).createOrReplaceTempView(
-        "__graft_simhash_sh"
-    )
+    # Per-call unique view name, dropped before returning (ADVICE r7):
+    # a fixed session-global name was silently overwritten by
+    # concurrent/interleaved calls and leaked afterward. Dropping is
+    # safe immediately — spark.sql resolves the view at ANALYSIS time,
+    # so the returned DataFrame's plan no longer needs the catalog
+    # entry.
+    import uuid
+
+    view = f"__graft_simhash_sh_{uuid.uuid4().hex}"
+    _shingle_rows(spark, sf_dir).createOrReplaceTempView(view)
     sign_cols = ",\n       ".join(
         f"SUM(CASE WHEN {_sim_bit(j, 'spark')} = 1 THEN 1 ELSE -1 END)"
         f" AS s{j}"
@@ -601,10 +608,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiset — on chunk-saturated corpora that multiset dominated
     # the whole spec (measured pre-widening at the 500k-doc sf10:
     # 17 min, almost all in the pre-filter distinct).
-    return spark.sql(f"""
+    df = spark.sql(f"""
 WITH shx AS (SELECT doc_id, h,
                     (({_SIM_A2} * h + {_SIM_B2}) % {th.P}) AS h2
-             FROM __graft_simhash_sh),
+             FROM {view}),
 signs AS (SELECT doc_id,
        {sign_cols}
        FROM shx GROUP BY doc_id),
@@ -621,6 +628,8 @@ FROM (
     ON a.k = b.k AND a.ck = b.ck AND a.doc_id < b.doc_id)
 WHERE hamming <= {HAMMING_T}
 """)
+    spark.catalog.dropTempView(view)
+    return df
 
 
 def _sql_chunk_values() -> str:

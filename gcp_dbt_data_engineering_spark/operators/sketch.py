@@ -909,13 +909,21 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples WITHOUT touching the raw rows again.
 
     A = customers with an order before {epoch}, B = on/after. Each
-    sketch keeps its k smallest distinct key hashes; θ = min of the two
-    kth minima. Every hash below θ is a uniform sample of the union, so
-    any set expression is estimated as (matching sample hashes) / (θ/P)
-    — the sketch algebra that lets a 100 TB pipeline answer arbitrary
-    audience/overlap queries from per-shard KB-sized states. Exact
-    counts ride along for error inspection (drop them at scale — they
-    are the expensive half).
+    sketch keeps its k smallest distinct key hashes; a FULL sketch's
+    θ is its kth minimum, while an under-full sketch (fewer than k
+    distinct keys) is EXACT and its θ is P — the standard theta-sketch
+    convention (ADVICE r7: taking θ = max sample hash for an
+    under-full set both biased the estimate and let the strict h < θ
+    filter drop the θ-defining member itself on small inputs; with
+    θ = P in exact mode the strict filter keeps every member, and for
+    full sketches it correctly retains the k−1 hashes below the kth
+    minimum — the unbiased (k−1)/θ̂ estimator). θ = least of the
+    per-set θs. Every hash below θ is a uniform sample of the union,
+    so any set expression is estimated as (matching sample hashes)
+    / (θ/P) — the sketch algebra that lets a 100 TB pipeline answer
+    arbitrary audience/overlap queries from per-shard KB-sized states.
+    Exact counts ride along for error inspection (drop them at scale —
+    they are the expensive half).
 
     Plan: one distinct over (set, hash) → per-set top-k via a 2-
     partition window → a ≤2k-row membership aggregate joined to a
@@ -933,11 +941,17 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = sh.withColumn(
         "rn", F.row_number().over(Window.partitionBy("s").orderBy("h"))
     ).filter(F.col("rn") <= KMV_SET_K)
-    theta = topk.groupBy().agg(
-        F.least(
-            F.max(F.expr("CASE WHEN s = 'A' THEN h END")),
-            F.max(F.expr("CASE WHEN s = 'B' THEN h END")),
-        ).alias("theta")
+    theta = (
+        topk.groupBy("s")
+        .agg(F.count("h").alias("n"), F.max("h").alias("mx"))
+        .agg(
+            F.min(
+                F.expr(
+                    f"CASE WHEN n < {KMV_SET_K}"
+                    f" THEN CAST({P} AS BIGINT) ELSE mx END"
+                )
+            ).alias("theta")
+        )
     )
     memb = topk.groupBy("h").agg(
         F.max(F.expr("CASE WHEN s = 'A' THEN 1 ELSE 0 END")).alias("in_a"),
@@ -1008,9 +1022,9 @@ topk AS (
     FROM sh)
   WHERE rn <= {KMV_SET_K}),
 theta AS (
-  SELECT LEAST(MAX(CASE WHEN s = 'A' THEN h END),
-               MAX(CASE WHEN s = 'B' THEN h END)) AS theta
-  FROM topk),
+  SELECT MIN(CASE WHEN n < {KMV_SET_K}
+             THEN CAST({P} AS BIGINT) ELSE mx END) AS theta
+  FROM (SELECT s, COUNT(*) AS n, MAX(h) AS mx FROM topk GROUP BY s)),
 memb AS (
   SELECT h,
          MAX(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS in_a,

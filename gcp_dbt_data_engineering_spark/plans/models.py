@@ -521,11 +521,30 @@ class ModelGraph:
         model (ADVICE r6: ``--select model_x`` where model_x refs a
         seed must not fail in a fresh session just because the seed
         node itself wasn't selected — dbt can assume a persistent
-        warehouse; this engine's temp views are per-session)."""
+        warehouse; this engine's temp views are per-session).
+
+        Walks refs TRANSITIVELY through ephemeral ancestors (ADVICE
+        r7): an ephemeral model always renders and inlines its SQL
+        into its consumers, so a seed it refs is referenced by the
+        selected model's final text one hop removed — it must be
+        loaded even though the selected model never refs it directly.
+        Non-ephemeral ancestors stop the walk: their relations must
+        already exist per run()'s contract, seeds included."""
         needed = {s for s in self.seeds if s in selected}
-        for name in selected:
-            if name in self.models:
-                needed |= set(self.models[name].refs) & set(self.seeds)
+
+        def _ephemeral(n: str) -> bool:
+            _, cfg = self.models[n].render(self._defaults_for(n))
+            return cfg.get("materialized", "view") == "ephemeral"
+
+        stack = [n for n in selected if n in self.models]
+        seen = set(stack)
+        while stack:
+            for r in self.models[stack.pop()].refs:
+                if r in self.seeds:
+                    needed.add(r)
+                elif r in self.models and r not in seen and _ephemeral(r):
+                    seen.add(r)
+                    stack.append(r)
         return needed
 
     def clean(self) -> None:
@@ -997,11 +1016,18 @@ class ModelGraph:
                     )
             except Exception as exc:  # noqa: BLE001 - per-node isolation
                 failed.add(name)
-                if name in selected:
-                    results.append(
-                        {"node": name, "kind": "seed", "status": "error",
-                         "detail": str(exc)[:300]}
-                    )
+                # ADVICE r7: a DEPENDENCY seed that fails to load must
+                # still surface in the results — otherwise downstream
+                # selected models report skipped/failed with no visible
+                # root cause. Distinct kind so callers can tell it was
+                # pulled in as a dependency, not selected.
+                results.append(
+                    {"node": name,
+                     "kind": "seed" if name in selected
+                     else "seed (dependency)",
+                     "status": "error",
+                     "detail": str(exc)[:300]}
+                )
 
         ephemeral: dict[str, str] = {}
 

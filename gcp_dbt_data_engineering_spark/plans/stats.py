@@ -904,10 +904,35 @@ FROM terms
 # Chi-squared independence — contingency test between two dimensions
 # ---------------------------------------------------------------------------
 
-#: chi-squared critical value at alpha = 0.05 for (5-1)x(3-1) = 8 dof
-#: (the fixed contingency shape of priority x status); inlined as a
-#: literal so no engine evaluates an inverse-CDF
-_CHI2_CRIT_8DOF = 15.50731305586545
+#: chi-squared critical values at alpha = 0.05 by degrees of freedom
+#: (standard table values); inlined as literals so neither engine
+#: evaluates an inverse-CDF.  dof is derived from the OBSERVED distinct
+#: row/column counts, so a scale factor where a rare level (e.g. order
+#: status 'P') is absent still gets the right threshold.
+_CHI2_CRIT_05 = {
+    1: 3.841458820694124,
+    2: 5.991464547107979,
+    3: 7.814727903251179,
+    4: 9.487729036781154,
+    5: 11.070497693516351,
+    6: 12.591587243743977,
+    7: 14.067140449340169,
+    8: 15.50731305586545,
+    9: 16.918977604620448,
+    10: 18.307038053275146,
+    11: 19.67513757268249,
+    12: 21.02606981748307,
+}
+
+#: dof -> critical value as a shared SQL CASE (identical text in the
+#: Spark plan and the DuckDB oracle, so the verdict boolean agrees
+#: bit-for-bit).  dof > 12 cannot occur for priority (<=5) x status
+#: (<=3); the ELSE NULL is a loud-failure guard, not a code path.
+_CHI2_CRIT_CASE = (
+    "CASE dof "
+    + " ".join(f"WHEN {d} THEN {v!r}" for d, v in _CHI2_CRIT_05.items())
+    + " ELSE NULL END"
+)
 
 
 def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,20 +945,35 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grand total N are exact BIGINTs; each cell's statistic uses
     the integer identity (O·N − R·C)²/(N·R·C), evaluated as ONE fixed
     double expression over exact integers and rounded through
-    DECIMAL(28,9) so the 15-cell sum is an exact decimal fold
-    (double summation order would be shuffle-dependent). The verdict
-    compares against the inlined 8-dof critical value — no inverse
-    CDF in either engine.
+    DECIMAL(28,9) so the cell sum is an exact decimal fold (double
+    summation order would be shuffle-dependent).
 
-    Plan: one grouped count (map-side partials), window row/column
-    totals over the ≤15-cell relation, a 1-row final fold.
+    Densification (round 8): the grid is the full cross product of
+    OBSERVED priorities × statuses, with absent combinations COALESCEd
+    to O = 0 — a (p, s) pair with zero orders still contributes its
+    expected-count term R·C/N to the statistic, which the sparse
+    groupBy silently dropped (understating chi2 exactly when a rare
+    level like status 'P' makes zero cells likely).  dof is derived as
+    (|priorities| − 1)·(|statuses| − 1) from the same observed sets,
+    and the verdict threshold is a dof-indexed CASE over inlined
+    critical values — no inverse CDF in either engine.
+
+    Plan: one grouped count (map-side partials), two ≤15-row distinct
+    sides joined via broadcast (never a shuffling cartesian), window
+    row/column totals over the ≤15-cell dense relation, a 1-row fold.
     """
     od = load_table(spark, sf_dir, "orders")
     cells = od.groupBy(
         F.col("o_orderpriority").alias("p"),
         F.col("o_orderstatus").alias("s"),
     ).agg(F.count(F.lit(1)).alias("o"))
-    totals = cells.selectExpr(
+    grid = cells.select("p").distinct().crossJoin(
+        F.broadcast(cells.select("s").distinct())
+    )
+    dense = grid.join(F.broadcast(cells), ["p", "s"], "left").selectExpr(
+        "p", "s", "COALESCE(o, CAST(0 AS BIGINT)) AS o"
+    )
+    totals = dense.selectExpr(
         "p",
         "s",
         "o",
@@ -957,12 +997,16 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cells"),
             F.expr("CAST(SUM(cell_chi2) AS DOUBLE)").alias("chi2"),
+            F.expr(
+                "CAST((COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1)"
+                " AS BIGINT)"
+            ).alias("dof"),
         )
         .selectExpr(
             "n_cells",
             "chi2",
-            "CAST(8 AS BIGINT) AS dof",
-            f"chi2 > {_CHI2_CRIT_8DOF!r} AS dependent",
+            "dof",
+            f"chi2 > ({_CHI2_CRIT_CASE}) AS dependent",
         )
     )
 
@@ -971,27 +1015,36 @@ ORACLE_CHI2 = f"""
 WITH cells AS (
   SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
   FROM orders GROUP BY 1, 2),
+dense AS (
+  SELECT gp.p, gs.s, COALESCE(c.o, CAST(0 AS BIGINT)) AS o
+  FROM (SELECT DISTINCT p FROM cells) gp
+  CROSS JOIN (SELECT DISTINCT s FROM cells) gs
+  LEFT JOIN cells c ON c.p = gp.p AND c.s = gs.s),
 totals AS (
   SELECT p, s, o,
          SUM(o) OVER (PARTITION BY p) AS r,
          SUM(o) OVER (PARTITION BY s) AS c,
          SUM(o) OVER () AS n
-  FROM cells),
+  FROM dense),
 terms AS (
-  SELECT CAST(
+  SELECT p, s,
+         CAST(
            (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
             - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
            * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
               - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
            / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
               * CAST(c AS DOUBLE)) AS DECIMAL(28,9)) AS cell_chi2
-  FROM totals)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(SUM(cell_chi2) AS DOUBLE) AS chi2,
-       CAST(8 AS BIGINT) AS dof,
-       CAST(SUM(cell_chi2) AS DOUBLE) > {_CHI2_CRIT_8DOF!r}
-         AS dependent
-FROM terms
+  FROM totals),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(cell_chi2) AS DOUBLE) AS chi2,
+         CAST((COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1)
+              AS BIGINT) AS dof
+  FROM terms)
+SELECT n_cells, chi2, dof,
+       chi2 > ({_CHI2_CRIT_CASE}) AS dependent
+FROM agg
 """
 
 

@@ -263,3 +263,22 @@ def test_embedding_cosine_strided_ids_stay_balanced(spark):
     ]
     assert len(sizes) == m
     assert max(sizes) <= 2 * (n // m)
+
+
+def test_simhash_leaves_no_temp_views(spark):
+    """ADVICE r7: dedup_simhash used a fixed session-global temp view,
+    overwritten by interleaved calls and leaked afterward. It now uses
+    a per-call unique name and drops it before returning — and the
+    returned (lazy) DataFrame still executes, because spark.sql
+    resolved the view at analysis time."""
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        dedup_simhash,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    df1 = dedup_simhash(spark, SF)
+    df2 = dedup_simhash(spark, SF)  # interleaved second call
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if "simhash" in n}
+    # both lazily-built frames still execute after the views dropped
+    assert df1.count() == df2.count()

@@ -712,3 +712,42 @@ def test_chi2_oracle_and_scipy_free_controls(spark):
     finally:
         S.load_table = orig
     assert r2.dependent and r2.chi2 > 1000
+
+    # ADVICE r7 densification control: delete every ('1-URGENT', 'F')
+    # order so one cell of the observed grid is EMPTY. The dense grid
+    # must still carry it (n_cells = |P| x |S|), its R*C/N expected
+    # term must enter the statistic, and dof must come from the
+    # OBSERVED distinct counts, not a hardcoded 8.
+    sparse = od.filter(
+        "NOT (o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')"
+    )
+    sparse.createOrReplaceTempView("__chi2_sparse")
+    try:
+        S.load_table = lambda sp, sf, t: (
+            sp.table("__chi2_sparse") if t == "orders" else orig(sp, sf, t)
+        )
+        r3 = dq_chi2_independence(spark, SF).collect()[0]
+    finally:
+        S.load_table = orig
+    cells3 = {
+        (r.p, r.s): r.o
+        for r in sparse.selectExpr(
+            "o_orderpriority AS p", "o_orderstatus AS s"
+        ).groupBy("p", "s").count().withColumnRenamed("count", "o")
+        .collect()
+    }
+    ps3 = sorted({p for p, _ in cells3})
+    ss3 = sorted({s for _, s in cells3})
+    assert r3.n_cells == len(ps3) * len(ss3) > len(cells3)
+    assert r3.dof == (len(ps3) - 1) * (len(ss3) - 1)
+    n3 = sum(cells3.values())
+    chi3 = 0.0
+    for p in ps3:
+        for s in ss3:
+            o = cells3.get((p, s), 0)
+            e = sum(cells3.get((p, x), 0) for x in ss3) * sum(
+                cells3.get((y, s), 0) for y in ps3
+            ) / n3
+            if e:
+                chi3 += (o - e) ** 2 / e
+    assert abs(r3.chi2 - chi3) < 1e-6

@@ -93,8 +93,10 @@ BUDGETS = {
     "orders_cohort_ltv": (5, 1),
     # daily rollup + two bounded calendar lags + 1-row agg
     "dq_runs_test": (2, 0),
-    # one grouped count + windows over the <=15-cell relation
-    "dq_chi2_independence": (3, 0),
+    # r8 densified grid: grouped count + two tiny distinct sides (each
+    # its own exchange) + broadcast grid/left joins + windows over the
+    # <=15-cell dense relation + COUNT DISTINCT expand in the fold
+    "dq_chi2_independence": (8, 1),
 }
 
 

@@ -573,3 +573,60 @@ def test_store_failures_materializes_violating_rows(spark, tmp_path):
     assert (wh / "dq_failures" / "unique_m_id").exists()
     # passing tests leave no artifact
     assert not (wh / "dq_failures" / "unique_m_tag").exists()
+
+
+def test_seed_dependency_walks_through_ephemeral(spark, tmp_path):
+    """ADVICE r7: --select mart, where mart refs an EPHEMERAL staging
+    model that itself refs a seed. The ephemeral renders and inlines
+    into mart's SQL, so the seed view must be loaded even though mart
+    never refs it directly — one hop deeper than the r6 direct-ref
+    fix."""
+    from gcp_dbt_data_engineering_spark.plans.models import ModelGraph
+
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    (seed_dir / "eph_rates.csv").write_text("k,rate\na,1\nb,2\n")
+    g = ModelGraph(
+        {
+            "stg_rates": (
+                "{{ config(materialized='ephemeral') }} "
+                "select rate from {{ ref('eph_rates') }}"
+            ),
+            "mart": "select sum(rate) as s from {{ ref('stg_rates') }}",
+        },
+        seeds={"eph_rates": str(seed_dir / "eph_rates.csv")},
+        seed_schemas={"eph_rates": "k string, rate bigint"},
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    spark.sql("DROP VIEW IF EXISTS eph_rates")
+    out = g.run(spark, select="mart")
+    assert sorted(out) == ["mart"]  # seed loaded but not reported
+    assert out["mart"].collect()[0].s == 3
+    # build path shares _seeds_for: same transitive pull
+    spark.sql("DROP VIEW IF EXISTS eph_rates")
+    res = g.build(spark, select="mart")
+    assert [r["node"] for r in res] == ["mart"]
+    assert res[0]["status"] == "success"
+
+
+def test_dependency_seed_load_error_is_reported(spark, tmp_path):
+    """ADVICE r7: a dependency seed that fails to load must surface an
+    error row (kind 'seed (dependency)') so the downstream skip has a
+    visible root cause."""
+    from gcp_dbt_data_engineering_spark.plans.models import ModelGraph
+
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()  # note: broken.csv intentionally absent on disk
+    g = ModelGraph(
+        {"m": "select sum(rate) as s from {{ ref('broken') }}"},
+        seeds={"broken": str(seed_dir / "broken.csv")},
+        seed_schemas={"broken": "k string, rate bigint"},
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    spark.sql("DROP VIEW IF EXISTS broken")
+    res = g.build(spark, select="m")
+    by = {r["node"]: r for r in res}
+    assert by["broken"]["kind"] == "seed (dependency)"
+    assert by["broken"]["status"] == "error"
+    assert by["m"]["status"] == "skipped"
+    assert "broken" in by["m"]["detail"]

@@ -231,6 +231,41 @@ def test_kmv_set_ops_oracle_and_sketch_algebra(spark):
     assert i.estimate <= u.estimate + 1e-9
 
 
+def test_kmv_under_full_sketches_are_exact(spark):
+    """ADVICE r7: a set with fewer than k distinct keys is an EXACT
+    sketch — its theta is P, the strict h < theta filter keeps every
+    member (it used to drop the theta-defining max hash), and every
+    estimate equals the true count with zero error."""
+    import gcp_dbt_data_engineering_spark.operators.sketch as SK
+
+    # 40 customers before the epoch, 30 after, 10 in both — all far
+    # below k=256, so both sketches are under-full
+    rows = []
+    for c in range(1, 41):
+        rows.append((c, "1997-06-01"))
+    for c in range(31, 61):
+        rows.append((c, "1998-06-01"))
+    df = spark.createDataFrame(
+        [(c, d) for c, d in rows], "o_custkey bigint, ds string"
+    ).selectExpr("o_custkey", "CAST(ds AS TIMESTAMP) AS o_orderdate")
+    df.createOrReplaceTempView("__kmv_small")
+    orig = SK.load_table
+    try:
+        SK.load_table = lambda sp, sf, t: (
+            sp.table("__kmv_small") if t == "orders" else orig(sp, sf, t)
+        )
+        out = {r.op: r for r in
+               SK.sketch_kmv_set_ops(spark, "unused").collect()}
+    finally:
+        SK.load_table = orig
+    assert out["union"].theta_hash == SK.P  # exact mode
+    for op, truth in (("union", 60), ("intersect", 10),
+                      ("a_minus_b", 30)):
+        assert out[op].true_count == truth
+        assert out[op].sample_hits == truth
+        assert abs(out[op].estimate - truth) < 1e-9
+
+
 def test_hll_sliding_window_oracle_and_calendar_merge(spark):
     """Oracle twin for sketch_hll_sliding_window; the trailing-week
     merge must equal registers REBUILT from the raw 7-day slice (the
