@@ -1,0 +1,332 @@
+"""Exact rechecks at sf10 for the six specs whose FULL DuckDB oracles
+are intractable there (VERDICT r7 item 1).
+
+The intractability is always the oracle's naive candidate generation
+(a hot-shingle inverted-index self-join producing ~5.4e9 rows at sf10,
+or a 2000x200k brute-force cosine grid) — never the Spark plan, whose
+output row counts track the sf1 slope. Three honest exact methods
+replace the full-output hash:
+
+- **sliced-exact (pair specs)**: the Spark spec runs IN FULL; its
+  output is filtered to pairs touching a deterministic 1% doc slice
+  (doc_id % 100 == 0), and a restricted oracle computes exactly those
+  pairs (two UNION ALL branches, each with one join side sliced, so
+  the hot-shingle blowup drops 100x). Hashes compare exactly on the
+  slice.
+- **sliced-exact (ANN specs)**: same, slicing the query side to every
+  10th query (vec_id % 1000 == 0); the oracle replays the full
+  corpus-side computation for those queries.
+- **staged-exact (closure specs)**: the component/keep decisions are
+  deterministic functions of the near-dup EDGE relation. The edge
+  relation is dedup_ngram_jaccard's output — slice-verified at sf10
+  (above) and fully hash-verified at sf1 and below. A pure-Python
+  union-find (an independent implementation: different algorithm,
+  different engine) recomputes the FULL component/keep output from
+  the Spark edge list + a linear DuckDB per-doc shingle count, and
+  the complete outputs compare exactly.
+
+Writes CORRECTNESS_sf10_recheck.json. Merge into CORRECTNESS_sf10.json
+with tools/merge_sf10.py.
+
+Run:  python tools/sf10_recheck.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+from typing import Any
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from correctness_full import _canon, _sha  # noqa: E402
+
+#: deterministic 1% doc slice for pair specs
+PAIR_MOD = 100
+#: every-10th-query slice for ANN specs (queries are vec_id % 100 == 0)
+QUERY_MOD_SLICED = 1000
+
+
+def _cmp(rec: dict, s_cols, s_rows, d_cols, d_rows) -> None:
+    rec["spark_rows"] = len(s_rows)
+    rec["oracle_rows"] = len(d_rows)
+    rec["rows_match"] = len(s_rows) == len(d_rows)
+    rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+    s_canon = _canon(list(s_cols), s_rows)
+    d_canon = _canon(list(d_cols), d_rows)
+    rec["hash_match"] = s_canon == d_canon
+    rec["spark_sha"] = _sha(s_canon)
+    rec["oracle_sha"] = _sha(d_canon)
+    if not rec["hash_match"]:
+        rec["first_diff"] = next(
+            (
+                {"spark": repr(a)[:200], "duck": repr(b)[:200]}
+                for a, b in zip(s_canon, d_canon)
+                if a != b
+            ),
+            None,
+        )
+
+
+def _sliced_pair_oracles() -> dict[str, str]:
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        CONTAIN_T_DEN,
+        CONTAIN_T_NUM,
+        JACCARD_T,
+        _sql_shingle_cte,
+    )
+
+    cte = _sql_shingle_cte()
+    jac = f"""
+WITH {cte},
+ssh AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % {PAIR_MOD} = 0),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ssh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM sh a JOIN ssh b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {PAIR_MOD} <> 0),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS i FROM cand GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz x ON doc_a = x.doc_id
+JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= {JACCARD_T}
+"""
+    con = f"""
+WITH {cte},
+ssh AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % {PAIR_MOD} = 0),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ssh a JOIN sh b ON a.h = b.h AND a.doc_id != b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM sh a JOIN ssh b ON a.h = b.h AND a.doc_id != b.doc_id
+  WHERE a.doc_id % {PAIR_MOD} <> 0),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS i FROM cand GROUP BY 1, 2)
+SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) AS containment
+FROM inter
+JOIN sz x ON doc_a = x.doc_id
+WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * x.n
+"""
+    return {"dedup_ngram_jaccard": jac, "dedup_containment": con}
+
+
+def _sliced_ann_oracles() -> dict[str, str]:
+    import gcp_dbt_data_engineering_spark.operators.similarity as sim
+
+    topk = sim.ORACLE_TOPK_COSINE.replace(
+        f"a.vec_id % {sim.QUERY_MOD} = 0",
+        f"a.vec_id % {QUERY_MOD_SLICED} = 0",
+    )
+    lsh = sim.ORACLE_ANN_LSH.replace(
+        f"a.vec_id % {sim.QUERY_MOD} = 0",
+        f"a.vec_id % {QUERY_MOD_SLICED} = 0",
+    )
+    assert f"% {QUERY_MOD_SLICED} = 0" in topk
+    assert f"% {QUERY_MOD_SLICED} = 0" in lsh
+    return {"similarity_topk_cosine": topk, "similarity_ann_lsh": lsh}
+
+
+class _UF:
+    """Union-find — independent closure oracle (vs Spark's iterative
+    min-label propagation)."""
+
+    def __init__(self) -> None:
+        self.p: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.p
+        r = x
+        while p.get(r, r) != r:
+            r = p[r]
+        while p.get(x, x) != x:
+            p[x], x = r, p[x]
+        return r
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # canonical label = min doc_id, matching the spec contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.p[hi] = lo
+
+
+def _python_closure(
+    edges: list[tuple[int, int]], doc_ids: list[int]
+) -> dict[int, int]:
+    uf = _UF()
+    for a, b in edges:
+        uf.union(a, b)
+    return {d: uf.find(d) for d in doc_ids}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.artifacts/sf10"
+
+    from gcp_dbt_data_engineering_spark import get_spark
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        SPECS as DSPECS,
+        _jaccard_pair_list,
+        _sql_shingle_cte,
+    )
+    from gcp_dbt_data_engineering_spark.operators.similarity import (
+        SPECS as SIMSPECS,
+    )
+    from gcp_dbt_data_engineering_spark.sources import TABLES, table_path
+
+    spark = get_spark(app_name="sf10_recheck")
+    con = duckdb.connect()
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('DUCKDB_MEMORY_LIMIT', '32GB')}'"
+    )
+    con.execute("SET temp_directory = '/tmp/duckdb_spill_recheck'")
+    con.execute("SET max_temp_directory_size = '40GB'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    out: dict[str, dict] = {}
+
+    def run(name, method, spark_df, oracle_sql=None, oracle_rows=None,
+            oracle_cols=None):
+        rec: dict[str, Any] = {"method": method, "err": None}
+        try:
+            s_cols = spark_df.columns
+            s_rows = [tuple(r) for r in spark_df.collect()]
+            if oracle_sql is not None:
+                cur = con.execute(oracle_sql)
+                d_cols = [d[0] for d in cur.description]
+                d_rows = cur.fetchall()
+            else:
+                d_cols, d_rows = oracle_cols, oracle_rows
+            _cmp(rec, s_cols, s_rows, d_cols, d_rows)
+            ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+            print(f"{'PASS ' if ok else 'FAIL*'} {name} [{method}]: "
+                  f"spark={rec['spark_rows']} oracle={rec['oracle_rows']}")
+            if not ok and rec.get("first_diff"):
+                print(f"      first_diff: {rec['first_diff']}")
+        except Exception:  # noqa: BLE001
+            rec["err"] = traceback.format_exc(limit=3)
+            print(f"ERROR {name}:\n{rec['err']}")
+        out[name] = rec
+
+    # --- sliced pair specs -------------------------------------------------
+    po = _sliced_pair_oracles()
+    jac_full = DSPECS["dedup_ngram_jaccard"].spark(spark, sf_dir)
+    run(
+        "dedup_ngram_jaccard",
+        f"sliced-exact: full Spark output filtered to pairs touching "
+        f"doc_id % {PAIR_MOD} == 0; restricted oracle computes exactly "
+        f"those pairs",
+        jac_full.filter(
+            f"doc_a % {PAIR_MOD} = 0 OR doc_b % {PAIR_MOD} = 0"
+        ),
+        oracle_sql=po["dedup_ngram_jaccard"],
+    )
+    run(
+        "dedup_containment",
+        f"sliced-exact: pairs touching doc_id % {PAIR_MOD} == 0",
+        DSPECS["dedup_containment"].spark(spark, sf_dir).filter(
+            f"contained_doc % {PAIR_MOD} = 0"
+            f" OR container_doc % {PAIR_MOD} = 0"
+        ),
+        oracle_sql=po["dedup_containment"],
+    )
+
+    # --- sliced ANN specs --------------------------------------------------
+    ao = _sliced_ann_oracles()
+    for name in ("similarity_topk_cosine", "similarity_ann_lsh"):
+        run(
+            name,
+            f"sliced-exact: full Spark output filtered to query_id % "
+            f"{QUERY_MOD_SLICED} == 0; oracle replays the full corpus "
+            f"side for those queries",
+            SIMSPECS[name].spark(spark, sf_dir).filter(
+                f"query_id % {QUERY_MOD_SLICED} = 0"
+            ),
+            oracle_sql=ao[name],
+        )
+
+    # --- staged closure specs ---------------------------------------------
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pair_list(spark, sf_dir).collect()
+    ]
+    doc_ids = [
+        r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()
+    ]
+    labels = _python_closure(edges, doc_ids)
+    staged_note = (
+        "staged-exact: FULL output vs python union-find over the Spark "
+        "edge relation (edge logic slice-verified above at this sf and "
+        "fully hash-verified at sf<=1) "
+    )
+
+    comp: dict[int, dict] = {}
+    for d, lab in labels.items():
+        c = comp.setdefault(lab, {"n": 0, "mx": d})
+        c["n"] += 1
+        c["mx"] = max(c["mx"], d)
+    cc_rows = [(k, v["n"], v["mx"]) for k, v in comp.items()]
+    run(
+        "dedup_cluster_components",
+        staged_note + "+ per-component count/max fold",
+        DSPECS["dedup_cluster_components"].spark(spark, sf_dir),
+        oracle_rows=cc_rows,
+        oracle_cols=["component_id", "n_docs", "max_doc"],
+    )
+
+    sz = dict(
+        con.execute(
+            f"WITH {_sql_shingle_cte()} SELECT doc_id, n FROM sz"
+        ).fetchall()
+    )
+    best: dict[int, dict] = {}
+    for d, lab in labels.items():
+        n = sz.get(d, 0)
+        c = best.setdefault(lab, {"n_docs": 0, "key": None})
+        c["n_docs"] += 1
+        k = (n, -d)
+        if c["key"] is None or k > c["key"]:
+            c["key"] = k
+    kb_rows = [
+        (lab, c["n_docs"], -c["key"][1], c["key"][0], c["n_docs"] - 1)
+        for lab, c in best.items()
+    ]
+    run(
+        "dedup_keep_best",
+        staged_note + "+ linear DuckDB shingle counts + python argmax",
+        DSPECS["dedup_keep_best"].spark(spark, sf_dir),
+        oracle_rows=kb_rows,
+        oracle_cols=[
+            "component_id", "n_docs", "keep_doc", "keep_n_shingles",
+            "n_dropped",
+        ],
+    )
+
+    path = os.path.join(REPO, "CORRECTNESS_sf10_recheck.json")
+    with open(path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "specs": out}, f, indent=1)
+    n_bad = sum(
+        1 for r in out.values() if r["err"] or r.get("hash_match") is not True
+    )
+    print(f"\nsf10_recheck: {len(out)} specs, {n_bad} not exact -> {path}")
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
