@@ -390,9 +390,11 @@ def run_user_totals_resumable(
     one ``availableNow`` drain and returns THIS run's emitted updates
     (update mode: only keys touched by the run's batches appear —
     itself evidence that recovered state, not reprocessing, produced
-    the totals). The sink is ``foreachBatch`` (the memory sink
-    explicitly refuses checkpoint recovery), mirroring the
-    idempotent-upsert sink a production job would use.
+    the totals). The sink here is a driver-side ``foreachBatch``
+    collect (the memory sink explicitly refuses checkpoint recovery)
+    — a TEST HARNESS ONLY; the production shape, a parquet
+    idempotent-upsert sink with batch-replay safety, is
+    :func:`run_user_totals_parquet_sink`.
     """
     tune(spark)
     stream = (
@@ -423,6 +425,84 @@ def run_user_totals_resumable(
     return spark.createDataFrame(
         list(out.values()),
         "user_id bigint, n_events bigint, total_value double",
+    )
+
+
+def run_user_totals_parquet_sink(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    sink_dir: str,
+    query_name: str = "user_totals_parquet",
+) -> DataFrame:
+    """PRODUCTION sink variant of :func:`run_user_totals_resumable`
+    (VERDICT r7 item 4): the same resumable update-mode aggregation,
+    but ``foreachBatch`` lands every micro-batch in a parquet upsert
+    sink instead of a driver-side list (that collect harness is
+    test-only by design; this is the shape a deployed job uses).
+
+    Idempotence contract: Structured Streaming's ``foreachBatch``
+    is at-least-once — a crash between the sink write and the offset
+    commit REPLAYS the batch with the same ``batch_id`` and the same
+    rows. The sink is therefore keyed by batch id: each batch
+    overwrites its own partition directory ``batch_id=N``
+    (deterministic content, so a replay rewrites identical files
+    instead of appending duplicates), and readers resolve
+    last-writer-wins per key with :func:`user_totals_from_sink`.
+    This is the classic exactly-once-by-idempotence recipe from the
+    Spark docs, expressed with plain parquet partition overwrite —
+    the same pattern a Delta/Iceberg MERGE sink encapsulates.
+
+    Scale posture: each batch writes O(batch) bytes (updated keys
+    only — update output mode), never rewriting the table; the
+    read-side window compacts at query time, and a periodic
+    compaction job (see plans/layout.py) can fold old batch
+    partitions into a base snapshot.
+    """
+    import os
+
+    tune(spark)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # no batch_id COLUMN in the files: the partition directory
+        # name carries it, so partition discovery infers it on read
+        # (a duplicate column in both file and path would collide)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch_id={batch_id}")
+        )
+
+    query = (
+        _user_totals_plan(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return user_totals_from_sink(spark, sink_dir)
+
+
+def user_totals_from_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Current totals from a :func:`run_user_totals_parquet_sink`
+    sink: last-writer-wins per key across batch partitions — one
+    window over (user_id) ordered by the partition-inferred batch_id.
+    A replayed/overwritten batch contributes exactly one version of
+    each of its keys, so the resolution is deterministic."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.option("basePath", sink_dir).parquet(sink_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
     )
 
 
