@@ -136,9 +136,14 @@ def get_spark(
     # cluster size shuffle partitions to ~128-256 MB of shuffle data
     # each — at 100 TB that is O(10^5-10^6) partitions, set explicitly
     # or via AQE's initialPartitionNum and coalesced at runtime.
+    # SPARK_GRAFT_MASTER lets the robustness sweep cross a PROCESS
+    # boundary (e.g. local-cluster[2,2,4096]: 2 separate executor JVMs
+    # + python workers) without touching call sites — single-JVM
+    # local[N] hides serialization and env-propagation bugs.
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER")
+                or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
             str(

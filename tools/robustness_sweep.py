@@ -11,10 +11,22 @@ config; real divergences hide in the corners. This sweep re-runs
 - degenerate parallelism (local[3], 3 shuffle partitions) — catches
   any result that depends on partition count or merge order, i.e.
   violations of the exact-decimal aggregation contract;
-- AQE disabled — catches results that depend on adaptive re-planning.
+- AQE disabled — catches results that depend on adaptive re-planning;
+- (r8) local-cluster[2,2,4096] — 2 SEPARATE executor JVMs + python
+  workers: crosses a real process boundary, flushing single-JVM
+  assumptions (closure serialization, env propagation, session-memo
+  handles living driver-side only);
+- (r8) lowmem 4g driver at sf0.1 — memory pressure on the persisted
+  shingle/pair relations and tiled pair kernels;
+- (r8) skewed_hot_domain — a rewritten sf0.01 corpus where ONE source
+  domain holds 50% of documents (built by tools/make_skew.py): hot-key
+  stress on the dedup/curation group-bys and pair joins, still
+  exact-oracle-checked because DuckDB reads the same skewed parquet.
 
 Writes ROBUSTNESS.json at the repo root: one row per (config) with
 pass/fail counts. Run:  python tools/robustness_sweep.py
+CONFIGS='regex' narrows to matching config names and MERGES into the
+existing ROBUSTNESS.json instead of replacing it.
 """
 
 from __future__ import annotations
@@ -63,7 +75,36 @@ def main() -> int:
             {"SPARK_GRAFT_CPUS": "3", "SPARK_GRAFT_SHUFFLE": "3"},
             [],
         ),
+        (
+            "sf0.01_local_cluster_2x2",
+            {
+                "SPARK_GRAFT_MASTER": "local-cluster[2,2,4096]",
+                "PYTHONPATH": REPO,
+                "SPARK_GRAFT_SHUFFLE": "8",
+            },
+            [],
+        ),
+        (
+            "sf0.1_lowmem_4g",
+            {"SPARK_DRIVER_MEMORY": "4g"},
+            ["/root/testdata/sf0.1"],
+        ),
+        (
+            "sf0.01_skewed_hot_domain",
+            {},
+            [os.path.join(REPO, ".artifacts", "sf0.01_skew")],
+        ),
     ]
+    only = os.environ.get("CONFIGS")
+    if only:
+        import re
+
+        rx = re.compile(only)
+        configs = [c for c in configs if rx.search(c[0])]
+        out_path = os.path.join(REPO, "ROBUSTNESS.json")
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                results.update(json.load(f))
     try:
         for name, env, args in configs:
             print(f"== {name} ==", flush=True)
@@ -74,13 +115,14 @@ def main() -> int:
                 cwd=REPO,
             )
             results[name] = _summary()
-        print("== sf0.01_no_aqe ==", flush=True)
-        stub = NO_AQE_STUB.format(repo=REPO, sf="/root/testdata/sf0.01",
-                                  gate=GATE)
-        subprocess.run(
-            [sys.executable, "-c", stub], check=True, cwd=REPO
-        )
-        results["sf0.01_no_aqe"] = _summary()
+        if not only or __import__("re").search(only, "sf0.01_no_aqe"):
+            print("== sf0.01_no_aqe ==", flush=True)
+            stub = NO_AQE_STUB.format(repo=REPO, sf="/root/testdata/sf0.01",
+                                      gate=GATE)
+            subprocess.run(
+                [sys.executable, "-c", stub], check=True, cwd=REPO
+            )
+            results["sf0.01_no_aqe"] = _summary()
     finally:
         with open(keep, "w") as f:
             f.write(original)  # the committed artifact stays the sf0.01 gate
