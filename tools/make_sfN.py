@@ -84,13 +84,23 @@ def _shift(col: pa.ChunkedArray, delta: int) -> pa.ChunkedArray:
 
 
 def replicate(src: str, dst: str, factor: int) -> None:
+    # TABLES=documents,embeddings restricts generation — the sf100
+    # scale-curve point only needs the corpus tables, and a full
+    # factor-1000 lineitem (600M rows) would cost disk for specs the
+    # curve does not measure.
+    only = os.environ.get("TABLES")
+    only_set = set(only.split(",")) if only else None
     os.makedirs(dst, exist_ok=True)
     for t in DIMS:
+        if only_set is not None and t not in only_set:
+            continue
         pq.write_table(
             pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet"
         )
         print(f"{t}: copied")
     for t, keys in KEYED.items():
+        if only_set is not None and t not in only_set:
+            continue
         base = pq.read_table(f"{src}/{t}.parquet")
         reps = []
         for r in range(factor):
