@@ -124,17 +124,108 @@ WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * x.n
 def _sliced_ann_oracles() -> dict[str, str]:
     import gcp_dbt_data_engineering_spark.operators.similarity as sim
 
-    topk = sim.ORACLE_TOPK_COSINE.replace(
-        f"a.vec_id % {sim.QUERY_MOD} = 0",
-        f"a.vec_id % {QUERY_MOD_SLICED} = 0",
+    out = {}
+    for name, oracle, pat in (
+        ("similarity_topk_cosine", sim.ORACLE_TOPK_COSINE,
+         f"a.vec_id % {sim.QUERY_MOD} = 0"),
+        ("similarity_ann_lsh", sim.ORACLE_ANN_LSH,
+         f"a.vec_id % {sim.QUERY_MOD} = 0"),
+        ("similarity_pq_adc", sim.ORACLE_PQ_ADC,
+         f"qq.vec_id % {sim.QUERY_MOD} = 0"),
+    ):
+        sliced = oracle.replace(
+            pat, pat.replace(f"% {sim.QUERY_MOD}", f"% {QUERY_MOD_SLICED}")
+        )
+        assert f"% {QUERY_MOD_SLICED} = 0" in sliced, name
+        out[name] = sliced
+    return out
+
+
+def _sliced_embedding_cosine() -> str:
+    """Pairs touching vec_id % PAIR_MOD == 0, two one-side-sliced
+    branches so the within-label blowup drops 100x."""
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        ORACLE_EMBEDDING_COSINE,
     )
-    lsh = sim.ORACLE_ANN_LSH.replace(
-        f"a.vec_id % {sim.QUERY_MOD} = 0",
-        f"a.vec_id % {QUERY_MOD_SLICED} = 0",
+
+    # reuse the original q/n CTEs and final SELECT verbatim; only the
+    # d CTE's self-join is rebuilt as two one-side-sliced branches
+    head, rest = ORACLE_EMBEDDING_COSINE.split("d AS (")
+    proj = rest.split("FROM n a")[0].strip()
+    tail = "SELECT vec_a" + ORACLE_EMBEDDING_COSINE.rsplit(
+        "SELECT vec_a", 1
+    )[1]
+    on = "ON a.label = b.label AND a.vec_id < b.vec_id"
+    return (
+        head
+        + f"""ns AS MATERIALIZED (
+  SELECT * FROM n WHERE vec_id % {PAIR_MOD} = 0),
+d AS (
+  {proj} FROM ns a JOIN n b {on}
+  UNION ALL
+  {proj} FROM n a JOIN ns b {on}
+  WHERE a.vec_id % {PAIR_MOD} <> 0)
+"""
+        + tail
     )
-    assert f"% {QUERY_MOD_SLICED} = 0" in topk
-    assert f"% {QUERY_MOD_SLICED} = 0" in lsh
-    return {"similarity_topk_cosine": topk, "similarity_ann_lsh": lsh}
+
+
+def _sliced_semantic() -> str:
+    """Cluster fit/assign replay in FULL (linear); the quadratic
+    within-cluster pair stage restricted to verdicts for
+    vec_id % PAIR_MOD == 0 (a vec's status depends only on pairs where
+    it is the larger endpoint, so slicing the y side is exact)."""
+    from gcp_dbt_data_engineering_spark.operators.semdedup import (
+        ORACLE_SEMANTIC,
+    )
+
+    j = "ON x.cid = y.cid AND x.vec_id < y.vec_id"
+    assert j in ORACLE_SEMANTIC
+    sliced = ORACLE_SEMANTIC.replace(
+        j, j + f" AND y.vec_id % {PAIR_MOD} = 0"
+    )
+    return sliced.rstrip() + f"\nWHERE m.vec_id % {PAIR_MOD} = 0\n"
+
+
+def _sliced_phash() -> str:
+    """Rebuilt from the same building blocks as multimodal._oracle_phash
+    but with the 16x4-bit chunk self-join split into two one-side-sliced
+    branches (each 1/PAIR_MOD of the full blowup — the full join is
+    n^2/16 per chunk, intractable at sf10)."""
+    from gcp_dbt_data_engineering_spark.operators.multimodal import (
+        PHASH_CHUNKS,
+        PHASH_HAM_T,
+        _phash_words,
+    )
+
+    w1, w2 = _phash_words("text", "duck")
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT asset_id, w1, w2, {c} AS chunk,"
+        f" CAST((w{1 + c // 8} // {1 << (4 * (c % 8))}) % 16 AS INTEGER)"
+        " AS v FROM hashed"
+        for c in range(PHASH_CHUNKS)
+    )
+    pair = (
+        "SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,"
+        " CAST(bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))"
+        " AS INTEGER) AS hamming"
+    )
+    on = "ON a.chunk = b.chunk AND a.v = b.v AND a.asset_id < b.asset_id"
+    return f"""
+WITH hashed AS (
+  SELECT doc_id AS asset_id, {w1} AS w1, {w2} AS w2
+  FROM documents WHERE length(text) >= 2),
+chunks AS MATERIALIZED ({chunk_rows}),
+schunks AS MATERIALIZED (
+  SELECT * FROM chunks WHERE asset_id % {PAIR_MOD} = 0),
+cand AS (
+  {pair} FROM schunks a JOIN chunks b {on}
+  UNION ALL
+  {pair} FROM chunks a JOIN schunks b {on}
+  WHERE a.asset_id % {PAIR_MOD} <> 0)
+SELECT DISTINCT asset_a, asset_b, hamming
+FROM cand WHERE hamming <= {PHASH_HAM_T}
+"""
 
 
 class _UF:
@@ -248,7 +339,11 @@ def main() -> int:
 
     # --- sliced ANN specs --------------------------------------------------
     ao = _sliced_ann_oracles()
-    for name in ("similarity_topk_cosine", "similarity_ann_lsh"):
+    for name in (
+        "similarity_topk_cosine",
+        "similarity_ann_lsh",
+        "similarity_pq_adc",
+    ):
         run(
             name,
             f"sliced-exact: full Spark output filtered to query_id % "
@@ -259,6 +354,44 @@ def main() -> int:
             ),
             oracle_sql=ao[name],
         )
+
+    # --- sliced quadratic pair specs (embedding / semantic / phash) -------
+    from gcp_dbt_data_engineering_spark.operators.multimodal import (
+        SPECS as MMSPECS,
+    )
+    from gcp_dbt_data_engineering_spark.operators.semdedup import (
+        SPECS as SEMSPECS,
+    )
+
+    run(
+        "dedup_embedding_cosine",
+        f"sliced-exact: pairs touching vec_id % {PAIR_MOD} == 0 "
+        f"(two one-side-sliced within-label branches)",
+        DSPECS["dedup_embedding_cosine"].spark(spark, sf_dir).filter(
+            f"vec_a % {PAIR_MOD} = 0 OR vec_b % {PAIR_MOD} = 0"
+        ),
+        oracle_sql=_sliced_embedding_cosine(),
+    )
+    run(
+        "dedup_semantic",
+        f"sliced-exact: k-means fit/assign replayed in FULL (linear); "
+        f"per-vector verdicts checked for vec_id % {PAIR_MOD} == 0 "
+        f"(a verdict depends only on pairs where the vec is the larger "
+        f"endpoint, so slicing the y side is exact)",
+        SEMSPECS["dedup_semantic"].spark(spark, sf_dir).filter(
+            f"vec_id % {PAIR_MOD} = 0"
+        ),
+        oracle_sql=_sliced_semantic(),
+    )
+    run(
+        "multimodal_phash_near_dup",
+        f"sliced-exact: pairs touching asset_id % {PAIR_MOD} == 0 "
+        f"(two one-side-sliced chunk-join branches)",
+        MMSPECS["multimodal_phash_near_dup"].spark(spark, sf_dir).filter(
+            f"asset_a % {PAIR_MOD} = 0 OR asset_b % {PAIR_MOD} = 0"
+        ),
+        oracle_sql=_sliced_phash(),
+    )
 
     # --- staged closure specs ---------------------------------------------
     edges = [
