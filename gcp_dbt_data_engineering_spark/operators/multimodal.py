@@ -674,6 +674,14 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = union) so each band key is selective — the plan
     shape is unchanged.
     """
+    chunks = _phash_chunk_frame(spark, sf_dir)
+    return _phash_pairs(chunks, chunks)
+
+
+def _phash_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(asset_id, w1, w2, chunk, v): the banded hash-chunk relation —
+    factored so verification harnesses can build one-side-restricted
+    variants of the pair join from the identical expressions."""
     docs = load_table(spark, sf_dir, "documents").filter(
         "length(text) >= 2"
     )
@@ -681,7 +689,7 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.selectExpr(
         "doc_id AS asset_id", f"{w1} AS w1", f"{w2} AS w2"
     )
-    chunks = hashed.selectExpr(
+    return hashed.selectExpr(
         "asset_id",
         "w1",
         "w2",
@@ -694,10 +702,16 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")) AS ck",
     ).selectExpr("asset_id", "w1", "w2", "ck.chunk AS chunk", "ck.v AS v")
-    a = chunks.selectExpr(
+
+
+def _phash_pairs(
+    a_chunks: DataFrame, b_chunks: DataFrame
+) -> DataFrame:
+    """Verified hamming<=T pairs between two chunk relations."""
+    a = a_chunks.selectExpr(
         "asset_id AS asset_a", "w1 AS a1", "w2 AS a2", "chunk", "v"
     )
-    b = chunks.selectExpr(
+    b = b_chunks.selectExpr(
         "asset_id AS asset_b", "w1 AS b1", "w2 AS b2", "chunk", "v"
     )
     return (

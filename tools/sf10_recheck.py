@@ -356,9 +356,6 @@ def main() -> int:
         )
 
     # --- sliced quadratic pair specs (embedding / semantic / phash) -------
-    from gcp_dbt_data_engineering_spark.operators.multimodal import (
-        SPECS as MMSPECS,
-    )
     from gcp_dbt_data_engineering_spark.operators.semdedup import (
         SPECS as SEMSPECS,
     )
@@ -383,13 +380,32 @@ def main() -> int:
         ),
         oracle_sql=_sliced_semantic(),
     )
+    # phash: BOTH engines evaluate one-side-sliced branches built from
+    # the spec's own expressions (_phash_chunk_frame/_phash_pairs). An
+    # OR-of-both-endpoints filter cannot be pushed through a self-join
+    # in either engine, and the unrestricted candidate stream is the
+    # documented ~2.5e11-row saturation at sf10 (multimodal.py
+    # docstring) — the full-output row count rides in the main sweep's
+    # rows-only record instead.
+    from gcp_dbt_data_engineering_spark.operators.multimodal import (
+        _phash_chunk_frame,
+        _phash_pairs,
+    )
+
+    chunks = _phash_chunk_frame(spark, sf_dir)
+    sliced = chunks.filter(f"asset_id % {PAIR_MOD} = 0")
+    phash_sliced = _phash_pairs(sliced, chunks).unionByName(
+        _phash_pairs(
+            chunks.filter(f"asset_id % {PAIR_MOD} <> 0"), sliced
+        )
+    ).distinct()
     run(
         "multimodal_phash_near_dup",
-        f"sliced-exact: pairs touching asset_id % {PAIR_MOD} == 0 "
-        f"(two one-side-sliced chunk-join branches)",
-        MMSPECS["multimodal_phash_near_dup"].spark(spark, sf_dir).filter(
-            f"asset_a % {PAIR_MOD} = 0 OR asset_b % {PAIR_MOD} = 0"
-        ),
+        f"sliced-exact: pairs touching asset_id % {PAIR_MOD} == 0, "
+        f"one-side-sliced chunk-join branches built from the spec's "
+        f"own chunk/verify expressions in BOTH engines (full-output "
+        f"rows in the main sweep)",
+        phash_sliced,
         oracle_sql=_sliced_phash(),
     )
 
