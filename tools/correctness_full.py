@@ -97,6 +97,10 @@ def main() -> int:
     if os.environ.get("ORACLE_SKIP"):
         oracle_skip = re.compile(os.environ["ORACLE_SKIP"])
     for t in TABLES:
+        # partial-SF dirs (e.g. .artifacts/sf100 holds only documents +
+        # embeddings for the rows-only scale-slope pass) skip the rest
+        if not os.path.exists(table_path(sf_dir, t)):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{table_path(sf_dir, t)}')"
