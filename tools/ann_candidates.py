@@ -1,0 +1,216 @@
+"""Per-query candidate-volume audit for the ANN family (VERDICT r7
+item 7, ANN half).
+
+Running the ANN pair joins at sf100 is intractable by construction:
+the spec's query set is a fixed 1% of the corpus, so total pair work
+grows quadratically even though each variant's PER-QUERY work is the
+bounded quantity that matters on a cluster (a production deployment
+serves a fixed query batch against a growing corpus). This tool
+measures that per-query quantity directly from index OCCUPANCY —
+bucket/cluster sizes joined to each query's probe set — which is a
+linear scan at any SF, no pair materialization.
+
+Variants:
+
+- ``lsh``: candidates/query = sum over the query's 4 sign-chunks of
+  (bucket size - 1) — exactly the spec's pre-distinct join volume.
+  Chunk width is fixed (4 bits -> 16 buckets/chunk), so the audit
+  shows the expected ~N/4 linear growth: the published knob is plane
+  count (wider chunks), not corpus-side magic.
+- ``ivf_label``: sum of the N_PROBE probed clusters' sizes (minus
+  self when the query's own cluster is probed) — probes replayed with
+  the spec's exact centroid rule (floor-mean, int64 L2, ties to the
+  smaller id).
+- ``ivf_kmeans_k{8,64}``: same with k-means centroids via the spec's
+  own ``_kmeans_cents_df``/``_assign_cids`` helpers, at the spec's
+  K=8 and at K=64 to demonstrate the ~N/K scaling law a 100 TB
+  deployment uses (K grows with the corpus; per-query candidates stay
+  ~flat when K ∝ N).
+- ``pq_adc`` / ``topk_cosine``: linear scans by design (PQ compresses
+  8x but scores every row); recorded analytically as N-1.
+
+Writes ANN_CANDIDATES.json at the repo root.
+
+Run: python tools/ann_candidates.py /root/testdata/sf0.1 \
+         .artifacts/sf1 .artifacts/sf10 .artifacts/sf100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from gcp_dbt_data_engineering_spark.session import get_spark  # noqa: E402
+from gcp_dbt_data_engineering_spark.sources import load_table  # noqa: E402
+from gcp_dbt_data_engineering_spark.operators.similarity import (  # noqa: E402
+    KM_PROBE,
+    N_PROBE,
+    QUERY_MOD,
+    _assign_cids,
+    _kmeans_cents_df,
+    _quantized,
+    _spark_chunks,
+)
+
+KM_ITERS = 2  # mirror the spec
+K_SWEEP = (8, 64)
+
+
+def _stats(perq: DataFrame, n_corpus: int) -> dict:
+    r = perq.agg(
+        F.count("*").alias("n_queries"),
+        F.avg("cand").alias("mean"),
+        F.expr("CAST(percentile(cand, 0.5) AS DOUBLE)").alias("p50"),
+        F.expr("CAST(percentile(cand, 0.95) AS DOUBLE)").alias("p95"),
+        F.max("cand").alias("max"),
+    ).collect()[0]
+    return {
+        "n_queries": r["n_queries"],
+        "mean": round(r["mean"], 1),
+        "p50": r["p50"],
+        "p95": r["p95"],
+        "max": r["max"],
+        "frac_of_corpus": round(r["mean"] / max(n_corpus - 1, 1), 4),
+    }
+
+
+def _l2_probes(queries: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """(vec_id, cid) rows for each query's n_probe nearest centroids —
+    the spec's probe rule: exact int64 L2, ties to the smaller cid."""
+    from pyspark.sql import Window
+
+    l2 = queries.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id",
+        "cid",
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS l2",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cid"))
+    return (
+        l2.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n_probe)
+        .select("vec_id", "cid")
+    )
+
+
+def _probed_stats(
+    probes: DataFrame, sizes: DataFrame, own: DataFrame, n: int
+) -> dict:
+    """Candidates/query = sum of probed cluster sizes, minus self when
+    the query's own cluster is probed (the spec's query_id !=
+    neighbor_id filter)."""
+    perq = (
+        probes.join(F.broadcast(sizes), "cid")
+        .join(own, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum("sz")
+                - F.max((F.col("cid") == F.col("own_cid")).cast("bigint"))
+            ).alias("cand")
+        )
+    )
+    return _stats(perq, n)
+
+
+def main() -> int:
+    spark = get_spark()
+    out: dict[str, dict] = {}
+    for sf_dir in sys.argv[1:]:
+        sf_dir = os.path.abspath(sf_dir)
+        base = _quantized(spark, sf_dir).select("vec_id", "q").persist()
+        n = base.count()
+        rec: dict[str, object] = {"n_vectors": n}
+
+        # --- sign-LSH: per-query pre-distinct join volume -------------
+        chunks = _spark_chunks(base).persist()
+        sizes = chunks.groupBy("c", "ck").agg(F.count("*").alias("sz"))
+        perq = (
+            chunks.filter((F.col("vec_id") % QUERY_MOD) == 0)
+            .join(F.broadcast(sizes), ["c", "ck"])
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("sz") - 1).alias("cand"))
+        )
+        rec["lsh"] = _stats(perq, n)
+        chunks.unpersist()
+
+        queries = base.filter((F.col("vec_id") % QUERY_MOD) == 0)
+
+        # --- IVF over the data's coarse labels ------------------------
+        lab = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("label").cast("bigint").alias("cid")
+        )
+        vecs = base.join(lab, "vec_id").persist()
+        cents = (
+            vecs.select("cid", F.posexplode("q").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                F.expr(
+                    "CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*))"
+                    " AS BIGINT)"
+                ).alias("v")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "named_struct('i', i, 'v', v))), s -> s.v)"
+                ).alias("cv")
+            )
+        )
+        rec["ivf_label"] = _probed_stats(
+            _l2_probes(queries, cents, N_PROBE),
+            vecs.groupBy("cid").agg(F.count("*").alias("sz")),
+            vecs.selectExpr("vec_id", "cid AS own_cid"),
+            n,
+        )
+        vecs.unpersist()
+
+        # --- IVF with k-means coarse quantizer, K sweep ---------------
+        for k in K_SWEEP:
+            cents = _kmeans_cents_df(base, k, KM_ITERS).persist()
+            assigned = (
+                _assign_cids(base, cents, extra_cols=("vec_id",))
+                .withColumnRenamed("cid", "own_cid")
+                .persist()
+            )
+            rec[f"ivf_kmeans_k{k}"] = _probed_stats(
+                _l2_probes(queries, cents, KM_PROBE),
+                assigned.groupBy("own_cid").agg(F.count("*").alias("sz"))
+                .withColumnRenamed("own_cid", "cid"),
+                assigned,
+                n,
+            )
+            cents.unpersist()
+            assigned.unpersist()
+
+        # --- linear scans by design -----------------------------------
+        rec["pq_adc"] = {"mean": n - 1, "frac_of_corpus": 1.0,
+                         "note": "compressed (8x) full scan by design"}
+        rec["topk_cosine"] = {"mean": n - 1, "frac_of_corpus": 1.0,
+                              "note": "exact brute-force baseline"}
+        base.unpersist()
+        out[os.path.basename(sf_dir)] = rec
+        print(os.path.basename(sf_dir), json.dumps(rec), flush=True)
+
+    out["note"] = (
+        "candidates probed per query, from index occupancy (linear "
+        "scans; no pair materialization). Fixed index parameters give "
+        "mean ~ N/16 (lsh, 4-bit chunks x 4 probes) and ~ N_PROBE*N/K "
+        "(ivf); the K sweep shows the production knob — scale K with "
+        "the corpus and per-query work stays bounded."
+    )
+    with open(os.path.join(REPO, "ANN_CANDIDATES.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
