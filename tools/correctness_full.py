@@ -90,6 +90,13 @@ def main() -> int:
         "SET max_temp_directory_size = "
         f"'{os.environ.get('DUCKDB_TEMP_MAX', '60GB')}'"
     )
+    # cap the oracle's RAM so big-SF runs spill to the temp dir instead
+    # of ballooning to DuckDB's default 80%-of-RAM and getting
+    # OOM-killed when several gates run concurrently (r8: a sf10 dedup
+    # oracle hit 37 GB RSS and took the whole sweep down)
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('DUCKDB_MEM', '16GB')}'"
+    )
     # Oracles that are intractable in DuckDB at the chosen SF (e.g. a
     # hot-shingle self-join that spills > disk at sf10) can be demoted
     # to the driver's weaker rows-only check without editing specs.
