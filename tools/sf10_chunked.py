@@ -57,6 +57,10 @@ def main() -> int:
             continue
         rx = "^(" + "|".join(re.escape(n) for n in group) + ")$"
         print(f"== chunk {i}: {len(group)} specs ==", flush=True)
+        # NOT check=True: the gate exits nonzero when any spec records
+        # an error, but the part file is still complete and valid (the
+        # error is data — patch-rerun those specs afterwards). Only a
+        # missing part file (gate crashed before writing) is fatal.
         subprocess.run(
             [sys.executable, GATE, sf_dir],
             env={
@@ -65,9 +69,11 @@ def main() -> int:
                 "ORACLE_SKIP": ORACLE_SKIP,
                 "CORRECTNESS_OUT": part + ".tmp",
             },
-            check=True,
+            check=False,
             cwd=REPO,
         )
+        if not os.path.exists(path + ".tmp"):
+            raise RuntimeError(f"chunk {i}: gate died before writing")
         os.replace(path + ".tmp", path)
     specs: dict[str, dict] = {}
     for part in parts:
