@@ -32,6 +32,7 @@ GATE = os.path.join(REPO, "tools", "correctness_full.py")
 ORACLE_SKIP = (
     "^(dedup_ngram_jaccard|dedup_containment|dedup_cluster_components"
     "|dedup_keep_best|dedup_embedding_cosine|dedup_semantic"
+    "|dedup_graph_pagerank"
     "|similarity_topk_cosine|similarity_ann_lsh|similarity_pq_adc"
     "|multimodal_phash_near_dup)$"
 )

@@ -34,7 +34,9 @@ Run:  python tools/sf10_recheck.py [sf_dir]
 from __future__ import annotations
 
 import json
+import math
 import os
+import re
 import sys
 import traceback
 from typing import Any
@@ -290,9 +292,17 @@ def main() -> int:
         )
 
     out: dict[str, dict] = {}
+    # RECHECK_ONLY='regex' re-runs a subset; results merge into the
+    # existing artifact (everything is lazy until run() collects, so
+    # skipped specs cost nothing)
+    only = os.environ.get("RECHECK_ONLY")
+    only_rx = re.compile(only) if only else None
 
     def run(name, method, spark_df, oracle_sql=None, oracle_rows=None,
             oracle_cols=None):
+        if only_rx is not None and not only_rx.search(name):
+            print(f"SKIP  {name} (RECHECK_ONLY)")
+            return
         rec: dict[str, Any] = {"method": method, "err": None}
         try:
             s_cols = spark_df.columns
@@ -466,7 +476,52 @@ def main() -> int:
         ],
     )
 
+    # --- staged pagerank ----------------------------------------------------
+    # The full DuckDB oracle is disk-intractable at sf10 (the jaccard
+    # candidate CTE spills > 56 GB even at a 40 GB memory budget).
+    # The spec's output is a deterministic function of the edge
+    # relation (slice-verified above; fully verified at sf <= 1):
+    # contributions are integer-quantized (FLOOR(r/deg * 1e12)) so the
+    # per-destination sum is order-free, and every remaining op is a
+    # fixed IEEE double sequence — a pure-Python power iteration
+    # reproduces the FULL output bit-for-bit.
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        PR_DAMP,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    adj = [e for a, b in edges for e in ((a, b), (b, a))]
+    degs: dict[int, int] = {}
+    for s, _ in adj:
+        degs[s] = degs.get(s, 0) + 1
+    n_docs = len(doc_ids)
+    rank = {d: 1.0 / n_docs for d in doc_ids}
+    base = 0.15 / n_docs
+    for _ in range(PR_ITERS):
+        cs: dict[int, int] = {}
+        for s, dst in adj:
+            c = math.floor(rank[s] / degs[s] * float(PR_SCALE))
+            cs[dst] = cs.get(dst, 0) + c
+        rank = {
+            d: base + PR_DAMP * (float(cs.get(d, 0)) / float(PR_SCALE))
+            for d in doc_ids
+        }
+    run(
+        "dedup_graph_pagerank",
+        staged_note + "+ python 3-iteration power iteration "
+        "(integer-quantized contributions -> order-free sums)",
+        DSPECS["dedup_graph_pagerank"].spark(spark, sf_dir),
+        oracle_rows=[(d, rank[d]) for d in doc_ids],
+        oracle_cols=["doc_id", "pagerank"],
+    )
+
     path = os.path.join(REPO, "CORRECTNESS_sf10_recheck.json")
+    if only_rx is not None and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("specs", {})
+        prior.update(out)
+        out = prior
     with open(path, "w") as f:
         json.dump({"sf_dir": sf_dir, "specs": out}, f, indent=1)
     n_bad = sum(
