@@ -395,8 +395,10 @@ def main() -> int:
     # OR-of-both-endpoints filter cannot be pushed through a self-join
     # in either engine, and the unrestricted candidate stream is the
     # documented ~2.5e11-row saturation at sf10 (multimodal.py
-    # docstring) — the full-output row count rides in the main sweep's
-    # rows-only record instead.
+    # docstring) — the full Spark run is CPU-intractable on this box
+    # (>85 min at 15 cores before we stopped it, r8), so the spec's
+    # sf10 evidence is this sliced-exact check alone; full-output
+    # hashes exist at sf <= 1.
     from gcp_dbt_data_engineering_spark.operators.multimodal import (
         _phash_chunk_frame,
         _phash_pairs,
@@ -413,8 +415,8 @@ def main() -> int:
         "multimodal_phash_near_dup",
         f"sliced-exact: pairs touching asset_id % {PAIR_MOD} == 0, "
         f"one-side-sliced chunk-join branches built from the spec's "
-        f"own chunk/verify expressions in BOTH engines (full-output "
-        f"rows in the main sweep)",
+        f"own chunk/verify expressions in BOTH engines (full run is "
+        f"CPU-intractable at sf10: ~2.5e11 candidate rows)",
         phash_sliced,
         oracle_sql=_sliced_phash(),
     )
