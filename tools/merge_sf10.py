@@ -2,7 +2,7 @@
 
 Inputs:
 - CORRECTNESS_sf10_main.json — tools/correctness_full.py over ALL specs
-  at sf10 with ORACLE_SKIP for the six intractable-oracle specs (those
+  at sf10 with ORACLE_SKIP for the intractable-oracle specs (those
   appear as rows-only);
 - CORRECTNESS_sf10_recheck.json — tools/sf10_recheck.py sliced/staged
   EXACT verdicts for exactly those six.
@@ -51,7 +51,7 @@ def main() -> int:
         "note": (
             "full-oracle sweep (tools/correctness_full.py) merged with "
             "sliced/staged exact rechecks (tools/sf10_recheck.py) for "
-            "the six specs whose naive DuckDB oracles are intractable "
+            "the eleven specs whose naive DuckDB oracles (or, for phash, the full Spark run) are intractable "
             "at sf10; per-spec 'method' states how exactness was "
             "established"
         ),
