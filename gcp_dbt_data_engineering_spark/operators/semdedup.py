@@ -56,6 +56,7 @@ from .similarity import (
     _cosine,
     _kmeans_cents_df,
     _quantized,
+    _sql_kmeans_seed_cte,
     _sql_lloyd_iteration,
 )
 
@@ -101,11 +102,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SEMANTIC = f"""
 WITH {_SQL_QUANTIZED},
-params AS (SELECT COUNT(*) // {K_CLUSTERS} AS stride FROM qn),
-c0 AS (
-  SELECT CAST(vec_id // p.stride AS BIGINT) AS cid, qv AS cv
-  FROM qn, params p
-  WHERE vec_id % p.stride = 0 AND vec_id // p.stride < {K_CLUSTERS}),
+{_sql_kmeans_seed_cte(K_CLUSTERS)},
 {",".join(_sql_lloyd_iteration(t + 1, f"c{t}") for t in range(KM_ITERS))},
 {_FINAL_A} AS (
   SELECT vec_id, cid FROM (

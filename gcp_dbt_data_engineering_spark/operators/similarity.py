@@ -496,6 +496,30 @@ def _assign_cids(vecs: DataFrame, cents: DataFrame, extra_cols=("q",)):
     )
 
 
+def _seed_mix(x: str, engine: str) -> str:
+    """Avalanched seed-order hash (the HLL mix from ``sketch.py``,
+    identical integer semantics in both engines). K-means seeds are the
+    k vectors with the smallest ``(mix(vec_id), vec_id)`` — a property
+    of the ID VALUES only, independent of their layout. The previous
+    evenly-strided rule (``vec_id % (n DIV k) = 0``) silently assumed
+    dense 0..n-1 ids: on the sfN replica corpora (ids offset by
+    1e6 per replica) and on any production id scheme it selected ~1
+    seed, collapsing the quantizer to one cluster — the r8 occupancy
+    audit (tools/ann_candidates.py) caught ivf_kmeans probing 100 % of
+    the corpus at sf >= 1."""
+    from .sketch import _hll_hash
+
+    return _hll_hash(x, engine)
+
+
+def _sql_kmeans_seed_cte(k: int) -> str:
+    """DuckDB twin of the seed selection in ``_kmeans_cents_df``."""
+    return f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY m, vec_id) - 1 AS cid, cv FROM (
+    SELECT vec_id, qv AS cv, {_seed_mix('vec_id', 'duck')} AS m
+    FROM qn ORDER BY m, vec_id LIMIT {k}))"""
+
+
 def _kmeans_cents_df(vecs: DataFrame, k: int, iters: int) -> DataFrame:
     """Lloyd's k-means as ONE declarative plan — no driver sync at all.
 
@@ -510,19 +534,29 @@ def _kmeans_cents_df(vecs: DataFrame, k: int, iters: int) -> DataFrame:
     at 2 iterations that was 3 sequential driver round-trips of pure
     scheduling constant).
 
-    Determinism: seeds are the k evenly-strided vec_ids; distances and
-    sums are exact int64; new centroids are floor(double(sum)/count);
-    ties break to the smallest centroid id. The DuckDB oracle replays
-    the same iterations unrolled as SQL CTEs, bit-for-bit. Clusters
-    that lose all members disappear, in both engines alike.
+    Determinism: seeds are the k vectors with the smallest avalanched
+    id hash (``_seed_mix`` — id-layout-independent; ties by vec_id),
+    picked with a distributed TakeOrdered (orderBy + limit), never a
+    global sort; distances and sums are exact int64; new centroids are
+    floor(double(sum)/count); ties break to the smallest centroid id.
+    The DuckDB oracle replays the same iterations unrolled as SQL
+    CTEs, bit-for-bit. Clusters that lose all members disappear, in
+    both engines alike.
     """
-    stride_df = F.broadcast(
-        vecs.agg(F.expr(f"CAST(COUNT(*) DIV {k} AS BIGINT) AS stride"))
+    seeds = (
+        vecs.selectExpr(
+            "vec_id", "q", f"{_seed_mix('vec_id', 'spark')} AS __m"
+        )
+        .orderBy("__m", "vec_id")
+        .limit(k)
     )
-    cents = (
-        vecs.crossJoin(stride_df)
-        .filter(F.expr(f"vec_id % stride = 0 AND vec_id DIV stride < {k}"))
-        .selectExpr("CAST(vec_id DIV stride AS BIGINT) AS cid", "q AS cv")
+    # k rows at most — the single-partition window is on a broadcast-
+    # sized relation, not the corpus
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("__m", "vec_id")) - 1)
+        .cast("bigint")
+        .alias("cid"),
+        F.col("q").alias("cv"),
     )
     for _ in range(iters):
         cents = (
@@ -641,11 +675,7 @@ _FINAL_A = f"a{KM_ITERS + 1}"
 
 ORACLE_ANN_IVF_KMEANS = f"""
 WITH {_SQL_QUANTIZED},
-params AS (SELECT COUNT(*) // {K_CLUSTERS} AS stride FROM qn),
-c0 AS (
-  SELECT CAST(vec_id // p.stride AS BIGINT) AS cid, qv AS cv
-  FROM qn, params p
-  WHERE vec_id % p.stride = 0 AND vec_id // p.stride < {K_CLUSTERS}),
+{_sql_kmeans_seed_cte(K_CLUSTERS)},
 {",".join(_sql_lloyd_iteration(t + 1, f"c{t}") for t in range(KM_ITERS))},
 {_FINAL_A} AS (
   SELECT vec_id, cid FROM (
