@@ -107,7 +107,9 @@ def main() -> int:
         },
         "per_spec": out,
     }
-    path = os.path.join(REPO, "SCALE_CURVE.json")
+    path = os.path.join(
+        REPO, os.environ.get("SCALE_CURVE_OUT", "SCALE_CURVE.json")
+    )
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     for n, v in sorted(fam.items()):
