@@ -115,7 +115,25 @@ def main() -> int:
 
     out: dict[str, dict] = {}
     n_pass = n_weak = n_fail = 0
+    # Long sweeps at big SFs accumulate shuffle files from completed
+    # specs in the block manager: nothing references them once a spec's
+    # collect() finished, but the JVM only deletes them when GC runs and
+    # the ContextCleaner sees the shuffle dependency is unreachable.
+    # At sf100 that stranded >30 GB of dead shuffle in /tmp and starved
+    # later specs into "No space left on device". GC_EACH_SPEC=1 nudges
+    # a full GC between specs so the cleaner reclaims them promptly.
+    # The Python-side gc.collect() must come first: py4j keeps the
+    # completed DataFrames' JVM plans reachable until their Python
+    # wrappers are collected, which pins every ShuffleDependency and
+    # defeats the JVM GC (observed live: jcmd GC.run reclaimed nothing
+    # while the sweep's Python process still held the wrappers).
+    gc_each = os.environ.get("GC_EACH_SPEC") == "1"
     for name, spec in specs.items():
+        if gc_each:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         rec: dict[str, Any] = {
             "rows_match": None,
             "schema_match": None,
