@@ -55,9 +55,30 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _env_conf() -> dict[str, str]:
+    """Ad-hoc conf overrides from ``SPARK_GRAFT_EXTRA_CONF``.
+
+    Format: ``key=value;key=value``. Lets one-off sweeps retune the
+    engine without touching call sites — e.g. the sf100 rows-only gate
+    runs with ``spark.io.compression.codec=zstd`` (the int64-pair
+    shuffles of the shingle relation compress ~2x better than lz4,
+    which is the difference between fitting the sweep on this box's
+    disk and ENOSPC) and ``spark.speculation=false`` (a speculative
+    copy of a long shuffle-map task transiently doubles its shuffle
+    file footprint). Overrides win over RUNTIME_CONF; an explicit
+    ``extra_conf`` argument wins over both.
+    """
+    out: dict[str, str] = {}
+    for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        k, sep, v = item.partition("=")
+        if sep and k.strip():
+            out[k.strip()] = v.strip()
+    return out
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session."""
-    for k, v in RUNTIME_CONF.items():
+    for k, v in {**RUNTIME_CONF, **_env_conf()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -165,8 +186,6 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    for k, v in RUNTIME_CONF.items():
-        builder = builder.config(k, v)
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**RUNTIME_CONF, **_env_conf(), **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())

@@ -216,3 +216,24 @@ def test_dsir_topk_is_takeordered(spark):
     partial top-K), never a global Sort + Limit."""
     p = _plan(spark, "dsir_importance_selection")
     assert "TakeOrderedAndProject" in p
+
+
+def test_env_conf_override_parses_and_wins(monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONF tunes one-off sweeps (e.g. zstd shuffle
+    compression for the sf100 disk-bound gate) without code changes."""
+    from gcp_dbt_data_engineering_spark import session as s
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF",
+        "spark.io.compression.codec=zstd; spark.speculation=false;;bad",
+    )
+    env = s._env_conf()
+    assert env == {
+        "spark.io.compression.codec": "zstd",
+        "spark.speculation": "false",
+    }
+    # overrides win over RUNTIME_CONF in the merged builder dict
+    merged = {**s.RUNTIME_CONF, **env}
+    assert merged["spark.speculation"] == "false"
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
+    assert s._env_conf() == {}
