@@ -33,6 +33,7 @@ from ..operators.texthash import (  # noqa: F401
     P,
     bit,
     char_shingle_hashes,
+    minhash_coeffs,
     perm_coeffs,
     polyhash,
     shiftleft_one,
@@ -71,6 +72,7 @@ __all__ = [
     "hash_bucket",
     "money_avg",
     "money_sum",
+    "minhash_coeffs",
     "perm_coeffs",
     "polyhash",
     "shiftleft_one",

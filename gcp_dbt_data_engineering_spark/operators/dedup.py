@@ -452,7 +452,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"({a} * h + {b}) % {th.P}")
             ).alias(f"mh{i}")
             for i, (a, b) in (
-                (i, th.perm_coeffs(i)) for i in range(MINHASH_K)
+                (i, th.minhash_coeffs(i)) for i in range(MINHASH_K)
             )
         ]
     )
@@ -480,7 +480,7 @@ def _sql_minhash() -> str:
     r = MINHASH_K // LSH_BANDS
     min_cols = ",\n       ".join(
         f"MIN(({a} * h + {b}) % {th.P}) AS mh{i}"
-        for i, (a, b) in ((i, th.perm_coeffs(i)) for i in range(MINHASH_K))
+        for i, (a, b) in ((i, th.minhash_coeffs(i)) for i in range(MINHASH_K))
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS key FROM mins".format(

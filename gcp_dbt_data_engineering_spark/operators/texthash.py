@@ -36,8 +36,49 @@ _A0 = 999_999_937  # largest prime < 1e9
 
 
 def perm_coeffs(i: int) -> tuple[int, int]:
-    """(a, b) of the i-th affine MinHash permutation h -> (a*h+b) % P."""
+    """(a, b) of the i-th affine hash h -> (a*h+b) % P.
+
+    WARNING: NOT independent across i. ``a_i = (i+1)*_A0 mod P`` and
+    ``_A0 ≡ -70 (mod P)``, so every multiplier is a small multiple of
+    the same base: all i rank inputs by (70*h mod P) whenever that
+    quantity is small, i.e. the family shares argmins. Fine for the
+    SINGLE-hash consumers (sampling thresholds, the simhash rehash),
+    catastrophic for a multi-permutation signature — use
+    :func:`minhash_coeffs` there (see its docstring for the measured
+    sf100 failure).
+    """
     return ((i + 1) * _A0) % P, i
+
+
+def _scramble(x: int) -> int:
+    """Python-side avalanche for deriving hash-family constants."""
+    m = (1 << 61) - 1
+    x = (x * 1_103_515_245 + 12_345) & m
+    x ^= x >> 29
+    x = (x * 69_069 + 1) & m
+    x ^= x >> 17
+    x = (x * 999_999_937 + 101) & m
+    return x ^ (x >> 31)
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """(a, b) of the i-th MinHash permutation h -> (a*h+b) % P.
+
+    Multipliers are avalanched functions of i (plain literals once
+    emitted into either SQL dialect), so distinct permutations rank
+    shingles independently. The previous family (:func:`perm_coeffs`)
+    had a_i = -70*(i+1) mod P: every permutation ranked by the same
+    g = 70h mod P, so ALL 16 minima came from a doc's lowest-g
+    shingle and LSH buckets degenerated to "docs sharing a common
+    low-g shingle" — doc-frequency-sized buckets. Measured at the 5M-doc
+    sf100 corpus: 7.3e8 pre-distinct candidate pairs, max bucket 7531
+    (~ the df of one boilerplate shingle), ENOSPC on a 75 GB disk; at
+    a real 100 TB corpus the candidate stage would be ~quadratic.
+    Independent multipliers restore P(band collision) ~ jaccard^r.
+    """
+    a = _scramble(i + 1) % (P - 1) + 1
+    b = _scramble(i + 1001) % P
+    return a, b
 
 
 def words(col: str, dialect: str) -> str:

@@ -101,3 +101,42 @@ def test_similarity_joins_exact_on_random_corpora(spark, tmp_path, seed):
         assert exp_jac and exp_con  # planted dups actually materialized
     finally:
         clear_caches(spark)  # no tmp-corpus state leaks to other tests
+
+
+def test_minhash_coeffs_are_independent_permutations():
+    """Regression: the r8 sf100 ENOSPC. perm_coeffs has a_i = -70(i+1)
+    mod P — every permutation ranks shingles by the same g = 70h mod P,
+    so one low-g shingle is the argmin of ALL 16 permutations and LSH
+    buckets degenerate to shingle document frequency (measured 7.3e8
+    candidate pairs / max bucket 7531 at the 5M-doc sf100 corpus).
+    minhash_coeffs must (a) contain no near-proportional multiplier
+    pair and (b) spread argmins on an adversarial shingle set built
+    around a minimal-g member."""
+    from gcp_dbt_data_engineering_spark.operators import texthash as th
+
+    P = th.P
+    coeffs = [th.minhash_coeffs(i) for i in range(16)]
+    assert len({a for a, _ in coeffs}) == 16
+
+    for i in range(16):
+        inv = pow(coeffs[i][0], P - 2, P)
+        for j in range(i + 1, 16):
+            r = coeffs[j][0] * inv % P
+            assert min(r, P - r) > 10**6, (i, j, r)
+
+    # adversarial doc: 99 spread shingles + one whose (-70h) mod P is
+    # tiny — the old family's value at h is g*(i+1)+i with
+    # g = (-70h) mod P, exactly the arithmetic-progression band keys
+    # observed in the sf100 hot buckets (252332, 504665, 756998, ...).
+    hs = [(k * 48_271_009 + 7) % P for k in range(99)]
+    h_star = pow(70, P - 2, P) * (P - 5) % P
+    assert (P - 70 * h_star % P) % P == 5
+    hs.append(h_star)
+
+    def argmin(a, b):
+        return min(range(len(hs)), key=lambda k: (a * hs[k] + b) % P)
+
+    old_argmins = {argmin(*th.perm_coeffs(i)) for i in range(16)}
+    new_argmins = {argmin(a, b) for a, b in coeffs}
+    assert len(old_argmins) == 1  # documents the defect being guarded
+    assert len(new_argmins) >= 8  # independent perms pick spread minima
