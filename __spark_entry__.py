@@ -51,6 +51,16 @@ def _evidence_rank() -> dict[str, tuple[int, int]]:
                 rank[name] = (2, -rnd)  # green; newer rounds sort later
             elif rank.get(name, (0, 0))[0] != 2:
                 rank[name] = (0, -rnd)  # red and never green: first priority
+    # Specs whose SEMANTICS changed after their last driver-green row:
+    # their recorded evidence describes the old output, so they outrank
+    # everything (builder-side full-oracle gates cover them meanwhile).
+    # r8: minhash_coeffs fix; k-means reseeding (avalanched-hash seeds).
+    for name in (
+        "dedup_minhash_lsh",
+        "similarity_ann_ivf_kmeans",
+        "dedup_semantic",
+    ):
+        rank[name] = (-1, 0)
     return rank
 
 
