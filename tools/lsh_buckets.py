@@ -21,6 +21,15 @@ family (``minhash_coeffs``, independent avalanched multipliers)
 measured 44,828,526 / max 986 on the same corpus — 16x less, and
 linear per decade.
 
+``AUDIT=minhash,ppjoin`` (default both) also measures the PPJoin
+paths from the same occupancy principle:
+
+- jaccard prefix join volume = sum over shingles h of
+  C(prefix_df(h), 2) — the rows streamed through the prefix equi-join
+  before the size/position filters;
+- containment join volume = sum of prefix_df(h) * full_df(h) minus
+  the self-matches — the contained-prefix x container-full stream.
+
 Run: python tools/lsh_buckets.py /root/testdata/sf0.1 \
          .artifacts/sf1 .artifacts/sf10 .artifacts/sf100
 Writes LSH_BUCKETS.json at the repo root ($LSH_BUCKETS_OUT to
@@ -45,12 +54,62 @@ def main() -> int:
     from gcp_dbt_data_engineering_spark.operators import texthash as th
 
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    audits = set(os.environ.get("AUDIT", "minhash,ppjoin").split(","))
     spark = get_spark(app_name="lsh_buckets")
     out: dict[str, dict] = {}
     r = dedup.MINHASH_K // dedup.LSH_BANDS
     for sf_dir in sf_dirs:
         label = os.path.basename(os.path.normpath(sf_dir))
         sh = dedup._shingle_rows(spark, sf_dir)
+        out[label] = {}
+        if "ppjoin" in audits:
+            ranked = dedup._ranked_shingles(spark, sf_dir)
+            jn, jd = dedup.JACCARD_T_NUM, dedup.JACCARD_T_DEN
+            cn, cd = dedup.CONTAIN_T_NUM, dedup.CONTAIN_T_DEN
+            jac_pref = ranked.filter(
+                F.expr(f"rnk <= n - ({jn} * n + {jn}) DIV {jd} + 1")
+            )
+            jac = (
+                jac_pref.groupBy("h")
+                .count()
+                .agg(
+                    F.sum(F.expr("count*(count-1)/2")).alias("pairs"),
+                    F.max("count").alias("max_df"),
+                    F.sum("count").alias("pref_rows"),
+                )
+                .collect()[0]
+            )
+            con_pref = ranked.filter(
+                F.expr(f"rnk <= n - ({cn} * n + {cn}) DIV {cd} + 1")
+            ).groupBy("h").agg(F.count(F.lit(1)).alias("pdf"))
+            full_df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
+            con = (
+                con_pref.join(full_df, "h")
+                .agg(
+                    F.sum(F.expr("pdf * fdf")).alias("stream"),
+                    F.sum("pdf").alias("self_matches"),
+                )
+                .collect()[0]
+            )
+            n_docs_pp = sh.select("doc_id").distinct().count()
+            out[label]["ppjoin_jaccard"] = {
+                "prefix_rows": int(jac["pref_rows"]),
+                "prefix_join_pairs": int(jac["pairs"]),
+                "max_prefix_df": int(jac["max_df"]),
+                "pairs_per_doc": round(jac["pairs"] / n_docs_pp, 3),
+            }
+            out[label]["ppjoin_containment"] = {
+                "stream_rows": int(con["stream"] - con["self_matches"]),
+                "rows_per_doc": round(
+                    (con["stream"] - con["self_matches"]) / n_docs_pp, 3
+                ),
+            }
+        if "minhash" not in audits:
+            print(label, json.dumps(out[label]))
+            from gcp_dbt_data_engineering_spark.session import clear_caches
+
+            clear_caches(spark, keep_table_handles=True)
+            continue
         mins = sh.groupBy("doc_id").agg(
             *[
                 F.min(F.expr(f"({a} * h + {b}) % {th.P}")).alias(f"mh{i}")
@@ -83,14 +142,14 @@ def main() -> int:
             for x in sizes.orderBy(F.desc("count")).limit(5).collect()
         ]
         n_docs = agg["n_rows"] // dedup.LSH_BANDS
-        out[label] = {
+        out[label].update({
             "n_docs": int(n_docs),
             "n_buckets": int(agg["n_buckets"]),
             "pre_distinct_pairs": int(agg["pairs"]),
             "max_bucket": int(agg["max_bucket"]),
             "top_buckets": top,
             "pairs_per_doc": round(agg["pairs"] / max(n_docs, 1), 3),
-        }
+        })
         print(label, json.dumps(out[label]))
         # the shingle relation is memoized per (session, sf_dir);
         # release it before the next (potentially huge) corpus
