@@ -51,16 +51,20 @@ def _evidence_rank() -> dict[str, tuple[int, int]]:
                 rank[name] = (2, -rnd)  # green; newer rounds sort later
             elif rank.get(name, (0, 0))[0] != 2:
                 rank[name] = (0, -rnd)  # red and never green: first priority
-    # Specs whose SEMANTICS changed after their last driver-green row:
-    # their recorded evidence describes the old output, so they outrank
-    # everything (builder-side full-oracle gates cover them meanwhile).
-    # r8: minhash_coeffs fix; k-means reseeding (avalanched-hash seeds).
-    for name in (
-        "dedup_minhash_lsh",
-        "similarity_ann_ivf_kmeans",
-        "dedup_semantic",
-    ):
-        rank[name] = (-1, 0)
+    # Specs whose SEMANTICS changed in a given round after their last
+    # driver-green row: that evidence describes the old output, so they
+    # outrank everything until a green row from a LATER round lands
+    # (builder-side full-oracle gates cover them meanwhile). r8:
+    # minhash_coeffs fix; k-means reseeding (avalanched-hash seeds).
+    changed_in_round = {
+        "dedup_minhash_lsh": 8,
+        "similarity_ann_ivf_kmeans": 8,
+        "dedup_semantic": 8,
+    }
+    for name, chg_rnd in changed_in_round.items():
+        status, neg_rnd = rank.get(name, (1, 0))
+        if status != 2 or -neg_rnd < chg_rnd:
+            rank[name] = (-1, 0)
     return rank
 
 

@@ -264,10 +264,7 @@ def _ppjoin_candidates(
     which is what the verification join's cost scales with.
     """
     pref = (ranked if ranked is not None else _rank_shingle_frame(sh)).filter(
-        F.expr(
-            f"rnk <= n - ({JACCARD_T_NUM} * n + {JACCARD_T_NUM})"
-            f" DIV {JACCARD_T_DEN} + 1"
-        )
+        F.expr(_prefix_filter_expr(JACCARD_T_NUM, JACCARD_T_DEN))
     )
     a = pref.select(
         F.col("doc_id").alias("doc_a"),
@@ -376,7 +373,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
     pref = (
         _ranked_shingles(spark, sf_dir)
-        .filter(F.expr(f"rnk <= n - ({tn} * n + {tn}) DIV {td} + 1"))
+        .filter(F.expr(_prefix_filter_expr(tn, td)))
         .select(
             F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("na")
         )
@@ -434,17 +431,11 @@ LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 VERIFY_T = 0.5
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle -> 16-perm MinHash -> 4x4 banded LSH -> verified pairs.
-
-    Signatures come from a single hash-aggregate over the exploded
-    shingle hashes (16 ``min`` partial aggs — map-side combined, one
-    shuffle on doc_id). Band keys bucket docs; docs sharing any band
-    become candidates; candidates are verified with exact Jaccard.
-    The oracle replays the identical permutations, so even LSH *misses*
-    match bit-for-bit.
-    """
-    sh = _shingle_rows(spark, sf_dir)
+def _lsh_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from the shingle relation —
+    the single definition of the signature + banding layout, shared by
+    the operator and the occupancy audit (tools/lsh_buckets.py) so the
+    audited algorithm cannot drift from the shipping one."""
     r = MINHASH_K // LSH_BANDS
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -462,9 +453,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bnd in range(LSH_BANDS)
         ]
     )
-    bands = mins.select(
+    return mins.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
+
+
+def _prefix_filter_expr(t_num: int, t_den: int) -> str:
+    """SQL predicate selecting a ranked shingle row iff it is inside
+    its doc's PPJoin prefix for threshold t_num/t_den — shared by the
+    jaccard/containment operators and the occupancy audit."""
+    return (
+        f"rnk <= n - ({t_num} * n + {t_num}) DIV {t_den} + 1"
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle -> 16-perm MinHash -> 4x4 banded LSH -> verified pairs.
+
+    Signatures come from a single hash-aggregate over the exploded
+    shingle hashes (16 ``min`` partial aggs — map-side combined, one
+    shuffle on doc_id). Band keys bucket docs; docs sharing any band
+    become candidates; candidates are verified with exact Jaccard.
+    The oracle replays the identical permutations, so even LSH *misses*
+    match bit-for-bit.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    bands = _lsh_bands(sh)
     x = bands.selectExpr("doc_id AS doc_a", "band", "key")
     y = bands.selectExpr("doc_id AS doc_b", "band", "key")
     pairs = (

@@ -73,12 +73,27 @@ def _env_conf() -> dict[str, str]:
         k, sep, v = item.partition("=")
         if sep and k.strip():
             out[k.strip()] = v.strip()
+        elif item.strip():
+            # a malformed item silently dropped = a sweep running hours
+            # on the wrong codec before anyone notices; say so up front
+            print(
+                f"WARNING: SPARK_GRAFT_EXTRA_CONF item {item!r} has no "
+                "'=', ignored"
+            )
     return out
 
 
-def tune(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime confs to an existing session."""
-    for k, v in {**RUNTIME_CONF, **_env_conf()}.items():
+def tune(
+    spark: SparkSession, overrides: dict[str, str] | None = None
+) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session.
+
+    ``overrides`` (highest precedence) lets get_spark re-apply its
+    caller's explicit ``extra_conf`` at runtime too — without it, this
+    post-build pass would clobber runtime-settable extra_conf keys
+    with the env/RUNTIME_CONF value.
+    """
+    for k, v in {**RUNTIME_CONF, **_env_conf(), **(overrides or {})}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -188,4 +203,4 @@ def get_spark(
     )
     for k, v in {**RUNTIME_CONF, **_env_conf(), **(extra_conf or {})}.items():
         builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+    return tune(builder.getOrCreate(), overrides=extra_conf)

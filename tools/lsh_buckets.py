@@ -12,6 +12,13 @@ Per SF it records: docs, bucket count, pre-distinct candidate pairs
 candidates-per-doc. Linear candidate growth (pairs/doc ~flat across
 SFs) is the property that makes the operator viable at 100 TB.
 
+The banding layout and prefix filters are NOT re-implemented here:
+the audit calls the operator module's own ``_lsh_bands`` /
+``_prefix_filter_expr`` / ``_ranked_shingles`` helpers, so a change
+to the shipping algorithm is automatically a change to the audited
+one (the r8 lesson: evidence describing an old algorithm is worse
+than no evidence).
+
 History: this audit is how the r8 permutation defect was found. The
 old family ``perm_coeffs`` (a_i = -70(i+1) mod P) made every
 permutation rank shingles by the same g = 70h mod P, so buckets
@@ -51,26 +58,28 @@ def main() -> int:
 
     from gcp_dbt_data_engineering_spark import get_spark
     from gcp_dbt_data_engineering_spark.operators import dedup
-    from gcp_dbt_data_engineering_spark.operators import texthash as th
+    from gcp_dbt_data_engineering_spark.session import clear_caches
 
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
     audits = set(os.environ.get("AUDIT", "minhash,ppjoin").split(","))
     spark = get_spark(app_name="lsh_buckets")
     out: dict[str, dict] = {}
-    r = dedup.MINHASH_K // dedup.LSH_BANDS
     for sf_dir in sf_dirs:
         label = os.path.basename(os.path.normpath(sf_dir))
         sh = dedup._shingle_rows(spark, sf_dir)
-        out[label] = {}
+        n_docs = sh.select("doc_id").distinct().count()
+        out[label] = {"n_docs": int(n_docs)}
         if "ppjoin" in audits:
             ranked = dedup._ranked_shingles(spark, sf_dir)
-            jn, jd = dedup.JACCARD_T_NUM, dedup.JACCARD_T_DEN
-            cn, cd = dedup.CONTAIN_T_NUM, dedup.CONTAIN_T_DEN
-            jac_pref = ranked.filter(
-                F.expr(f"rnk <= n - ({jn} * n + {jn}) DIV {jd} + 1")
-            )
             jac = (
-                jac_pref.groupBy("h")
+                ranked.filter(
+                    F.expr(
+                        dedup._prefix_filter_expr(
+                            dedup.JACCARD_T_NUM, dedup.JACCARD_T_DEN
+                        )
+                    )
+                )
+                .groupBy("h")
                 .count()
                 .agg(
                     F.sum(F.expr("count*(count-1)/2")).alias("pairs"),
@@ -79,9 +88,17 @@ def main() -> int:
                 )
                 .collect()[0]
             )
-            con_pref = ranked.filter(
-                F.expr(f"rnk <= n - ({cn} * n + {cn}) DIV {cd} + 1")
-            ).groupBy("h").agg(F.count(F.lit(1)).alias("pdf"))
+            con_pref = (
+                ranked.filter(
+                    F.expr(
+                        dedup._prefix_filter_expr(
+                            dedup.CONTAIN_T_NUM, dedup.CONTAIN_T_DEN
+                        )
+                    )
+                )
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("pdf"))
+            )
             full_df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
             con = (
                 con_pref.join(full_df, "h")
@@ -91,70 +108,47 @@ def main() -> int:
                 )
                 .collect()[0]
             )
-            n_docs_pp = sh.select("doc_id").distinct().count()
+            # empty/degenerate corpus (no doc reaches shingle width):
+            # aggregates come back NULL — record zeros, don't crash the
+            # rest of a multi-SF sweep
+            j_pairs = int(jac["pairs"] or 0)
+            c_stream = int((con["stream"] or 0) - (con["self_matches"] or 0))
             out[label]["ppjoin_jaccard"] = {
-                "prefix_rows": int(jac["pref_rows"]),
-                "prefix_join_pairs": int(jac["pairs"]),
-                "max_prefix_df": int(jac["max_df"]),
-                "pairs_per_doc": round(jac["pairs"] / n_docs_pp, 3),
+                "prefix_rows": int(jac["pref_rows"] or 0),
+                "prefix_join_pairs": j_pairs,
+                "max_prefix_df": int(jac["max_df"] or 0),
+                "pairs_per_doc": round(j_pairs / max(n_docs, 1), 3),
             }
             out[label]["ppjoin_containment"] = {
-                "stream_rows": int(con["stream"] - con["self_matches"]),
-                "rows_per_doc": round(
-                    (con["stream"] - con["self_matches"]) / n_docs_pp, 3
-                ),
+                "stream_rows": c_stream,
+                "rows_per_doc": round(c_stream / max(n_docs, 1), 3),
             }
-        if "minhash" not in audits:
-            print(label, json.dumps(out[label]))
-            from gcp_dbt_data_engineering_spark.session import clear_caches
-
-            clear_caches(spark, keep_table_handles=True)
-            continue
-        mins = sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.expr(f"({a} * h + {b}) % {th.P}")).alias(f"mh{i}")
-                for i, (a, b) in (
-                    (i, th.minhash_coeffs(i))
-                    for i in range(dedup.MINHASH_K)
-                )
+        if "minhash" in audits:
+            sizes = (
+                dedup._lsh_bands(sh).groupBy("band", "key").count().persist()
+            )
+            agg = sizes.agg(
+                F.count("*").alias("n_buckets"),
+                F.sum("count").alias("n_rows"),
+                F.sum(F.expr("count*(count-1)/2")).alias("pairs"),
+                F.max("count").alias("max_bucket"),
+            ).collect()[0]
+            top = [
+                x["count"]
+                for x in sizes.orderBy(F.desc("count")).limit(5).collect()
             ]
-        )
-        band_keys = F.array(
-            *[
-                F.concat_ws(
-                    "_", *[F.col(f"mh{bnd * r + j}") for j in range(r)]
-                )
-                for bnd in range(dedup.LSH_BANDS)
-            ]
-        )
-        bands = mins.select(
-            "doc_id", F.posexplode(band_keys).alias("band", "key")
-        )
-        sizes = bands.groupBy("band", "key").count()
-        agg = sizes.agg(
-            F.count("*").alias("n_buckets"),
-            F.sum("count").alias("n_rows"),
-            F.sum(F.expr("count*(count-1)/2")).alias("pairs"),
-            F.max("count").alias("max_bucket"),
-        ).collect()[0]
-        top = [
-            x["count"]
-            for x in sizes.orderBy(F.desc("count")).limit(5).collect()
-        ]
-        n_docs = agg["n_rows"] // dedup.LSH_BANDS
-        out[label].update({
-            "n_docs": int(n_docs),
-            "n_buckets": int(agg["n_buckets"]),
-            "pre_distinct_pairs": int(agg["pairs"]),
-            "max_bucket": int(agg["max_bucket"]),
-            "top_buckets": top,
-            "pairs_per_doc": round(agg["pairs"] / max(n_docs, 1), 3),
-        })
+            sizes.unpersist(blocking=False)
+            pairs = int(agg["pairs"] or 0)
+            out[label].update({
+                "n_buckets": int(agg["n_buckets"] or 0),
+                "pre_distinct_pairs": pairs,
+                "max_bucket": int(agg["max_bucket"] or 0),
+                "top_buckets": top,
+                "pairs_per_doc": round(pairs / max(n_docs, 1), 3),
+            })
         print(label, json.dumps(out[label]))
-        # the shingle relation is memoized per (session, sf_dir);
-        # release it before the next (potentially huge) corpus
-        from gcp_dbt_data_engineering_spark.session import clear_caches
-
+        # the shingle relations are memoized per (session, sf_dir);
+        # release them before the next (potentially huge) corpus
         clear_caches(spark, keep_table_handles=True)
     out["note"] = (
         "pre_distinct_pairs = sum over LSH buckets of C(size,2) — the "
@@ -162,6 +156,19 @@ def main() -> int:
         "pairs_per_doc ~flat across SFs = linear candidate stage. Old "
         "perm_coeffs family at sf100 (pre-fix, for contrast): "
         "726925074 pairs, max bucket 7531."
+    )
+    out["note_ppjoin"] = (
+        "ppjoin_jaccard.prefix_join_pairs = sum over shingles of "
+        "C(prefix_df, 2) — rows streamed through the prefix equi-join "
+        "before the size/position prunes; ppjoin_containment."
+        "stream_rows = contained-prefix x container-full stream minus "
+        "self matches. Both are per-doc FLAT-to-FALLING across "
+        "sf0.1->1->10->100 (jaccard 24.5/8.9/6.8/6.9 pairs/doc; "
+        "containment 27.2/16.5/14.7/14.8 rows/doc; max prefix df "
+        "saturates at 17): the (df, h) global order keeps "
+        "high-frequency shingles out of prefixes, so the candidate "
+        "stage is sub-linear per doc as the corpus grows — the PPJoin "
+        "property the operator docstrings claim, now measured."
     )
     path = os.path.join(
         REPO, os.environ.get("LSH_BUCKETS_OUT", "LSH_BUCKETS.json")
