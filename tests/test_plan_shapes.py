@@ -237,3 +237,27 @@ def test_env_conf_override_parses_and_wins(monkeypatch):
     assert merged["spark.speculation"] == "false"
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
     assert s._env_conf() == {}
+
+
+def test_tune_overrides_beat_env_conf(spark, monkeypatch):
+    """An explicit extra_conf must survive tune()'s post-build runtime
+    pass — the env hook may not clobber a caller's argument."""
+    from gcp_dbt_data_engineering_spark import session as s
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        monkeypatch.setenv(
+            "SPARK_GRAFT_EXTRA_CONF",
+            "spark.sql.session.timeZone=America/New_York",
+        )
+        s.tune(spark, overrides={"spark.sql.session.timeZone": "UTC"})
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # without overrides the env value applies (the sweep knob works)
+        s.tune(spark)
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF", raising=False)
+        spark.conf.set("spark.sql.session.timeZone", orig)
