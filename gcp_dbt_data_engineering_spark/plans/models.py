@@ -82,6 +82,61 @@ _IS_INCR_RE = re.compile(
 _STATEFUL_MATS = ("incremental", "merge", "snapshot")
 
 
+def _recover_swap(path: str) -> None:
+    """Make ``path`` a complete snapshot after a crashed ``_swap_in``.
+
+    Deterministic from what survives on disk (every intermediate state
+    of the swap protocol maps to exactly one rule):
+
+    * ``path`` exists → the last swap completed (or none ran); any
+      ``__staging``/``__old`` leftovers are stale — drop them.
+    * ``path`` missing, ``__staging`` complete (``_SUCCESS`` marker,
+      written by Spark's output committer only after every task
+      committed) → the crash hit between the two renames; the staged
+      snapshot is the full intended state — roll FORWARD.
+    * otherwise → the staging write itself died; drop the partial
+      staging and roll BACK to ``__old`` if present.
+    """
+    import shutil
+
+    staging, old = f"{path}__staging", f"{path}__old"
+    if os.path.exists(path):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if os.path.exists(os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(old):
+        os.rename(old, path)
+
+
+def _swap_in(path: str, staging: str) -> None:
+    """Replace directory ``path`` with the complete snapshot at
+    ``staging`` with NO data-loss window.
+
+    The naive ``rmtree(path); rename(staging, path)`` has a crash
+    window in which the table is simply GONE — and worse, a merge
+    model's next run would see no prior state and silently treat its
+    batch as the full table. Instead: park the current snapshot at
+    ``__old``, promote staging, then drop ``__old``. Every crash
+    point leaves a state ``_recover_swap`` repairs losslessly (the
+    parked snapshot or the ``_SUCCESS``-marked staging always exists).
+    On HDFS/S3A the same protocol holds (dir rename is atomic on HDFS;
+    on S3 this seam is where a transactional table format plugs in).
+    """
+    import shutil
+
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
     """``{% macro name(a, b) %}body{% endmacro %}`` → name → (params,
     body). The reference declares ``macro-paths`` (dbt_project.yml:18)
@@ -834,9 +889,8 @@ class ModelGraph:
             # reading from). On Delta/Iceberg this branch becomes
             # a real MERGE INTO with file-level pruning on the
             # key — this seam is where that engine plugs in.
-            import shutil
-
             path = f"{self.warehouse_dir}/{name}"
+            _recover_swap(path)
             key = cfg.get("unique_key")
             if not key:
                 raise ValueError(f"merge model {name} needs unique_key")
@@ -850,8 +904,7 @@ class ModelGraph:
                 merged = survivors.unionByName(df)
             staging = f"{path}__staging"
             merged.write.mode("overwrite").parquet(staging)
-            shutil.rmtree(path, ignore_errors=True)
-            os.rename(staging, path)
+            _swap_in(path, staging)
             df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
         elif mat == "snapshot":
@@ -864,11 +917,10 @@ class ModelGraph:
             # (equal updated_at is not newer). Same staged-swap
             # write as merge; on Delta/Iceberg this becomes
             # MERGE INTO with a key-pruned file scan.
-            import shutil
-
             from pyspark.sql import functions as SF
 
             path = f"{self.warehouse_dir}/{name}"
+            _recover_swap(path)
             key = cfg.get("unique_key")
             updated = cfg.get("updated_at")
             if not key or not updated:
@@ -948,8 +1000,7 @@ class ModelGraph:
                 merged = src
             staging = f"{path}__staging"
             merged.write.mode("overwrite").parquet(staging)
-            shutil.rmtree(path, ignore_errors=True)
-            os.rename(staging, path)
+            _swap_in(path, staging)
             df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
         else:
