@@ -1,0 +1,407 @@
+"""Full-suite physical-plan audit → PLAN_AUDIT.json.
+
+The scale story lives in plan SHAPES. ``tests/test_plan_shapes.py``
+pins exchange/broadcast budgets for ~30 representative specs; this tool
+audits EVERY ``queries()`` spec mechanically: it parses the formatted
+explain output into an operator TREE and classifies the two plan
+features that can silently break 100 TB behavior:
+
+* ``Exchange SinglePartition`` — a one-task funnel. Legal when it is
+  (a) the partial→final stage of a GLOBAL aggregate (input is one
+  pre-aggregated row per map task — the canonical pattern), (b) a
+  ``LocalLimit`` funnel (input ≤ limit per task), or (c) over a
+  provably BOUNDED subtree (see below). Anything else is a full-data
+  single-task operator and fails the audit unless whitelisted with a
+  hand-verified bounded-input reason.
+
+* ``BroadcastNestedLoopJoin`` — an O(|L|·|R|) kernel. Legal only when
+  the broadcast side is BOUNDED; otherwise it is a disguised cross
+  product and fails unless whitelisted.
+
+Boundedness is proven mechanically from the plan: a subtree is bounded
+(corpus-size-independent cardinality) iff it contains no parquet/file
+scan, or every scan feeds a global (``Keys: []``) aggregate below the
+subtree root. Literal relations (``LocalTableScan``, ``Range``,
+1-row scalar subqueries) are bounded; ``ReusedExchange`` resolves to
+the operator it reuses.
+
+Hard invariants (nonzero exit):
+  1. ``CartesianProduct`` == 0 everywhere.
+  2. ``BatchEvalPython`` (row-at-a-time Python) == 0 everywhere.
+  3. every SinglePartition exchange is funnel/bounded/whitelisted.
+  4. every BNLJ broadcast side is bounded/whitelisted.
+
+Run:  python tools/plan_audit.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: spec -> hand-verified reason its risky-looking SinglePartition
+#: exchange is bounded in fact (cardinality invisible to the prover).
+SINGLE_PARTITION_OK: dict[str, str] = {
+    "stats_bootstrap_ci": (
+        "global rank window over exactly BOOT_B=40 replicate means "
+        "(plans/stats.py:1351): the grouped relation below it has "
+        "B literal groups from an exploded constant sequence"
+    ),
+    "customer_revenue_gini": (
+        "≤_GINI_BUCKETS-row offset stitch of the two-phase bucketed "
+        "rank (plans/stats.py:1158-1162): the window sorts the fixed "
+        "bucket grid, never per-customer rows"
+    ),
+    "dq_chi2_independence": (
+        "ordering over the dense priority×status grid — |P|·|S| "
+        "category cells (operators/dq.py chi2: category domains, not "
+        "corpus rows)"
+    ),
+    "dq_cusum_drift": (
+        "sequential CUSUM recursion over the per-day series — one row "
+        "per calendar day after the distributed daily aggregate"
+    ),
+    "dq_daily_anomaly_events": (
+        "per-day series window (one row per calendar day; the daily "
+        "aggregate below it is distributed)"
+    ),
+    "dq_daily_anomaly_mad": (
+        "per-day series windows (median/MAD over one row per day)"
+    ),
+    "dq_runs_test": (
+        "runs-test sign sequence over the per-day series (one row per "
+        "calendar day)"
+    ),
+    "events_ewma_volume": (
+        "EWMA recursion over the per-day series (one row per day; "
+        "inherently sequential in time, bounded by the calendar)"
+    ),
+    "orders_daily_moving_stats": (
+        "moving window over the per-day series (one row per day)"
+    ),
+    "sketch_quantile_hdr_prices": (
+        "prefix-sum stitch over the fixed HDR bucket grid "
+        "(operators/sketch.py: bucket-bounded relations, not rows)"
+    ),
+}
+
+#: spec -> hand-verified reason a BNLJ with a scan on the broadcast
+#: side is still bounded.
+BNLJ_OK: dict[str, str] = {
+    "dq_chi2_independence": (
+        "distinct-priority × distinct-status cross to densify the "
+        "grid: both sides are DISTINCT aggregates over small category "
+        "domains (|P|≈5, |S|≈3), corpus-size-independent in fact"
+    ),
+    "similarity_topk_cosine": (
+        "fixed literal query-vector set (filter vec_id IN <literal "
+        "Q ids>) broadcast against the corpus — Q is a constant; "
+        "per-corpus-row work is Q dot products by design"
+    ),
+    "similarity_pq_adc": (
+        "same fixed literal query set broadcast (ADC tables are "
+        "Q×M×256 constants)"
+    ),
+    "similarity_ann_ivf": (
+        "fixed query set joined to its probe centroids (Q×N_PROBE "
+        "rows) broadcast against the bucketed candidate stream"
+    ),
+    "similarity_ann_ivf_kmeans": (
+        "fixed query set broadcast against the k-row centroid "
+        "aggregate (k=K_CLUSTERS)"
+    ),
+    "sketch_hll_sliding_window": (
+        "per-day HLL register relation (one row per calendar day) "
+        "joined to the day calendar — both sides day-bounded"
+    ),
+}
+
+_TREE_NODE = re.compile(r"^([\s:+|*-]*)([A-Za-z][A-Za-z0-9 .$]*?)\s*\((\d+)\)\s*$")
+_DETAIL_HDR = re.compile(r"^\((\d+)\) (\S+)", re.M)
+
+
+class Node:
+    __slots__ = ("nid", "kind", "depth", "parent", "children")
+
+    def __init__(self, nid: int, kind: str, depth: int):
+        self.nid, self.kind, self.depth = nid, kind, depth
+        self.parent: Node | None = None
+        self.children: list[Node] = []
+
+
+def _parse_trees(plan: str) -> dict[int, Node]:
+    """Parse every operator tree (main plan + subqueries) into nodes."""
+    nodes: dict[int, Node] = {}
+    stack: list[Node] = []
+    in_tree = False
+    for line in plan.splitlines():
+        if line.startswith("== Physical Plan ==") or line.startswith("Subquery:"):
+            in_tree = True
+            stack = []
+            continue
+        if not line.strip():
+            in_tree = False
+            stack = []
+            continue
+        if not in_tree:
+            continue
+        m = _TREE_NODE.match(line)
+        if not m:
+            continue  # "== Initial Plan ==" etc.
+        indent, name, nid = m.groups()
+        kind = name.strip().split()[0] if name.strip() else name
+        if kind == "Scan":
+            kind = "Scan"  # "Scan parquet", "Scan orc", ...
+        depth = len(indent)
+        node = Node(int(nid), kind, depth)
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        if stack:
+            node.parent = stack[-1]
+            stack[-1].children.append(node)
+        stack.append(node)
+        nodes[node.nid] = node
+    return nodes
+
+
+def _details(plan: str) -> dict[int, str]:
+    """Map node id -> its detail block text."""
+    out: dict[int, str] = {}
+    parts = re.split(r"^\((\d+)\) ", plan, flags=re.M)
+    # parts: [prefix, id1, block1, id2, block2, ...]
+    for i in range(1, len(parts) - 1, 2):
+        out[int(parts[i])] = parts[i + 1]
+    return out
+
+
+_BOUNDED_LEAVES = {"LocalTableScan", "Range"}
+
+
+def _bounded(node: Node, det: dict[int, str], memo: dict[int, bool]) -> bool:
+    """True iff the subtree's output cardinality is corpus-independent."""
+    if node.nid in memo:
+        return memo[node.nid]
+    memo[node.nid] = False  # cycle guard (ReusedExchange)
+    d = det.get(node.nid, "")
+    if node.kind in _BOUNDED_LEAVES:
+        res = True
+    elif node.kind == "ReusedExchange":
+        m = re.search(r"Reuses operator id: (\d+)", d)
+        ref = m and int(m.group(1))
+        res = bool(ref) and ref in _ALL_NODES and _bounded(
+            _ALL_NODES[ref], det, memo
+        )
+    elif node.kind.endswith("Aggregate") and re.search(r"^Keys: \[\]", d, re.M):
+        res = True  # global aggregate: ≤1 output row
+    elif node.kind == "Scan":
+        # "Scan parquet/orc/..." (file source, detail carries a
+        # Location) is corpus-sized; "Scan ExistingRDD" — a literal
+        # createDataFrame relation parallelized from driver rows —
+        # is bounded by construction.
+        res = "Location" not in d
+    else:
+        res = bool(node.children) and all(
+            _bounded(c, det, memo) for c in node.children
+        )
+    memo[node.nid] = res
+    return res
+
+
+_ALL_NODES: dict[int, Node] = {}
+
+
+def _classify(plan: str) -> dict[str, object]:
+    global _ALL_NODES
+    nodes = _parse_trees(plan)
+    _ALL_NODES = nodes
+    det = _details(plan)
+    memo: dict[int, bool] = {}
+
+    counts: dict[str, int] = {}
+    for n in nodes.values():
+        counts[n.kind] = counts.get(n.kind, 0) + 1
+
+    def c(*names: str) -> int:
+        return sum(counts.get(n, 0) for n in names)
+
+    sp_funnel = sp_bounded = sp_risky = 0
+    sp_risky_ids: list[int] = []
+    for n in nodes.values():
+        if n.kind != "Exchange":
+            continue
+        if not re.search(r"^Arguments: SinglePartition", det.get(n.nid, ""), re.M):
+            continue
+        child = n.children[0] if n.children else None
+        if child is not None and (
+            (
+                child.kind.endswith("Aggregate")
+                and re.search(r"^Keys: \[\]", det.get(child.nid, ""), re.M)
+            )
+            or child.kind == "LocalLimit"
+        ):
+            sp_funnel += 1
+        elif _bounded(n, det, memo):
+            sp_bounded += 1
+        else:
+            sp_risky += 1
+            sp_risky_ids.append(n.nid)
+
+    bnlj_bounded = bnlj_risky = 0
+    bnlj_risky_ids: list[int] = []
+    for n in nodes.values():
+        if n.kind != "BroadcastNestedLoopJoin":
+            continue
+        build = next(
+            (
+                ch
+                for ch in n.children
+                if ch.kind in ("BroadcastExchange", "ReusedExchange")
+            ),
+            None,
+        )
+        if build is not None and _bounded(build, det, memo):
+            bnlj_bounded += 1
+        else:
+            bnlj_risky += 1
+            bnlj_risky_ids.append(n.nid)
+
+    global_sorts = 0
+    for n in nodes.values():
+        if n.kind == "Sort" and re.search(
+            r"^Arguments: \[[^\n]*\], true,", det.get(n.nid, ""), re.M
+        ):
+            global_sorts += 1
+
+    pushed = len(re.findall(r"^PushedFilters: \[(?!\])", plan, re.M))
+    return {
+        "exchanges": c("Exchange"),
+        "single_part_funnel": sp_funnel,
+        "single_part_bounded": sp_bounded,
+        "single_part_risky": sp_risky,
+        "single_part_risky_ids": sp_risky_ids,
+        "broadcast_exchanges": c("BroadcastExchange"),
+        "bhj": c("BroadcastHashJoin"),
+        "smj": c("SortMergeJoin"),
+        "shj": c("ShuffledHashJoin"),
+        "bnlj_bounded": bnlj_bounded,
+        "bnlj_risky": bnlj_risky,
+        "bnlj_risky_ids": bnlj_risky_ids,
+        "cartesian": c("CartesianProduct"),
+        "global_sorts": global_sorts,
+        "take_ordered": c("TakeOrderedAndProject"),
+        "scans": c("Scan"),
+        "pushed_scans": pushed,
+        "hash_aggs": c("HashAggregate", "ObjectHashAggregate"),
+        "sort_aggs": c("SortAggregate"),
+        "windows": c("Window", "WindowGroupLimit"),
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        "arrow_python": c(
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "PythonMapInArrow",
+            "MapInArrow",
+            "FlatMapGroupsInPandasWithState",
+        ),
+        "rowwise_python": c("BatchEvalPython"),
+    }
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def audit_spec(df) -> dict[str, object]:
+    """Classify one DataFrame's physical plan (importable for tests)."""
+    return _classify(_formatted(df))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PLAN_AUDIT.json")
+
+    import __spark_entry__ as entry
+    from gcp_dbt_data_engineering_spark import get_spark
+
+    spark = get_spark(app_name="plan_audit")
+    only = os.environ.get("SPECS_ONLY")
+    rx = re.compile(only) if only else None
+
+    per_spec: dict[str, dict] = {}
+    violations: list[str] = []
+    errors: dict[str, str] = {}
+    for name, fn in sorted(entry.queries().items()):
+        if rx and not rx.search(name):
+            continue
+        try:
+            feats = audit_spec(fn(spark, sf_dir))
+        except Exception:
+            errors[name] = traceback.format_exc(limit=2)
+            continue
+        per_spec[name] = feats
+        if feats["cartesian"]:
+            violations.append(f"{name}: CartesianProduct in plan")
+        if feats["rowwise_python"]:
+            violations.append(f"{name}: row-at-a-time BatchEvalPython in plan")
+        if feats["single_part_risky"] and name not in SINGLE_PARTITION_OK:
+            violations.append(
+                f"{name}: {feats['single_part_risky']} unproven SinglePartition "
+                f"exchange(s), plan node ids {feats['single_part_risky_ids']}"
+            )
+        if feats["bnlj_risky"] and name not in BNLJ_OK:
+            violations.append(
+                f"{name}: {feats['bnlj_risky']} BNLJ with unbounded broadcast "
+                f"side, plan node ids {feats['bnlj_risky_ids']}"
+            )
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_specs": len(per_spec),
+        "n_errors": len(errors),
+        "violations": violations,
+        "totals": {
+            k: sum(f[k] for f in per_spec.values())
+            for k in next(iter(per_spec.values()), {})
+            if not k.endswith("_ids")
+        },
+        "single_partition_whitelist": SINGLE_PARTITION_OK,
+        "bnlj_whitelist": BNLJ_OK,
+        "methodology": (
+            "formatted explain of the analyzed plan per spec; operator "
+            "tree parsed (main plan + subqueries); SinglePartition "
+            "exchanges classified funnel (child is a Keys:[] partial "
+            "aggregate or LocalLimit), bounded (subtree provably "
+            "corpus-size-independent: literal leaves, global aggregates, "
+            "ReusedExchange resolved), or risky (whitelist-gated); BNLJ "
+            "gated on a bounded broadcast side; plus counts of shuffles, "
+            "join strategies, pushdown-carrying scans, codegen spans and "
+            "Python operators"
+        ),
+    }
+    with open(out, "w") as f:
+        json.dump(
+            {"summary": summary, "per_spec": per_spec, "errors": errors},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(
+        json.dumps(
+            {"n": len(per_spec), "violations": violations, "errors": list(errors)}
+        )
+    )
+    return 1 if violations or errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
