@@ -698,6 +698,29 @@ WHERE hamming <= {HAMMING_T}
 QSCALE = 1 << 20  # floor(x * 2^20): exact in float64, portable to SQL
 COSINE_T = 0.4
 
+#: clamp bound for quantized components: with |q| ≤ 2^28-1 and DIM=64,
+#: every squared norm and dot product is < 64·2^56 = 2^62 — exact int64
+#: at ANY corpus size and ANY input garbage. A corrupt ±1e30 component
+#: (a real failure mode in 100 TB embedding dumps) would otherwise
+#: overflow the int64 fold under ANSI mode and kill the whole job.
+#: For sane embeddings (|x| ≤ 256 = QCLAMP/QSCALE) the clamp never
+#: binds, so results on clean corpora are unchanged.
+QCLAMP = (1 << 28) - 1
+
+
+def quant_transform(col: str, dialect: str) -> str:
+    """Clamped int64 quantization of a float-array column — identical
+    arithmetic text in both dialects (greatest/least/floor are IEEE
+    double ops in both; the clamp happens BEFORE the bigint cast so the
+    cast itself can never overflow)."""
+    lam = (
+        f"x -> CAST(greatest(CAST(-{QCLAMP} AS DOUBLE),"
+        f" least(CAST({QCLAMP} AS DOUBLE),"
+        f" floor(CAST(x AS DOUBLE) * {QSCALE}))) AS BIGINT)"
+    )
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({col}, {lam})"
+
 #: max vectors per Gram-tile side — bounds every task's memory and CPU
 #: regardless of label skew. At 100 TB raise/lower so a 2S x dim int64
 #: tile fits an executor comfortably; shape is unchanged.
@@ -801,17 +824,31 @@ def embedding_cosine_pairs(emb: DataFrame, tile: int = COSINE_TILE):
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup embedding pairs (cosine >= 0.4) within each label block.
 
-    Embeddings are quantized to int64 (floor(x * 2^20)) in a JVM-side
-    projection, then tiled bounded Gram blocks run under
-    ``applyInPandas`` (``embedding_cosine_pairs``). Blocking key:
-    ``label`` here; at scale an LSH bucket id (similarity.py) plays
-    this role, with the tiling keeping hot buckets task-bounded.
+    Embeddings are quantized to int64 (clamped floor(x * 2^20),
+    ``quant_transform``) in a JVM-side projection, then tiled bounded
+    Gram blocks run under ``applyInPandas``
+    (``embedding_cosine_pairs``). Blocking key: ``label`` here; at
+    scale an LSH bucket id (similarity.py) plays this role, with the
+    tiling keeping hot buckets task-bounded.
+
+    Content robustness: NULL embeddings (failed encodes) and vectors
+    whose every component quantizes to 0 (no representable direction
+    at QSCALE — the all-zero vector, sub-quantum denormals) are
+    excluded at this boundary; cosine is undefined for them and a NULL
+    row would crash the numpy Gram kernel (inhomogeneous array).
     """
-    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        "label",
-        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE})"
-        " AS BIGINT)) AS q",
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .selectExpr(
+            "vec_id",
+            "label",
+            f"{quant_transform('embedding', 'spark')} AS q",
+        )
+        .filter(
+            F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+            > 0
+        )
     )
     return embedding_cosine_pairs(emb)
 
@@ -819,13 +856,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EMBEDDING_COSINE = f"""
 WITH q AS (
   SELECT vec_id, label,
-         list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS qv
-  FROM embeddings),
+         {quant_transform('embedding', 'duck')} AS qv
+  FROM embeddings WHERE embedding IS NOT NULL),
 n AS (
   SELECT vec_id, label, qv,
-         list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nn
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nn
   FROM q),
+nz AS (SELECT * FROM n WHERE nn > 0),
 d AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_reduce(
@@ -833,7 +871,7 @@ d AS (
                           i -> a.qv[i] * b.qv[i]),
            (x, y) -> x + y) AS dot,
          a.nn AS na, b.nn AS nb
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b,
        CAST(dot AS DOUBLE)
          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine

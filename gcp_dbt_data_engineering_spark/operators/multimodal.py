@@ -239,7 +239,13 @@ def fake_meta(media_type: str, byte_len: int, first: int) -> dict:
 # ---------------------------------------------------------------------------
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text = a missing/corrupt asset: excluded at ingest in both
+    # dialects (there is nothing to containerize; a NULL payload would
+    # crash the Arrow synthesis kernel). Zero-LENGTH payloads stay —
+    # they exercise the 0-body container paths.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "text IS NOT NULL"
+    )
     return docs.selectExpr(
         "doc_id AS asset_id",
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
@@ -248,14 +254,27 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ASSETS = """
+#: first PAYLOAD BYTE (not first code point: ord(substr(text,1,1)) is
+#: the character's code point, which diverges from the kernel's b[0]
+#: on any non-ASCII head — and DuckDB's ord('') is -1, not the
+#: kernel's 0-for-empty). Hex round-trip reads the true first UTF-8
+#: byte portably.
+_SQL_FIRST_B = (
+    "CASE WHEN octet_length(encode(text)) = 0 THEN 0"
+    " ELSE (strpos('0123456789ABCDEF',"
+    " substr(hex(encode(text)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF',"
+    " substr(hex(encode(text)), 2, 1)) - 1) END"
+)
+
+_SQL_ASSETS = f"""
 assets AS (
   SELECT doc_id AS asset_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          octet_length(encode(text)) AS byte_len,
-         ord(substr(text, 1, 1)) AS first_b
-  FROM documents)"""
+         {_SQL_FIRST_B} AS first_b
+  FROM documents WHERE text IS NOT NULL)"""
 
 
 def _assets_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,18 +612,37 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_byte_features() -> str:
+    """Replays the histogram over UTF-8 BYTES via a hex round-trip.
+
+    The kernel histograms ``frombuffer(payload) % FEAT_DIM`` — raw
+    bytes. A per-CHARACTER replay (``ord(c)`` over ``string_split``)
+    only agrees on pure-ASCII text; any multi-byte code point (the
+    adversarial corpus has NBSP and astral-plane docs) diverges in
+    both the counts and the n_bytes denominator.
+    """
     dims = ",\n       ".join(
-        "CAST(len(list_filter(string_split(text, ''),"
-        f" c -> ord(c) % {FEAT_DIM} = {j})) AS DOUBLE)"
-        f" / CAST(length(text) AS DOUBLE) AS f{j}"
+        f"CAST(COUNT(CASE WHEN v % {FEAT_DIM} = {j} THEN 1 END) AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) AS f{j}"
         for j in range(FEAT_DIM)
     )
     return f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+pos AS (
+  SELECT doc_id, h, n, unnest(generate_series(1, n)) AS i FROM hx),
+b AS (
+  SELECT doc_id, n,
+         (strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, 2 * i, 1)) - 1) AS v
+  FROM pos)
 SELECT doc_id AS asset_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(n AS BIGINT) AS n_bytes,
        {dims}
-FROM documents
-WHERE length(text) > 0
+FROM b
+GROUP BY doc_id, n
 """
 
 

@@ -379,9 +379,16 @@ def mix_domains_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     have = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("have"))
-    want = F.create_map(
-        *[F.lit(x) for kv in MIX_WEIGHTS_BP.items() for x in kv]
-    )[F.col("lang")] * F.lit(MIX_BUDGET) / F.lit(10000.0)
+    # a lang absent from the weight table gets want=0 (take nothing),
+    # NOT a NULL lookup: Spark's least() IGNORES NULLs, so a NULL want
+    # would silently turn into rate 1.0 and sample the whole stratum —
+    # the oracle's CASE ... ELSE 0 pins the zero semantics.
+    want = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_WEIGHTS_BP.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(0),
+    ) * F.lit(MIX_BUDGET) / F.lit(10000.0)
     rates = have.select(
         "lang",
         "have",
@@ -1561,7 +1568,16 @@ def domain_cap_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = hd.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    with_n = hd.join(F.broadcast(counts), ["source", "lang"])
+    # NULL-safe keys: a NULL-lang (or NULL-source) domain is still a
+    # domain — groupBy keeps the NULL group, so a plain equi-join back
+    # would silently DROP those docs (NULL never equals NULL). <=> is
+    # still a hashable equi-key, so the broadcast join strategy holds.
+    cn = counts.withColumnsRenamed({"source": "c_source", "lang": "c_lang"})
+    with_n = hd.join(
+        F.broadcast(cn),
+        hd["source"].eqNullSafe(cn["c_source"])
+        & hd["lang"].eqNullSafe(cn["c_lang"]),
+    ).drop("c_source", "c_lang")
     small_kept = with_n.filter(F.col("n_docs") <= DOMAIN_CAP)
     from pyspark.sql.window import Window
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
 from ..sources import load_table
-from .dedup import QSCALE
+from .dedup import QSCALE, quant_transform
 
 #: deterministic pseudo-random hyperplane component (Knuth multiplier):
 #: integer in [-(P-1)/2, (P-1)/2], a function of (plane j, dim d) only.
@@ -71,18 +71,25 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = cache.get(sf_dir)
     if hit is not None:
         return hit
+    # content-robustness boundary (shared by every similarity spec):
+    # NULL embeddings (failed encodes) are excluded, components are
+    # clamped before the bigint cast (quant_transform — a corrupt
+    # ±1e30 component would overflow the int64 norm fold), and
+    # all-zero quantized vectors (no representable direction) are
+    # excluded — cosine is undefined for them.
     df = (
         load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
         .selectExpr(
             "vec_id",
-            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-            f" * {QSCALE}) AS BIGINT)) AS q",
+            f"{quant_transform('embedding', 'spark')} AS q",
         )
         .selectExpr(
             "vec_id",
             "q",
             "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS nn",
         )
+        .filter(F.col("nn") > 0)
         .persist()
     )
     cache[sf_dir] = df
@@ -92,13 +99,14 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_QUANTIZED = f"""
 q AS (
   SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS qv
-  FROM embeddings),
-qn AS (
+         {quant_transform('embedding', 'duck')} AS qv
+  FROM embeddings WHERE embedding IS NOT NULL),
+qn0 AS (
   SELECT vec_id, qv,
-         list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nn
-  FROM q)"""
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nn
+  FROM q),
+qn AS (SELECT * FROM qn0 WHERE nn > 0)"""
 
 #: cosine from exact integer dot/norms — identical text both sides
 #: modulo column prefixes, fixed op order.
@@ -753,7 +761,11 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: pure projection, no shuffle; at 100 TB this is the
     map stage you run once and write next to the raw vectors.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings (failed encodes) are excluded — same boundary
+    # rule as _quantized; there is nothing to quantize or audit.
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     scaled = emb.selectExpr(
         "vec_id",
         "label",
@@ -790,7 +802,7 @@ WITH scaled AS (
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
            (a, x) -> greatest(a, x)) AS scale
-  FROM embeddings)
+  FROM embeddings WHERE embedding IS NOT NULL)
 SELECT vec_id, label, scale,
        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          list_transform(generate_series(1, len(embedding)),

@@ -82,10 +82,19 @@ def minhash_coeffs(i: int) -> tuple[int, int]:
 
 
 def words(col: str, dialect: str) -> str:
-    """Lower-cased alphanumeric word array (no empty tokens)."""
+    """Lower-cased alphanumeric word array (no empty tokens).
+
+    NULL text tokenizes to the EMPTY array in both dialects — a
+    missing document has zero words, so every downstream count/ratio
+    sees 0 rather than a dialect-dependent NULL (Spark's
+    regexp_extract_all(NULL) is NULL, DuckDB's len(NULL) is NULL but
+    its COUNT/len interplay differs; the COALESCE pins one rule)."""
     if dialect == "spark":
-        return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
-    return f"regexp_extract_all(lower({col}), '[a-z0-9]+')"
+        return (
+            f"COALESCE(regexp_extract_all(lower({col}), '[a-z0-9]+', 0),"
+            f" array())"
+        )
+    return f"COALESCE(regexp_extract_all(lower({col}), '[a-z0-9]+'), [])"
 
 
 def polyhash(s: str, dialect: str) -> str:
@@ -96,8 +105,16 @@ def polyhash(s: str, dialect: str) -> str:
             f"aggregate({codes}, CAST(0 AS BIGINT),"
             f" (acc, c) -> (acc * 31 + c) % {P})"
         )
+    # DuckDB divergences the CASE pins to Spark's semantics:
+    # string_split('','') is [''] and ord('') is -1 (Spark: ascii('')=0),
+    # and list_reduce has no init so a 1-element list returns unreduced —
+    # polyhash('') must be 0 in both dialects (and NULL stays NULL).
     codes = f"list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))"
-    return f"list_reduce({codes}, (acc, c) -> (acc * 31 + c) % {P})"
+    return (
+        f"(CASE WHEN ({s}) IS NULL THEN NULL"
+        f" WHEN length({s}) = 0 THEN 0"
+        f" ELSE list_reduce({codes}, (acc, c) -> (acc * 31 + c) % {P}) END)"
+    )
 
 
 def word_shingles(ws: str, n: int, dialect: str) -> str:

@@ -1,0 +1,198 @@
+"""Content-robustness semantics pinned by the r8 adversarial-corpus
+sweep (tools/make_nasty.py → CORRECTNESS_nasty.json).
+
+The sweep injected the pathological rows every real 100 TB corpus
+contains — empty/whitespace/unicode/NULL documents, zero/huge/
+denormal/NULL embeddings — and surfaced 18 defects. These tests pin
+each fixed boundary rule WITHOUT needing the corpus on disk, so a
+regression fails in the plain suite.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from gcp_dbt_data_engineering_spark.operators import texthash as th
+from gcp_dbt_data_engineering_spark.operators.dedup import (
+    QCLAMP,
+    QSCALE,
+    quant_transform,
+)
+
+DIM = 64
+
+
+def test_polyhash_empty_and_null_portable(spark):
+    """polyhash('') is 0 and polyhash(NULL) is NULL in BOTH dialects.
+    DuckDB's raw fold gave -1 for '' (string_split('','') is [''] and
+    ord('') is -1; list_reduce has no init)."""
+    cases = ["''", "NULL", "'a'", "'hello world'"]
+    s_rows = spark.sql(
+        "SELECT "
+        + ", ".join(f"{th.polyhash(c, 'spark')} AS c{i}" for i, c in enumerate(cases))
+    ).collect()[0]
+    d_rows = duckdb.sql(
+        "SELECT "
+        + ", ".join(f"{th.polyhash(c, 'duck')} AS c{i}" for i, c in enumerate(cases))
+    ).fetchone()
+    assert tuple(s_rows) == tuple(d_rows)
+    assert s_rows[0] == 0 and s_rows[1] is None
+
+
+def test_words_null_text_is_empty_array(spark):
+    """words(NULL) tokenizes to [] in both dialects — a missing doc
+    has ZERO words, so every count/ratio sees 0, never a NULL that
+    propagates differently per engine."""
+    s = spark.sql(
+        f"SELECT size({th.words('CAST(NULL AS STRING)', 'spark')}) AS n"
+    ).collect()[0]["n"]
+    d = duckdb.sql(
+        f"SELECT len({th.words('CAST(NULL AS VARCHAR)', 'duck')}) AS n"
+    ).fetchone()[0]
+    assert s == 0 and d == 0
+
+
+def test_quant_clamp_bounds_norm_fold(spark):
+    """A corrupt ±1e30 embedding component must quantize to ±QCLAMP so
+    the int64 norm fold cannot overflow (pre-fix: ANSI
+    ARITHMETIC_OVERFLOW killed every similarity spec)."""
+    row = spark.sql(
+        f"""SELECT {quant_transform(
+            "array(CAST(1e30 AS FLOAT), CAST(-1e30 AS FLOAT),"
+            " CAST(0.5 AS FLOAT))", 'spark')} AS q"""
+    ).collect()[0]["q"]
+    assert row[0] == QCLAMP and row[1] == -QCLAMP
+    assert row[2] == int(0.5 * QSCALE)
+    d = duckdb.sql(
+        f"""SELECT {quant_transform(
+            "[CAST(1e30 AS FLOAT), CAST(-1e30 AS FLOAT),"
+            " CAST(0.5 AS FLOAT)]", 'duck')} AS q"""
+    ).fetchone()[0]
+    assert list(d) == list(row)
+    # the clamp really protects the fold: DIM * QCLAMP^2 fits int64
+    assert DIM * QCLAMP * QCLAMP < 2**63
+
+
+def test_quantized_excludes_null_and_zero_vectors(spark, tmp_path):
+    """_quantized drops NULL embeddings (failed encodes) and vectors
+    that quantize to all zeros (no representable direction): a NULL
+    row crashed the numpy Gram kernel, a zero vector has no cosine."""
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.operators.similarity import (
+        _quantized,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [
+                [1.0] * DIM,        # normal
+                None,               # failed encode
+                [0.0] * DIM,        # zero vector
+                [1e-30] * DIM,      # sub-quantum: quantizes to zeros
+            ],
+            "label": [0, 0, 0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = _quantized(spark, sf)
+    assert [r["vec_id"] for r in out.orderBy("vec_id").collect()] == [1]
+
+
+def test_domain_cap_keeps_null_lang_domains(spark, tmp_path):
+    """A NULL-lang (source, lang) domain is still a domain: the count
+    join must be null-safe or its docs silently vanish from the cap
+    audit (the pre-fix equi-join dropped them)."""
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.operators.pipeline import (
+        domain_cap_downsample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["aa bb", "cc dd", "ee ff"],
+            "lang": ["en", None, None],
+            "source": ["s1", "s2", "s2"],
+            "n_chars": [5, 5, 5],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    rows = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_kept"])
+        for r in domain_cap_downsample(spark, sf).collect()
+    }
+    assert rows[("s2", None)] == (2, 2)
+
+
+def test_mix_weights_unknown_lang_takes_nothing(spark, tmp_path):
+    """A lang absent from the weight table samples ZERO docs. Spark's
+    least() ignores NULLs, so the pre-fix NULL want became rate 1.0
+    and sampled the whole stratum."""
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.operators.pipeline import (
+        mix_domains_weighted,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "text": ["hello"] * 20,
+            "lang": ["qq"] * 20,  # not in MIX_WEIGHTS_BP
+            "source": ["s"] * 20,
+            "n_chars": [5] * 20,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    assert mix_domains_weighted(spark, sf).count() == 0
+
+
+def test_assets_exclude_null_text(spark, tmp_path):
+    """NULL text = missing asset: excluded at the assets relation
+    (bytes(None) crashed the Arrow synthesis kernel pre-fix); empty
+    text stays (zero-body containers are legal)."""
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.operators.multimodal import (
+        multimodal_meta,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["", None, "abc"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, None, 3],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    ids = sorted(
+        r["asset_id"] for r in multimodal_meta(spark, sf).collect()
+    )
+    assert ids == [0, 2]
+
+
+def test_nasty_artifact_green():
+    """The committed adversarial-corpus gate must be 155/155 exact."""
+    import json
+    import os
+
+    path = "/root/repo/CORRECTNESS_nasty.json"
+    assert os.path.exists(path), "run tools/make_nasty.py + the gate"
+    with open(path) as f:
+        d = json.load(f)
+    assert d["n_fail"] == 0 and d["n_rows_only"] == 0
+    assert d["n_specs"] == d["n_pass"] == 155

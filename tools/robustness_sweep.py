@@ -94,6 +94,16 @@ def main() -> int:
             {},
             [os.path.join(REPO, ".artifacts", "sf0.01_skew")],
         ),
+        # adversarial content (tools/make_nasty.py): empty/unicode/
+        # 50k-char docs, NULL text/lang, zero/huge/denormal/NULL
+        # embeddings — the r8 sweep that surfaced 18 content-
+        # robustness defects (overflowing int64 norm folds, NULL-key
+        # joins dropping rows, byte-vs-codepoint oracle divergence)
+        (
+            "sf0.01_nasty_content",
+            {},
+            [os.path.join(REPO, ".artifacts", "sf0.01_nasty")],
+        ),
     ]
     only = os.environ.get("CONFIGS")
     if only:
@@ -105,8 +115,24 @@ def main() -> int:
         if os.path.exists(out_path):
             with open(out_path) as f:
                 results.update(json.load(f))
+    builders = {
+        os.path.join(REPO, ".artifacts", "sf0.01_skew"): "make_skew.py",
+        os.path.join(REPO, ".artifacts", "sf0.01_nasty"): "make_nasty.py",
+    }
     try:
         for name, env, args in configs:
+            for arg in args:  # derived corpora rebuild on demand
+                tool = builders.get(arg)
+                if tool and not os.path.exists(arg):
+                    print(f"== building {arg} ==", flush=True)
+                    subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.join(REPO, "tools", tool),
+                        ],
+                        check=True,
+                        cwd=REPO,
+                    )
             print(f"== {name} ==", flush=True)
             subprocess.run(
                 [sys.executable, GATE, *args],
