@@ -196,3 +196,40 @@ def test_nasty_artifact_green():
         d = json.load(f)
     assert d["n_fail"] == 0 and d["n_rows_only"] == 0
     assert d["n_specs"] == d["n_pass"] == 155
+
+
+# -- property: portable-hash parity over unicode, including the empty
+# string (the r8 pinned edge) and multi-byte/astral/combining chars --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_UNI = st.text(
+    alphabet=(
+        "ab z09 .,!?'-"
+        "\xa0\xe9א́你\U0001d518\U0001f469‍"
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(s=_UNI)
+def test_polyhash_parity_unicode(spark, s):
+    """Hash parity must hold per CODE POINT on any unicode input —
+    NBSP, accents, RTL, CJK, astral plane, combining marks, ZWJ — and
+    on the empty string (DuckDB's raw fold gave -1 there pre-fix)."""
+    lit = "'" + s.replace("'", "''") + "'"
+    spark_h = spark.sql(
+        f"SELECT {th.polyhash(lit, 'spark')} AS h"
+    ).collect()[0][0]
+    duck_h = duckdb.sql(
+        f"SELECT {th.polyhash(lit, 'duck')} AS h"
+    ).fetchone()[0]
+    assert spark_h == duck_h
+    assert 0 <= spark_h < th.P
