@@ -958,7 +958,8 @@ def dq_daily_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~9e18/(7·day_count²): safe below ~1.1e9 events/day; above that,
     switch the component sums to DECIMAL.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # timeless rows (NULL ts) have no day on the sequential axis
+    ev = load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
     daily = (
         ev.groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("x"))
@@ -998,7 +999,7 @@ def dq_daily_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DAILY_ANOMALY = f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 win AS (
   SELECT CAST(d AS VARCHAR) AS day, x AS n_events,
          COUNT(*) OVER w AS wn,
@@ -1252,7 +1253,9 @@ def dq_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").where(
+        "o_orderdate IS NOT NULL"
+    )
     daily = od.groupBy(
         F.col("o_orderdate").cast("date").cast("string").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -1305,7 +1308,7 @@ ORACLE_CUSUM = f"""
 WITH daily AS (
   SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
          COUNT(*) AS n
-  FROM orders GROUP BY 1),
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
 tot AS (SELECT SUM(n) AS t, COUNT(*) AS nd FROM daily),
 scaled AS (
   SELECT day, n, t, nd,
@@ -1444,7 +1447,7 @@ def events_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, same discipline as CUSUM/seasonal); the heavy step is
     the daily rollup.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1484,7 +1487,7 @@ def _oracle_ewma() -> str:
     return f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 smoothed AS (
   SELECT d, n, {scaled} AS ewma_scaled
   FROM daily),
@@ -1536,7 +1539,12 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, <= ~10 groups), totals as a broadcast 1-row relation —
     scan-bound at any corpus size.
     """
-    od = load_table(spark, sf_dir, "orders")
+    # undated orders belong to NEITHER epoch: excluded (unfiltered,
+    # Spark propagates a NULL is_ref through the counts while a CASE
+    # replay silently buckets the row as "current")
+    od = load_table(spark, sf_dir, "orders").where(
+        "o_orderdate IS NOT NULL"
+    )
     marked = od.selectExpr(
         f"CAST(floor(o_totalprice / {_PSI_BUCKET_W!r}) AS BIGINT)"
         " AS bucket",
@@ -1578,7 +1586,7 @@ WITH marked AS (
   SELECT CAST(floor(o_totalprice / {_PSI_BUCKET_W!r}) AS BIGINT)
            AS bucket,
          o_orderdate < TIMESTAMP '{_PSI_EPOCH}' AS is_ref
-  FROM orders),
+  FROM orders WHERE o_orderdate IS NOT NULL),
 per_bucket AS (
   SELECT bucket,
          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,

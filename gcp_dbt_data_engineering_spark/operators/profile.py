@@ -148,7 +148,11 @@ def _column_stats(parts: list[tuple[DataFrame, str, dict[str, str]]]) -> DataFra
         F.min("dval").alias("min_num"),
         F.max("dval").alias("max_num"),
         F.sum(F.col("dval").cast("decimal(22,6)")).cast("double").alias("__sum"),
-        F.sum((F.col("dval") * F.col("dval")).cast("decimal(30,8)"))
+        # DECIMAL(38,8) (not 30,8): the sum-of-squares of a column
+        # holding honest-but-extreme values (1e12 order totals in the
+        # adversarial corpus) needs 25+ integer digits per ROW; 38,8
+        # profiles any |v| <= 1e15 with sum-of-squares <= 1e30
+        F.sum((F.col("dval") * F.col("dval")).cast("decimal(38,8)"))
         .cast("double")
         .alias("__sumsq"),
     )
@@ -264,7 +268,7 @@ a AS (
          COUNT(DISTINCT kval) AS distinct_count,
          MIN(dval) AS min_num, MAX(dval) AS max_num,
          CAST(SUM(CAST(dval AS DECIMAL(22,6))) AS DOUBLE) AS __sum,
-         CAST(SUM(CAST(dval * dval AS DECIMAL(30,8))) AS DOUBLE) AS __sumsq
+         CAST(SUM(CAST(dval * dval AS DECIMAL(38,8))) AS DOUBLE) AS __sumsq
   FROM long_all GROUP BY table_name, column_name, dtype){b_cte}
 SELECT {"/*+ BROADCAST(b) */" if str_sel else ""} a.table_name,
        a.column_name, dtype,
@@ -424,7 +428,7 @@ def _oracle_table_profile(table: str) -> str:
                 f" AS VARCHAR) AS DOUBLE)"
             )
             s2 = (
-                f"CAST(CAST(SUM(CAST({d}*{d} AS DECIMAL(30,8)))"
+                f"CAST(CAST(SUM(CAST({d}*{d} AS DECIMAL(38,8)))"
                 f" AS VARCHAR) AS DOUBLE)"
             )
             avg = (

@@ -159,7 +159,14 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``true_distinct`` rides along from an exact count-distinct for
     error inspection (drop it at 100 TB — it is the expensive half).
     """
-    ev = load_table(spark, sf_dir, "events")
+    # sketch key boundary: NULL keys follow SQL COUNT(DISTINCT)/join
+    # semantics — they are not members of any key set (the r8
+    # adversarial corpus injected NULL user_id/o_custkey; unfiltered,
+    # Spark's distinct() COUNTS the null row while COUNT(DISTINCT)
+    # ignores it, a NULL hash enters the KMV min-set under Spark's
+    # NULLS FIRST default sort but not DuckDB's NULLS LAST, and a NULL
+    # Bloom word is an illegal map key)
+    ev = load_table(spark, sf_dir, "events").where("user_id IS NOT NULL")
     regs = hll_registers(ev, "user_id")
     buckets = spark.range(HLL_M).selectExpr("CAST(id AS BIGINT) AS bucket")
     filled = buckets.join(F.broadcast(regs), "bucket", "left").selectExpr(
@@ -191,7 +198,8 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HLL = f"""
 WITH hashed AS (
-  SELECT {_hll_hash('user_id', 'duckdb')} AS h FROM events),
+  SELECT {_hll_hash('user_id', 'duckdb')} AS h FROM events
+  WHERE user_id IS NOT NULL),
 ranks AS (
   SELECT h % {HLL_M} AS bucket,
          CASE WHEN h // {HLL_M} = 0 THEN 24
@@ -231,7 +239,7 @@ def sketch_hll_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows again. Output: one row per source plus the merge, each with
     its raw estimate and the exact distinct count for error inspection.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where("user_id IS NOT NULL")
     h = _hll_hash("user_id", "spark")
     per_src = (
         ev.selectExpr(
@@ -308,7 +316,7 @@ ORACLE_HLL_MERGE = f"""
 WITH tagged AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src,
          user_id, {_hll_hash('user_id', 'duckdb')} AS h
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 ranks AS (
   SELECT src, h % {HLL_M} AS bucket,
          CASE WHEN h // {HLL_M} = 0 THEN 24
@@ -355,7 +363,7 @@ def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group estimate. The exact count rides along per group for
     error inspection. Same integer-only estimator as the global spec.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where("user_id IS NOT NULL")
     h = _hll_hash("user_id", "spark")
     regs = (
         ev.selectExpr("event_type", f"{h} AS h")
@@ -399,7 +407,8 @@ def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HLL_BY_TYPE = f"""
 WITH hashed AS (
-  SELECT event_type, {_hll_hash('user_id', 'duckdb')} AS h FROM events),
+  SELECT event_type, {_hll_hash('user_id', 'duckdb')} AS h FROM events
+  WHERE user_id IS NOT NULL),
 ranks AS (
   SELECT event_type, h % {HLL_M} AS bucket,
          CASE WHEN h // {HLL_M} = 0 THEN 24
@@ -411,7 +420,8 @@ regs AS (
 buckets AS (
   SELECT t.event_type, CAST(g.range AS BIGINT) AS bucket
   FROM range({HLL_M}) g,
-       (SELECT DISTINCT event_type FROM events) t),
+       (SELECT DISTINCT event_type FROM events
+        WHERE user_id IS NOT NULL) t),
 ests AS (
   SELECT b.event_type,
          SUM(1::BIGINT << (24 - COALESCE(m_j, 0))) AS z_scaled
@@ -501,7 +511,11 @@ def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same shuffle, so ReusedExchange serves the second consumer from
     # the first's output instead of re-scanning + re-distincting orders
     # (the r5 form paid two full DISTINCTs — the dominant cost at sf1).
-    keys = orders.select("o_custkey").distinct()
+    keys = (
+        orders.where("o_custkey IS NOT NULL")
+        .select("o_custkey")
+        .distinct()
+    )
     words = bloom_words(keys, "o_custkey", distinct=False)
     actual = keys.selectExpr("o_custkey AS a_key")
     # The whole 512-byte filter folds to ONE row (a 128-word array) and
@@ -558,7 +572,8 @@ def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BLOOM = f"""
-WITH okeys AS (SELECT DISTINCT o_custkey FROM orders),
+WITH okeys AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_custkey IS NOT NULL),
 build_pos AS (
   SELECT DISTINCT
          (({_h1('o_custkey')}) + i * ({_h2('o_custkey')})) % {BLOOM_BITS}
@@ -580,11 +595,16 @@ probe AS (
   FROM probe_pos
   LEFT JOIN words ON pos // {BLOOM_WORD} = word
   GROUP BY c_custkey)
-SELECT p.c_custkey,
+SELECT c.c_custkey,
        p.bloom_member,
        o.o_custkey IS NOT NULL AS actual_member,
        p.bloom_member AND o.o_custkey IS NULL AS false_positive
-FROM probe p LEFT JOIN okeys o ON p.c_custkey = o.o_custkey
+-- one output row PER CUSTOMER ROW (duplicate keys repeat), matching
+-- the engine's map-only per-row probe — the scale-correct shape; the
+-- per-key GROUP BY above is only the explode replay's bookkeeping
+FROM customer c
+JOIN probe p ON c.c_custkey = p.c_custkey
+LEFT JOIN okeys o ON c.c_custkey = o.o_custkey
 """
 
 
@@ -711,7 +731,7 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg computes the estimate; ``true_distinct`` rides along for error
     inspection.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where("user_id IS NOT NULL")
     h = _h1("user_id")
     mins = (
         ev.selectExpr(f"{h} AS h")
@@ -738,6 +758,7 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_KMV = f"""
 WITH mins AS (
   SELECT DISTINCT {_h1('user_id')} AS h FROM events
+  WHERE user_id IS NOT NULL
   ORDER BY h LIMIT {KMV_K})
 SELECT CAST({KMV_K} AS BIGINT) AS k,
        MAX(h) AS kth_hash,
@@ -1128,8 +1149,13 @@ def sketch_quantile_hdr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double -> DECIMAL(22,6) -> cents: the repo money rule (a raw
     # double*100 -> BIGINT cast truncates in Spark but rounds in
     # DuckDB; through decimal the value is exact in both)
+    # HDR is defined on NON-NEGATIVE values (bin()/shifts of a
+    # negative diverge between engines and hdrhistogram itself):
+    # negative prices (refunds) clamp into the v=0 exact bucket —
+    # the documented underflow bucket of the sketch.
     cents = orders.selectExpr(
-        "CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100 AS BIGINT) AS v"
+        "GREATEST(CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100"
+        " AS BIGINT), CAST(0 AS BIGINT)) AS v"
     )
     buckets = hdr_buckets(cents, "v")
     from pyspark.sql.window import Window
@@ -1195,7 +1221,8 @@ def _oracle_hdr() -> str:
     )
     return f"""
 WITH cents AS (
-  SELECT CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100 AS BIGINT) AS v
+  SELECT GREATEST(CAST(CAST(o_totalprice AS DECIMAL(22,6)) * 100
+           AS BIGINT), CAST(0 AS BIGINT)) AS v
   FROM orders),
 buckets AS (
   SELECT {bid} AS bucket_id, {lo} AS lo, COUNT(*) AS n

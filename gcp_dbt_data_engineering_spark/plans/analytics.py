@@ -398,10 +398,12 @@ def events_json_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_JSON = f"""
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+SELECT CAST(CASE WHEN json_valid(props) THEN
+         json_extract_string(props, '$.k') END AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n_events,
        {sql_money_avg("value", "avg_value")},
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       MAX(CAST(CASE WHEN json_valid(props) THEN
+         json_extract_string(props, '$.k') END AS BIGINT)) AS max_k
 FROM events
 GROUP BY 1
 """
@@ -726,7 +728,10 @@ SELECT COALESCE(a.k, b.k) AS o_custkey,
             WHEN a_orders != b_orders OR a_spend != b_spend THEN 'changed'
             ELSE 'same' END AS diff_status,
        a_orders, a_spend, b_orders, b_spend
-FROM a FULL OUTER JOIN b ON a.k = b.k
+-- IS NOT DISTINCT FROM: a NULL customer key is ONE entity to the
+-- diff (the engine's single-scan groupBy fold treats it so); a plain
+-- equality would split it into a spurious removed+added pair
+FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
@@ -787,8 +792,13 @@ def props_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             import json
 
             if props is not None:
-                for k, v in json.loads(props).items():
-                    yield event_id, k, str(v)
+                try:
+                    doc = json.loads(props)
+                except ValueError:
+                    return  # malformed props: from_json yields NULL map
+                if isinstance(doc, dict):
+                    for k, v in doc.items():
+                        yield event_id, k, str(v)
 
     spark.udtf.register("props_explode", PropsExplode)
     # spread: the per-row Python eval is the cost; a single-split scan
@@ -825,7 +835,10 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.selectExpr(
             "event_type",
-            "try_variant_get(parse_json(props), '$.k', 'bigint') AS k",
+            # try_parse_json: malformed/empty props (a fact of any
+            # real event stream) become NULL VARIANT instead of a
+            # Jackson runtime error; try_variant_get then yields NULL k
+            "try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k",
         )
         .groupBy("event_type")
         .agg(
@@ -840,11 +853,14 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PROPS_VARIANT = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       CAST(SUM(TRY_CAST(CASE WHEN json_valid(props) THEN
+            json_extract_string(props, '$.k') END AS BIGINT))
             AS BIGINT) AS k_sum,
-       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       CAST(MIN(TRY_CAST(CASE WHEN json_valid(props) THEN
+            json_extract_string(props, '$.k') END AS BIGINT))
             AS BIGINT) AS k_min,
-       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+       CAST(MAX(TRY_CAST(CASE WHEN json_valid(props) THEN
+            json_extract_string(props, '$.k') END AS BIGINT))
             AS BIGINT) AS k_max
 FROM events
 GROUP BY event_type
@@ -856,7 +872,7 @@ WITH kv AS (
   SELECT unnest(json_keys(props)) AS k,
          json_extract_string(props,
            '$.' || unnest(json_keys(props))) AS v
-  FROM events)
+  FROM events WHERE json_valid(props))
 SELECT k, COUNT(*) AS n_events, COUNT(DISTINCT v) AS n_values,
        CAST(SUM(TRY_CAST(v AS BIGINT)) AS BIGINT) AS v_sum
 FROM kv GROUP BY k

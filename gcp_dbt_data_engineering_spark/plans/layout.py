@@ -37,14 +37,50 @@ ART = "/root/repo/.artifacts/layout"
 N_BUCKETS = 8
 
 
-def _sf_tag(sf_dir: str) -> str:
-    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+def _sf_tag(sf_dir: str, table: str | None = None) -> str:
+    """Artifact key for a derived layout.
+
+    With ``table``, the key embeds the SOURCE file's mtime+size (the
+    registry's staging discipline, sources/registry.py): a corpus
+    regenerated in place gets a NEW key, so derived layouts can never
+    serve stale data. The r8 adversarial-corpus rewrite caught exactly
+    this — the sf-tag-only key kept serving the pre-rewrite
+    fragmented/ORC/z-order tables (CORRECTNESS_nasty first run:
+    compact_small_files counted 15000 of 15005 rows).
+    """
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if table is None:
+        return base
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{base}-{st.st_mtime_ns}-{st.st_size}"
 
 
 def _have(path: str) -> bool:
     # _SUCCESS is the committer's completion marker; a bare directory
     # may be a partial write and must be redone.
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _prune_stale(prefix: str, keep: str, ttl_s: float = 3600.0) -> None:
+    """Age-gated removal of older-keyed layouts with the same prefix
+    (same rule and rationale as sources/registry.py: a concurrent
+    session's lazy plans may still read a layout it staged recently)."""
+    import shutil
+    import time
+
+    d = os.path.dirname(prefix)
+    base = os.path.basename(prefix)
+    if not os.path.isdir(d):
+        return
+    for name in os.listdir(d):
+        full = os.path.join(d, name)
+        if not name.startswith(base) or full == keep:
+            continue
+        try:
+            if time.time() - os.stat(full).st_mtime > ttl_s:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
 
 
 # ---------------------------------------------------------------------------
@@ -59,9 +95,10 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     distribution; a plain parquet path write cannot carry that
     metadata, which is why this op goes through the session catalog.
     """
-    tag = _sf_tag(sf_dir)
-    li_name = f"b_lineitem_{tag}".replace(".", "_")
-    o_name = f"b_orders_{tag}".replace(".", "_")
+    li_name = f"b_lineitem_{_sf_tag(sf_dir, 'lineitem')}".replace(
+        ".", "_").replace("-", "_")
+    o_name = f"b_orders_{_sf_tag(sf_dir, 'orders')}".replace(
+        ".", "_").replace("-", "_")
     for name, src, key in (
         (li_name, "lineitem", "l_orderkey"),
         (o_name, "orders", "o_orderkey"),
@@ -122,7 +159,9 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
-    path = f"{ART}/events_by_fecha_{_sf_tag(sf_dir).replace('.', '_')}"
+    path = (f"{ART}/events_by_fecha_"
+            f"{_sf_tag(sf_dir, 'events').replace('.', '_')}")
+    _prune_stale(f"{ART}/events_by_fecha_", path)
     if not _have(path):
         ev = load_table(spark, sf_dir, "events").withColumn(
             "fecha", F.col("ts").cast("date")
@@ -183,7 +222,8 @@ def orders_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import load_source, write_sink
 
-    path = f"{ART}/orders_orc_{_sf_tag(sf_dir).replace('.', '_')}"
+    path = f"{ART}/orders_orc_{_sf_tag(sf_dir, 'orders').replace('.', '_')}"
+    _prune_stale(f"{ART}/orders_orc_", path)
     if not _have(path):
         write_sink(load_table(spark, sf_dir, "orders"), path, fmt="orc")
     od = load_source(spark, path, fmt="orc").filter(
@@ -232,7 +272,8 @@ _ZY = "CAST(CAST(hour(ts) AS BIGINT) * 60 + CAST(minute(ts) AS BIGINT) AS BIGINT
 
 
 def _zorder_events(spark: SparkSession, sf_dir: str) -> str:
-    path = f"{ART}/events_zorder_{_sf_tag(sf_dir).replace('.', '_')}"
+    path = f"{ART}/events_zorder_{_sf_tag(sf_dir, 'events').replace('.', '_')}"
+    _prune_stale(f"{ART}/events_zorder_", path)
     if not _have(path):
         ev = load_table(spark, sf_dir, "events").selectExpr(
             "*", f"{_z_expr(_ZX, _ZY)} AS z"
@@ -321,7 +362,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed FROM THE COMPACTED FILES, so any row lost or doubled by
     the rewrite breaks the oracle match.
     """
-    frag = f"{ART}/{_sf_tag(sf_dir)}_fragmented_orders"
+    frag = f"{ART}/{_sf_tag(sf_dir, 'orders')}_fragmented_orders"
+    _prune_stale(f"{ART}/{_sf_tag(sf_dir)}-", frag)
     if not _have(frag):
         load_table(spark, sf_dir, "orders").repartition(
             COMPACT_SHARDS
@@ -329,7 +371,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(frag)
     n = df.count()
     target = max(1, -(-n // COMPACT_ROWS_PER_FILE))
-    compacted = f"{ART}/{_sf_tag(sf_dir)}_compacted_orders"
+    compacted = f"{ART}/{_sf_tag(sf_dir, 'orders')}_compacted_orders"
     df.repartition(target).write.mode("overwrite").parquet(compacted)
     out = spark.read.parquet(compacted)
     return out.agg(

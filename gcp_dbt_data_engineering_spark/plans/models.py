@@ -1461,6 +1461,10 @@ SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
        COUNT(*) AS n_events,
        CAST(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
+-- the INCREMENTAL_SLICES union: an incremental pipeline only holds
+-- what its batches ingested; rows outside every slice (stray 1970/
+-- 2099 timestamps, NULL ts) are by definition not in the table
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
 GROUP BY 1, 2
 """
 
@@ -1510,9 +1514,14 @@ def model_merge_customer_state(
     orders = register_all(spark, sf_dir, tables=("orders",))["orders"]
     graph = ModelGraph(MERGE_MODEL, warehouse_dir=warehouse_dir)
     for lo, hi in MERGE_BATCHES:
+        # NULL unique_key is unsupported by keyed MERGE (ON key = key
+        # never matches NULL, so every batch touching it would APPEND
+        # a fresh NULL row instead of upserting) — excluded at the
+        # batch boundary, mirrored in the oracle
         orders.filter(
             (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
             & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+            & F.col("o_custkey").isNotNull()
         ).createOrReplaceTempView("orders_batch")
         graph.run(spark)
     return spark.read.parquet(f"{warehouse_dir}/customer_order_state").select(
@@ -1532,7 +1541,13 @@ WITH batched AS (
               WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1
               ELSE 0 END AS b,
          o_orderdate, o_totalprice
-  FROM orders),
+  FROM orders
+  -- MERGE_BATCHES union; a NULL unique_key is unsupported by keyed
+  -- MERGE (ON key = key never matches NULL — each batch would append
+  -- a fresh NULL row), so the batches exclude it up front
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '2002-01-01'
+    AND o_custkey IS NOT NULL),
 last_b AS (SELECT o_custkey, MAX(b) AS b FROM batched GROUP BY o_custkey)
 SELECT t.o_custkey,
        COUNT(*) AS n_orders,
@@ -1847,6 +1862,9 @@ SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
        event_type,
        COUNT(*) AS n_events
 FROM events
+-- both the initial-load filter and the is_incremental() guard are ts
+-- comparisons: a NULL-ts row fails every predicate and never ingests
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 

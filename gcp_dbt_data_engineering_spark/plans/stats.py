@@ -493,8 +493,15 @@ def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (
         (F.col("__hi") - F.col("__lo")).cast("double") / F.lit(float(B))
     )
+    # null-safe key: a NULL-priority group is still a group — the
+    # plain equi-join silently dropped its rows (same defect family as
+    # domain_cap_downsample, r8 adversarial corpus)
+    bn = bounds.withColumnRenamed("o_orderpriority", "__bp")
     b = (
-        od.join(F.broadcast(bounds), "o_orderpriority")
+        od.join(
+            F.broadcast(bn),
+            od["o_orderpriority"].eqNullSafe(bn["__bp"]),
+        ).drop("__bp")
         .withColumn(
             "__bkt",
             F.least(
@@ -527,8 +534,17 @@ def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("o_orderpriority", "__bkt").orderBy(
         F.asc("o_totalprice"), F.asc("o_orderkey")
     )
+    # same null-safe rule for the offset-stitch join
+    offs = offsets.withColumnsRenamed(
+        {"o_orderpriority": "__op", "__bkt": "__ob"}
+    )
     ranked = (
-        b.join(F.broadcast(offsets), ["o_orderpriority", "__bkt"])
+        b.join(
+            F.broadcast(offs),
+            b["o_orderpriority"].eqNullSafe(offs["__op"])
+            & (b["__bkt"] == offs["__ob"]),
+        )
+        .drop("__op", "__ob")
         .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
     )
     # ntile(10) assignment law, arithmetically from (rn, n) — exact
@@ -962,7 +978,14 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides joined via broadcast (never a shuffling cartesian), window
     row/column totals over the ≤15-cell dense relation, a 1-row fold.
     """
-    od = load_table(spark, sf_dir, "orders")
+    # NULL category levels are MISSING data, not a level: the test
+    # population excludes them (they are a completeness finding, and a
+    # NULL level cannot equi-join back into the dense grid — its row
+    # total would be 0 and the expected-count term divides by zero).
+    # Empty-string levels ARE levels and stay.
+    od = load_table(spark, sf_dir, "orders").where(
+        "o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL"
+    )
     cells = od.groupBy(
         F.col("o_orderpriority").alias("p"),
         F.col("o_orderstatus").alias("s"),
@@ -1014,7 +1037,9 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHI2 = f"""
 WITH cells AS (
   SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
-  FROM orders GROUP BY 1, 2),
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2),
 dense AS (
   SELECT gp.p, gs.s, COALESCE(c.o, CAST(0 AS BIGINT)) AS o
   FROM (SELECT DISTINCT p FROM cells) gp

@@ -91,7 +91,8 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 # ---------------------------------------------------------------------------
 
 def orders_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = _t(spark, sf_dir, "orders")
+    # undated orders belong to no day of the sequential window
+    od = _t(spark, sf_dir, "orders").where("o_orderdate IS NOT NULL")
     daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("rev_dec"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -114,7 +115,7 @@ WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS rev_dec,
          COUNT(*) AS n_orders
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 )
 SELECT day,
        CAST(rev_dec AS DOUBLE) AS daily_revenue,
@@ -696,7 +697,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, month) and stitch boundaries — documented, not needed at
     test SF.
     """
-    ev = _t(spark, sf_dir, "events")
+    # timeless rows (NULL ts) have no place in a per-user order —
+    # and the engines disagree on NULL placement in ORDER BY defaults
+    ev = _t(spark, sf_dir, "events").where("ts IS NOT NULL")
     byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         ev.select("user_id", "event_id", "ts", "event_type")
@@ -722,7 +725,7 @@ WITH ordered AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 trans AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n
   FROM ordered WHERE prev_type IS NOT NULL

@@ -71,8 +71,14 @@ def _hourly_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
 
 
 def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event_type: count, value, users."""
-    return _hourly_agg(load_table(spark, sf_dir, "events"))
+    """Tumbling 1-hour windows per event_type: count, value, users.
+
+    Timeless rows (NULL ts — a fact of real event streams) belong to
+    no window and are excluded; same WHERE in the oracle.
+    """
+    return _hourly_agg(
+        load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
+    )
 
 
 ORACLE_HOURLY_WINDOWS = f"""
@@ -82,6 +88,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
        {sql_money_sum("value", "total_value")},
        COUNT(DISTINCT user_id) AS n_users
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -97,7 +104,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. All windows share one partitioning (user_id), so
     Spark plans a single sort + exchange.
     """
-    events = load_table(spark, sf_dir, "events")
+    # NULL ts cannot be placed in any session (and the two engines
+    # disagree on NULL placement in window ORDER BY by default)
+    events = load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
     flagged = events.selectExpr(
         "user_id",
         "event_id",
@@ -129,7 +138,7 @@ WITH ordered AS (
   SELECT user_id, event_id, ts,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_ts
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN prev_ts IS NULL OR ts - prev_ts > {SESSION_GAP}
@@ -173,7 +182,7 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     a watermark and merging session state — the reason to prefer the
     native operator at scale.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
     per_sess = events.groupBy(
         "user_id", F.session_window("ts", "30 minutes")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -192,7 +201,7 @@ WITH ordered AS (
   SELECT user_id, event_id, ts,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_ts
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN prev_ts IS NULL OR ts - prev_ts >= {SESSION_GAP}

@@ -250,3 +250,87 @@ def test_retry_gate_artifact_green():
     assert d["n_fail"] == 0
     assert d["n_injected_failures"] > 0
     assert all(s.get("pass") for s in d["specs"].values())
+
+
+def test_hdr_clamps_negative_values(spark):
+    """HDR bucketing is defined on non-negative values: a refund
+    (negative price) lands in the v=0 exact underflow bucket instead
+    of diverging (bin()/shift of negatives differ per engine; DuckDB
+    errors on a negative left-shift)."""
+    from gcp_dbt_data_engineering_spark.operators.sketch import (
+        sketch_quantile_hdr_prices,
+    )
+    import pandas as pd
+
+    # covered end-to-end by CORRECTNESS_nasty; here: the expression
+    # level — GREATEST clamp happens before any shift
+    row = spark.sql(
+        "SELECT GREATEST(CAST(CAST(-999.99 AS DECIMAL(22,6)) * 100"
+        " AS BIGINT), CAST(0 AS BIGINT)) AS v"
+    ).collect()[0]
+    assert row["v"] == 0
+
+
+def test_decile_keeps_null_priority_group(spark, tmp_path):
+    """A NULL-priority stratum keeps its decile rows: both the bounds
+    join and the offset-stitch join must be null-safe."""
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.plans.stats import (
+        orders_decile_stats,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": list(range(25)),
+            "o_custkey": [1] * 25,
+            "o_orderstatus": ["O"] * 25,
+            "o_totalprice": [float(10 + i) for i in range(25)],
+            "o_orderdate": pd.to_datetime(["1996-01-01"] * 25),
+            "o_orderpriority": ["1-URGENT"] * 20 + [None] * 5,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    ).write.parquet(f"{sf}/orders.parquet")
+    rows = orders_decile_stats(spark, sf).collect()
+    null_rows = [r for r in rows if r["o_orderpriority"] is None]
+    assert sum(r["n_orders"] for r in null_rows) == 5
+
+
+def test_merge_rejects_null_unique_key(spark, tmp_path):
+    """Keyed MERGE with a NULL unique_key would append a fresh NULL
+    row per touching batch (ON key = key never matches NULL); the
+    batch boundary excludes such rows."""
+    import pandas as pd
+
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        model_merge_customer_state,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [10, None, None, 10],
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [5.0, 6.0, 7.0, 8.0],
+            "o_orderdate": pd.to_datetime(
+                ["1996-01-01", "1996-02-01", "1999-01-01", "2000-06-01"]
+            ),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    ).write.parquet(f"{sf}/orders.parquet")
+    out = model_merge_customer_state(
+        spark, sf, warehouse_dir=f"{sf}/wh"
+    ).collect()
+    keys = [r["o_custkey"] for r in out]
+    assert keys == [10]  # NULL-key orders never enter any batch

@@ -21,6 +21,23 @@ embeddings (appended, vec_id ≥ 900000):
   vec 0, a ±1e30 huge-magnitude vector, a 1e-30 denormal-scale
   vector, and a NULL-embedding row.
 
+orders (appended, o_orderkey ≥ 900000 plus one DUPLICATE of orderkey
+0): NULL o_custkey (orphan FK), empty-string status/priority, price
+0 / negative / 1e12, 1900 and 2099 order dates, NULL status + NULL
+date. These drive the DQ violation paths (uniqueness, referential
+integrity, completeness, ranges) to NONZERO counts — on clean data
+the violation arithmetic itself is never exercised — and stress
+NULL/extreme keys through every join, window and daily rollup.
+
+events (appended, event_id ≥ 900000 plus one DUPLICATE of event_id
+0): NULL ts (window ORDER BY null placement differs per engine by
+default!), epoch-0 and 2099 timestamps, NULL user_id, NULL and
+empty event_type, negative and 1e12 values, NULL / empty-object /
+INVALID-JSON props.
+
+customer (appended, c_custkey ≥ 900000 plus one DUPLICATE of custkey
+0): NULL name, empty mktsegment, negative balance.
+
 The oracles stay exact by construction — DuckDB reads the same
 injected parquet. Anything that crashes or hash-mismatches on this
 corpus is a genuine content-robustness defect (division by zero on
@@ -144,6 +161,87 @@ def main() -> int:
                   UNION ALL
                   SELECT 900004, NULL, 3
                   ORDER BY 1
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "orders.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  -- duplicate PRIMARY KEY: same orderkey as row 0,
+                  -- different payload (uniqueness DQ must count it)
+                  SELECT o_orderkey, o_custkey, 'F', 77.77,
+                         o_orderdate, '5-LOW'
+                  FROM read_parquet('{s}') WHERE o_orderkey =
+                    (SELECT MIN(o_orderkey) FROM read_parquet('{s}'))
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, NULL, 'O', 123.45,
+                     TIMESTAMP '1996-06-15 00:00:00', '1-URGENT'),
+                    (900001, 1, '', 0.0,
+                     TIMESTAMP '2099-01-01 00:00:00', ''),
+                    (900002, 1, 'O', -999.99,
+                     TIMESTAMP '1900-01-01 00:00:00', '3-MEDIUM'),
+                    (900003, 1, NULL, 1000000000000.0, NULL, NULL)
+                  ) AS v(o_orderkey, o_custkey, o_orderstatus,
+                         o_totalprice, o_orderdate, o_orderpriority)
+                  ORDER BY o_orderkey
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "events.parquet":
+            # preserve the source's physical timestamp type
+            # (TIMESTAMP_NS) so the engine's nanosAsLong read path is
+            # unchanged for the whole table
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  -- duplicate event_id with a different timestamp
+                  SELECT event_id, ts + INTERVAL 1 MINUTE, user_id,
+                         event_type, value, props
+                  FROM read_parquet('{s}') WHERE event_id =
+                    (SELECT MIN(event_id) FROM read_parquet('{s}'))
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, CAST(NULL AS TIMESTAMP_NS), 1,
+                     'view', 1.0, NULL),
+                    (900001, CAST('1970-01-01 00:00:00' AS
+                     TIMESTAMP_NS), 1, 'view', 0.0, '{{}}'),
+                    (900002, CAST('2099-12-31 23:59:59' AS
+                     TIMESTAMP_NS), 1, 'purchase', 1000000000000.0,
+                     '{{"k": 1}}'),
+                    (900003, CAST('2024-01-10 12:00:00' AS
+                     TIMESTAMP_NS), NULL, 'view', 5.0, NULL),
+                    (900004, CAST('2024-01-10 12:01:00' AS
+                     TIMESTAMP_NS), 2, NULL, -5.0, 'not valid json'),
+                    (900005, CAST('2024-01-10 12:02:00' AS
+                     TIMESTAMP_NS), 2, '', 2.5, '')
+                  ) AS v(event_id, ts, user_id, event_type, value,
+                         props)
+                  ORDER BY event_id
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "customer.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  SELECT c_custkey, NULL, c_nationkey, -10.0, ''
+                  FROM read_parquet('{s}') WHERE c_custkey =
+                    (SELECT MIN(c_custkey) FROM read_parquet('{s}'))
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, NULL, 0, -10.0, ''),
+                    (900001, 'Customer#900001', NULL, 0.0, NULL)
+                  ) AS v(c_custkey, c_name, c_nationkey, c_acctbal,
+                         c_mktsegment)
+                  ORDER BY c_custkey
                 ) TO '{d}' (FORMAT PARQUET)
                 """
             )
