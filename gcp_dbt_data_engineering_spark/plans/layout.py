@@ -87,6 +87,22 @@ def _prune_stale(prefix: str, keep: str, ttl_s: float = 3600.0) -> None:
 # bucketed co-located fact⋈fact join
 # ---------------------------------------------------------------------------
 
+def _stage(path: str, write) -> None:
+    """Concurrent-safe staging: write to a pid-suffixed tmp dir, then
+    rename into place (the registry's discipline). Two sessions racing
+    on the same missing layout each build their own tmp; the loser of
+    the rename just drops its copy — no torn _temporary dirs, and
+    readers only ever see a complete (_SUCCESS-marked) directory."""
+    import shutil
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    write(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # another session won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize lineitem/orders bucketed+sorted by order key.
 
@@ -166,7 +182,12 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "fecha", F.col("ts").cast("date")
         )
-        ev.write.partitionBy("fecha").mode("overwrite").parquet(path)
+        _stage(
+            path,
+            lambda t: ev.write.partitionBy("fecha")
+            .mode("overwrite")
+            .parquet(t),
+        )
     return path
 
 
@@ -225,7 +246,12 @@ def orders_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{ART}/orders_orc_{_sf_tag(sf_dir, 'orders').replace('.', '_')}"
     _prune_stale(f"{ART}/orders_orc_", path)
     if not _have(path):
-        write_sink(load_table(spark, sf_dir, "orders"), path, fmt="orc")
+        _stage(
+            path,
+            lambda t: write_sink(
+                load_table(spark, sf_dir, "orders"), t, fmt="orc"
+            ),
+        )
     od = load_source(spark, path, fmt="orc").filter(
         F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
     )
@@ -282,9 +308,13 @@ def _zorder_events(spark: SparkSession, sf_dir: str) -> str:
         # each output file covers a compact z-range, hence a bounded
         # rectangle in (user, minute) space, so per-file min/max stats
         # prune on BOTH dimensions at scan time.
-        ev.repartitionByRange(8, F.col("z")).sortWithinPartitions(
-            "z"
-        ).write.mode("overwrite").parquet(path)
+        _stage(
+            path,
+            lambda t: ev.repartitionByRange(8, F.col("z"))
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(t),
+        )
     return path
 
 
@@ -365,13 +395,20 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag = f"{ART}/{_sf_tag(sf_dir, 'orders')}_fragmented_orders"
     _prune_stale(f"{ART}/{_sf_tag(sf_dir)}-", frag)
     if not _have(frag):
-        load_table(spark, sf_dir, "orders").repartition(
-            COMPACT_SHARDS
-        ).write.mode("overwrite").parquet(frag)
+        _stage(
+            frag,
+            lambda t: load_table(spark, sf_dir, "orders")
+            .repartition(COMPACT_SHARDS)
+            .write.mode("overwrite")
+            .parquet(t),
+        )
     df = spark.read.parquet(frag)
     n = df.count()
     target = max(1, -(-n // COMPACT_ROWS_PER_FILE))
-    compacted = f"{ART}/{_sf_tag(sf_dir, 'orders')}_compacted_orders"
+    compacted = (
+        f"{ART}/{_sf_tag(sf_dir, 'orders')}_compacted_orders"
+        f"-{os.getpid()}"
+    )
     df.repartition(target).write.mode("overwrite").parquet(compacted)
     out = spark.read.parquet(compacted)
     return out.agg(
