@@ -676,7 +676,9 @@ SQL_EXPECTATION_TESTS: list[dict[str, Any]] = [
             SELECT COUNT(*) AS failed_records
             FROM lineitem t
             LEFT JOIN part r ON t.l_partkey = r.p_partkey
-            WHERE ABS(t.l_extendedprice / t.l_quantity - r.p_retailprice)
+            WHERE t.l_quantity <= 0
+               OR ABS(t.l_extendedprice / NULLIF(t.l_quantity, 0)
+                      - r.p_retailprice)
                     > 0.5 * r.p_retailprice
         """,
         "expected_result": 0,

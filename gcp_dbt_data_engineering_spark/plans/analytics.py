@@ -427,11 +427,19 @@ def price_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
     )
+    # unit price is UNDEFINED for l_quantity <= 0: such a line cannot
+    # be price-verified, so it COUNTS AS A VIOLATION (same spirit as
+    # the missing-dim rule). NULLIF guards the division — SQL does not
+    # short-circuit OR, and under ANSI a double 0-divide THROWS in
+    # Spark while DuckDB yields inf.
     dev = F.abs(
-        F.col("l_extendedprice") / F.col("l_quantity") - F.col("p_retailprice")
+        F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0.0))
+        - F.col("p_retailprice")
     )
-    viol = F.col("p_partkey").isNull() | (
-        dev > F.lit(TOLERANCE_FACTOR) * F.col("p_retailprice")
+    viol = (
+        F.col("p_partkey").isNull()
+        | (F.col("l_quantity") <= 0)
+        | (dev > F.lit(TOLERANCE_FACTOR) * F.col("p_retailprice"))
     )
     return (
         li.join(
@@ -444,8 +452,10 @@ def price_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
             F.count(F.when(viol, 1)).alias("n_violations"),
             F.expr(
-                "CAST(COUNT(CASE WHEN p_partkey IS NULL OR "
-                f"ABS(l_extendedprice / l_quantity - p_retailprice) > "
+                "CAST(COUNT(CASE WHEN p_partkey IS NULL"
+                " OR l_quantity <= 0 OR "
+                f"ABS(l_extendedprice / NULLIF(l_quantity, 0)"
+                f" - p_retailprice) > "
                 f"{TOLERANCE_FACTOR} * p_retailprice THEN 1 END) AS DOUBLE)"
                 " / COUNT(*)"
             ).alias("violation_rate"),
@@ -456,13 +466,16 @@ def price_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICE_TOLERANCE = f"""
 SELECT COALESCE(p_brand, 'UNKNOWN') AS brand,
        COUNT(*) AS n_lineitems,
-       COUNT(CASE WHEN p_partkey IS NULL OR
-                  ABS(l_extendedprice / l_quantity - p_retailprice)
+       COUNT(CASE WHEN p_partkey IS NULL OR l_quantity <= 0 OR
+                  ABS(l_extendedprice / NULLIF(l_quantity, 0)
+                      - p_retailprice)
                     > {TOLERANCE_FACTOR} * p_retailprice THEN 1 END)
          AS n_violations,
-       CAST(COUNT(CASE WHEN p_partkey IS NULL OR
-                  ABS(l_extendedprice / l_quantity - p_retailprice)
-                    > {TOLERANCE_FACTOR} * p_retailprice THEN 1 END) AS DOUBLE)
+       CAST(COUNT(CASE WHEN p_partkey IS NULL OR l_quantity <= 0 OR
+                  ABS(l_extendedprice / NULLIF(l_quantity, 0)
+                      - p_retailprice)
+                    > {TOLERANCE_FACTOR} * p_retailprice
+                  THEN 1 END) AS DOUBLE)
          / COUNT(*) AS violation_rate
 FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY 1

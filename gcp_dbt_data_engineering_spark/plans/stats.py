@@ -235,16 +235,24 @@ def lineitem_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r(c):
         return c.cast("decimal(28,12)").cast("double")
 
+    # sample stddev needs n > 1 (n=1 divides by zero — ANSI throws in
+    # Spark, DuckDB yields NaN) and corr additionally needs positive
+    # variance on both sides; outside those domains the statistics are
+    # UNDEFINED and pinned to NULL in both engines
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
     return comp.select(
         "l_returnflag",
         "n",
         r(F.col("sx") / n).alias("mean_qty"),
-        r(F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                 / (n * (n - 1)))).alias("stddev_qty"),
-        r((n * F.col("sxy") - F.col("sx") * F.col("sy"))
-          / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-             * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
-          ).alias("corr_qty_price"),
+        F.when(
+            n > 1, r(F.sqrt(varx / (n * (n - 1))))
+        ).alias("stddev_qty"),
+        F.when(
+            (n > 1) & (varx > 0) & (vary > 0),
+            r((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+              / (F.sqrt(varx) * F.sqrt(vary))),
+        ).alias("corr_qty_price"),
     )
 
 
@@ -275,13 +283,17 @@ WITH comp AS (
 SELECT l_returnflag, n,
        CAST(CAST(sx / CAST(n AS DOUBLE) AS DECIMAL(28,12)) AS DOUBLE)
          AS mean_qty,
-       CAST(CAST(SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
-            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
-            AS DECIMAL(28,12)) AS DOUBLE) AS stddev_qty,
-       CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
-         / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
-            * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
-            AS DECIMAL(28,12)) AS DOUBLE) AS corr_qty_price
+       CASE WHEN n > 1 THEN
+         CAST(CAST(SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+              AS DECIMAL(28,12)) AS DOUBLE) END AS stddev_qty,
+       CASE WHEN n > 1
+             AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+         CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+              * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+              AS DECIMAL(28,12)) AS DOUBLE) END AS corr_qty_price
 FROM comp
 """
 

@@ -38,6 +38,18 @@ INVALID-JSON props.
 customer (appended, c_custkey ≥ 900000 plus one DUPLICATE of custkey
 0): NULL name, empty mktsegment, negative balance.
 
+lineitem (appended under o_orderkey 900000 so order-level joins see
+them): NULL l_partkey (orphan part FK — the tolerance audit's LEFT
+JOIN reason), ZERO l_quantity (the unit-price division), negative
+quantity/price, discount > 1, NULL l_shipdate, NULL returnflag, a
+DUPLICATE (orderkey, linenumber) pair.
+
+part (appended, p_partkey ≥ 900000): NULL p_brand (group key), zero
+and negative p_retailprice (tolerance denominators), NULL p_type.
+
+supplier (appended, s_suppkey ≥ 900000): NULL s_nationkey (orphan
+dim FK through every star join).
+
 The oracles stay exact by construction — DuckDB reads the same
 injected parquet. Anything that crashes or hash-mismatches on this
 corpus is a genuine content-robustness defect (division by zero on
@@ -223,6 +235,68 @@ def main() -> int:
                   ) AS v(event_id, ts, user_id, event_type, value,
                          props)
                   ORDER BY event_id
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "lineitem.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  -- duplicate (orderkey, linenumber) with a changed
+                  -- payload
+                  SELECT l_orderkey, l_partkey, l_suppkey,
+                         l_linenumber, l_quantity + 1, l_extendedprice,
+                         l_discount, l_tax, l_returnflag, l_linestatus,
+                         l_shipdate
+                  FROM read_parquet('{s}') WHERE l_orderkey =
+                    (SELECT MIN(l_orderkey) FROM read_parquet('{s}'))
+                    AND l_linenumber = 1
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, NULL, 1, 1, 5.0, 500.0, 0.05, 0.02,
+                     'N', 'O', TIMESTAMP '1996-03-01 00:00:00'),
+                    (900000, 1, 1, 2, 0.0, 100.0, 0.0, 0.0,
+                     'N', 'O', TIMESTAMP '1996-03-02 00:00:00'),
+                    (900000, 1, 1, 3, -3.0, -150.0, 1.5, 0.0,
+                     'R', 'F', TIMESTAMP '1996-03-03 00:00:00'),
+                    (900000, 1, 1, 4, 2.0, 200.0, 0.1, 0.04,
+                     NULL, NULL, NULL)
+                  ) AS v(l_orderkey, l_partkey, l_suppkey,
+                         l_linenumber, l_quantity, l_extendedprice,
+                         l_discount, l_tax, l_returnflag,
+                         l_linestatus, l_shipdate)
+                  ORDER BY l_orderkey, l_linenumber
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "part.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, 'nasty part zero', NULL, NULL, 1, 0.0),
+                    (900001, 'nasty part neg', 'Brand#99',
+                     'NASTY TYPE', 2, -50.0)
+                  ) AS v(p_partkey, p_name, p_brand, p_type, p_size,
+                         p_retailprice)
+                  ORDER BY p_partkey
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "supplier.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, 'nasty supplier', NULL, -1.0)
+                  ) AS v(s_suppkey, s_name, s_nationkey, s_acctbal)
+                  ORDER BY s_suppkey
                 ) TO '{d}' (FORMAT PARQUET)
                 """
             )
