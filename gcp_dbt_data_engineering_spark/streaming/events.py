@@ -239,7 +239,7 @@ def run_session_window_stream(
     memory sink; complete mode keeps all sessions observable for the
     batch-equality test.
     """
-    stream = _event_stream(spark, sf_dir)
+    stream = _event_stream(spark, sf_dir).where("ts IS NOT NULL")
     per_sess = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -276,7 +276,9 @@ def run_hourly_stream(
     # _event_stream yields TIMESTAMP (LTZ) — watermarks require it;
     # session TZ is UTC, so window boundaries and formatted strings
     # match the batch NTZ plan.
-    stream = _event_stream(spark, sf_dir)
+    # same timeless-row boundary as the batch spec — explicit, not
+    # left to the watermark operator's null-event-time drop behavior
+    stream = _event_stream(spark, sf_dir).where("ts IS NOT NULL")
     agg = _hourly_agg(stream.withWatermark("ts", WATERMARK), streaming=True)
     query = (
         agg.writeStream.format("memory")
