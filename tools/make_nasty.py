@@ -50,6 +50,10 @@ and negative p_retailprice (tolerance denominators), NULL p_type.
 supplier (appended, s_suppkey ≥ 900000): NULL s_nationkey (orphan
 dim FK through every star join).
 
+nation/region (appended, keys ≥ 900000): a nation with a NULL
+r_regionkey FK and a NULL-named region — the broadcast dims every
+star join traverses.
+
 The oracles stay exact by construction — DuckDB reads the same
 injected parquet. Anything that crashes or hash-mismatches on this
 corpus is a genuine content-robustness defect (division by zero on
@@ -297,6 +301,32 @@ def main() -> int:
                     (900000, 'nasty supplier', NULL, -1.0)
                   ) AS v(s_suppkey, s_name, s_nationkey, s_acctbal)
                   ORDER BY s_suppkey
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "nation.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (900000, 'NASTYLAND', NULL),
+                    (900001, NULL, 0)
+                  ) AS v(n_nationkey, n_name, n_regionkey)
+                  ORDER BY n_nationkey
+                ) TO '{d}' (FORMAT PARQUET)
+                """
+            )
+        elif f == "region.parquet":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{s}')
+                  UNION ALL
+                  SELECT * FROM (VALUES (900000, NULL))
+                    AS v(r_regionkey, r_name)
+                  ORDER BY r_regionkey
                 ) TO '{d}' (FORMAT PARQUET)
                 """
             )
