@@ -712,11 +712,21 @@ def quant_transform(col: str, dialect: str) -> str:
     """Clamped int64 quantization of a float-array column — identical
     arithmetic text in both dialects (greatest/least/floor are IEEE
     double ops in both; the clamp happens BEFORE the bigint cast so the
-    cast itself can never overflow)."""
+    cast itself can never overflow).
+
+    The coalesce pins a NULL ELEMENT (one missing component inside an
+    otherwise-present vector) to 0.0 on both sides: Spark's
+    greatest/least skip NULL arguments while DuckDB's NULL handling is
+    version-dependent (>= 1.1 skips, older propagates), so an
+    uncoalesced NULL element would quantize to +QCLAMP on one side and
+    NULL on another (ADVICE r8). On clean corpora (no NULL elements)
+    the coalesce is a provable no-op.
+    """
     lam = (
         f"x -> CAST(greatest(CAST(-{QCLAMP} AS DOUBLE),"
         f" least(CAST({QCLAMP} AS DOUBLE),"
-        f" floor(CAST(x AS DOUBLE) * {QSCALE}))) AS BIGINT)"
+        f" floor(coalesce(CAST(x AS DOUBLE), 0.0) * {QSCALE})))"
+        f" AS BIGINT)"
     )
     fn = "transform" if dialect == "spark" else "list_transform"
     return f"{fn}({col}, {lam})"

@@ -505,7 +505,14 @@ def sketch_bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     before shuffling the big side.
     """
     orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    # NULL-key boundary pinned on BOTH sides (ADVICE r8): a NULL
+    # custkey has no membership question to ask — the build side
+    # already drops NULLs, and an unfiltered probe side would diverge
+    # from the oracle (whose final equi-join silently drops NULL keys
+    # while the engine's map-only probe would emit a row for them).
+    cust = load_table(spark, sf_dir, "customer").where(
+        "c_custkey IS NOT NULL"
+    )
     # ONE distinct pass over orders feeds BOTH the filter build and the
     # false-positive audit: the shared DataFrame canonicalizes to the
     # same shuffle, so ReusedExchange serves the second consumer from
@@ -584,10 +591,14 @@ words AS (
          bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD} AS INT)) AS bits
   FROM build_pos GROUP BY 1),
 probe_pos AS (
+  -- NULL keys excluded explicitly (the engine probe filters them too;
+  -- relying on the final equi-join to drop them left the boundary
+  -- implicit — ADVICE r8)
   SELECT c_custkey,
          (({_h1('c_custkey')}) + i * ({_h2('c_custkey')})) % {BLOOM_BITS}
            AS pos
-  FROM customer, (SELECT range AS i FROM range({BLOOM_K})) ks),
+  FROM customer, (SELECT range AS i FROM range({BLOOM_K})) ks
+  WHERE c_custkey IS NOT NULL),
 probe AS (
   SELECT c_custkey,
          bool_and(COALESCE((bits // (1::BIGINT << CAST(pos % {BLOOM_WORD}
@@ -605,6 +616,7 @@ SELECT c.c_custkey,
 FROM customer c
 JOIN probe p ON c.c_custkey = p.c_custkey
 LEFT JOIN okeys o ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NOT NULL
 """
 
 

@@ -83,6 +83,36 @@ def _prune_stale(prefix: str, keep: str, ttl_s: float = 3600.0) -> None:
             continue
 
 
+def _prune_stale_catalog(
+    spark: SparkSession, prefix: str, keep: str, ttl_s: float = 3600.0
+) -> None:
+    """Catalog twin of ``_prune_stale`` (ADVICE r8): the bucketed
+    tables embed the source mtime+size in their names, so every corpus
+    rewrite mints a new name — without this, older-keyed
+    ``b_lineitem_*``/``b_orders_*`` tables and their warehouse data
+    accumulate forever. Same age gate as the path-based layouts: a
+    concurrent session's lazy plans may still read a table it
+    registered recently, so only entries past the TTL are dropped."""
+    import shutil
+    import time
+
+    for tbl in spark.catalog.listTables():
+        name = tbl.name
+        if not name.startswith(prefix) or name == keep:
+            continue
+        path = f"{ART}/{name}"
+        try:
+            if (
+                os.path.isdir(path)
+                and time.time() - os.stat(path).st_mtime <= ttl_s
+            ):
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
+
 # ---------------------------------------------------------------------------
 # bucketed co-located fact⋈fact join
 # ---------------------------------------------------------------------------
@@ -92,14 +122,34 @@ def _stage(path: str, write) -> None:
     rename into place (the registry's discipline). Two sessions racing
     on the same missing layout each build their own tmp; the loser of
     the rename just drops its copy — no torn _temporary dirs, and
-    readers only ever see a complete (_SUCCESS-marked) directory."""
+    readers only ever see a complete (_SUCCESS-marked) directory.
+
+    A rename failure is only "lost the race" when the occupant is
+    COMPLETE. If ``path`` exists but lacks ``_SUCCESS`` (a torn
+    directory from a pre-staging-era crash), the rename would fail
+    against it on every run and the spec would permanently read the
+    torn layout (ADVICE r8) — so on failure we check the occupant,
+    remove it if torn, and retry the rename once.
+    """
     import shutil
 
     tmp = f"{path}.tmp-{os.getpid()}"
     write(tmp)
     try:
         os.rename(tmp, path)
-    except OSError:  # another session won the race
+        return
+    except OSError:
+        pass
+    if _have(path):  # complete occupant: we lost a legitimate race
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    # torn occupant: evict and retry once; if another session slips in
+    # between the rmtree and the rename with a COMPLETE copy, dropping
+    # ours is again the correct race outcome.
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -115,6 +165,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ".", "_").replace("-", "_")
     o_name = f"b_orders_{_sf_tag(sf_dir, 'orders')}".replace(
         ".", "_").replace("-", "_")
+    _prune_stale_catalog(spark, "b_lineitem_", li_name)
+    _prune_stale_catalog(spark, "b_orders_", o_name)
     for name, src, key in (
         (li_name, "lineitem", "l_orderkey"),
         (o_name, "orders", "o_orderkey"),

@@ -25,6 +25,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -227,7 +229,10 @@ GROUP BY user_id
 
 
 def run_session_window_stream(
-    spark: SparkSession, sf_dir: str, query_name: str = "session_stream"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "session_stream",
+    max_files_per_trigger: int = 1_000_000,
 ) -> DataFrame:
     """Native ``session_window`` as a Structured Stream.
 
@@ -239,7 +244,9 @@ def run_session_window_stream(
     memory sink; complete mode keeps all sessions observable for the
     batch-equality test.
     """
-    stream = _event_stream(spark, sf_dir).where("ts IS NOT NULL")
+    stream = _event_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).where("ts IS NOT NULL")
     per_sess = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -261,7 +268,10 @@ def run_session_window_stream(
 # ---------------------------------------------------------------------------
 
 def run_hourly_stream(
-    spark: SparkSession, sf_dir: str, query_name: str = "hourly_stream"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "hourly_stream",
+    max_files_per_trigger: int = 1_000_000,
 ) -> DataFrame:
     """Run the hourly-window aggregation as a Structured Stream.
 
@@ -278,7 +288,9 @@ def run_hourly_stream(
     # match the batch NTZ plan.
     # same timeless-row boundary as the batch spec — explicit, not
     # left to the watermark operator's null-event-time drop behavior
-    stream = _event_stream(spark, sf_dir).where("ts IS NOT NULL")
+    stream = _event_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).where("ts IS NOT NULL")
     agg = _hourly_agg(stream.withWatermark("ts", WATERMARK), streaming=True)
     query = (
         agg.writeStream.format("memory")
@@ -295,25 +307,34 @@ def run_hourly_stream(
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
-def _event_stream(spark: SparkSession, sf_dir: str):
-    """readStream over the events parquet with the ts projection.
+def _event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1_000_000
+):
+    """readStream over the events parquet file(s) with the ts
+    projection.
 
-    SINGLE-MICRO-BATCH ASSUMPTION: the fixture is one parquet file, so
-    an availableNow trigger processes everything in one micro-batch and
-    the watermark never drops a row — which is what makes the
-    stream==batch equality tests exact (test_streaming.py). If the
-    fixture were split into multiple files, out-of-order rows beyond
-    the 2h watermark could be dropped between micro-batches and the
-    equality would become flaky. maxFilesPerTrigger pins the
-    one-micro-batch behavior explicitly rather than relying on the
-    file count.
+    ``max_files_per_trigger`` is the micro-batch knob: the fixture
+    corpora ship one ``events.parquet`` so the default processes
+    everything in one batch (which keeps the stream==batch fixture
+    tests exact), while multi-file sources with
+    ``max_files_per_trigger=1`` drive one REAL micro-batch per file —
+    watermark advancing between batches, session state merging across
+    batch boundaries (tests/test_streaming_watermark.py exercises >= 3
+    triggers on a time-split corpus). Files are consumed oldest-mtime
+    first, so a time-ordered split replays the stream in event order;
+    an arbitrary split can legitimately drop rows that arrive beyond
+    the watermark — that is watermark semantics, not a defect.
     """
     tune(spark)
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    schema_file = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(schema_file):
+        schema_file = sf_dir  # multi-file split corpus
+    raw_schema = spark.read.parquet(schema_file).schema
     stream = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1000000")
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("latestFirst", "false")
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -357,7 +378,10 @@ def _user_totals_plan(stream: DataFrame) -> DataFrame:
 
 
 def run_user_totals_stream(
-    spark: SparkSession, sf_dir: str, query_name: str = "user_totals_stream"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "user_totals_stream",
+    max_files_per_trigger: int = 1_000_000,
 ) -> DataFrame:
     """Per-user running totals via ``applyInPandasWithState``.
 
@@ -368,7 +392,9 @@ def run_user_totals_stream(
     drift detectors, rate limiters) plugs into the stream; bounded
     here by NoTimeout since the demo source is finite.
     """
-    out = _user_totals_plan(_event_stream(spark, sf_dir))
+    out = _user_totals_plan(
+        _event_stream(spark, sf_dir, max_files_per_trigger)
+    )
     query = (
         out.writeStream.format("memory")
         .queryName(query_name)

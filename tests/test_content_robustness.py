@@ -74,6 +74,48 @@ def test_quant_clamp_bounds_norm_fold(spark):
     assert DIM * QCLAMP * QCLAMP < 2**63
 
 
+def test_quant_transform_pins_null_elements(spark):
+    """A NULL ELEMENT inside a present vector quantizes to 0 in both
+    dialects (ADVICE r8): Spark's greatest/least skip NULL arguments
+    while older DuckDB propagates them, so without the coalesce a
+    missing component silently became +QCLAMP on one side and NULL on
+    the other. Same pin for the int8 code path (_q8_expr)."""
+    import duckdb
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        quant_transform,
+    )
+
+    row = spark.sql(
+        f"""SELECT {quant_transform(
+            "array(CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT),"
+            " CAST(-2.0 AS FLOAT))", 'spark')} AS q"""
+    ).collect()[0]["q"]
+    d = duckdb.sql(
+        f"""SELECT {quant_transform(
+            "[CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT),"
+            " CAST(-2.0 AS FLOAT)]", 'duck')} AS q"""
+    ).fetchone()[0]
+    assert list(d) == list(row)
+    assert row[1] == 0  # NULL element == 0.0, not +QCLAMP / NULL
+
+    from gcp_dbt_data_engineering_spark.operators.similarity import (
+        _q8_expr,
+    )
+
+    s8 = spark.sql(
+        "SELECT transform(array(CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT)),"
+        f" x -> CAST({_q8_expr('x')} AS BIGINT)) AS c8"
+        " FROM (SELECT CAST(0.5 AS DOUBLE) AS scale)"
+    ).collect()[0]["c8"]
+    d8 = duckdb.sql(
+        "SELECT list_transform([CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT)],"
+        f" x -> CAST({_q8_expr('x')} AS BIGINT)) AS c8"
+        " FROM (SELECT CAST(0.5 AS DOUBLE) AS scale)"
+    ).fetchone()[0]
+    assert list(d8) == list(s8) == [127, 0]
+
+
 def test_quantized_excludes_null_and_zero_vectors(spark, tmp_path):
     """_quantized drops NULL embeddings (failed encodes) and vectors
     that quantize to all zeros (no representable direction): a NULL

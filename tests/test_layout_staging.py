@@ -65,3 +65,52 @@ def test_prune_stale_is_age_gated(tmp_path):
     assert not os.path.exists(old)        # past TTL: reaped
     assert os.path.exists(young)          # young: a live session may read it
     assert os.path.exists(keep)
+
+
+def test_stage_evicts_torn_occupant(tmp_path):
+    """A legacy torn directory (exists, no _SUCCESS) must not win the
+    rename forever: _stage evicts it and retries once (ADVICE r8 —
+    before the fix the spec permanently read the torn layout)."""
+    path = str(tmp_path / "layout")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as f:
+        f.write("torn")  # no _SUCCESS: a pre-staging-era crash
+
+    def write_good(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data"), "w") as f:
+            f.write("good")
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    _stage(path, write_good)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    with open(os.path.join(path, "data")) as f:
+        assert f.read() == "good"
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert leftovers == []
+
+
+def test_prune_stale_catalog_is_age_gated(spark, tmp_path, monkeypatch):
+    """Catalog twin of the path prune (ADVICE r8): older-keyed
+    bucketed tables past the TTL are dropped with their warehouse
+    data; young ones and the current key survive."""
+    import gcp_dbt_data_engineering_spark.plans.layout as layout
+
+    monkeypatch.setattr(layout, "ART", str(tmp_path))
+    rows = spark.range(1)
+    names = ("b_lineitem_prune_old", "b_lineitem_prune_young",
+             "b_lineitem_prune_keep")
+    for name in names:
+        path = str(tmp_path / name)
+        rows.write.option("path", path).saveAsTable(name)
+    old_path = str(tmp_path / names[0])
+    os.utime(old_path, (time.time() - 7200, time.time() - 7200))
+    try:
+        layout._prune_stale_catalog(spark, "b_lineitem_prune_", names[2])
+        assert not spark.catalog.tableExists(names[0])
+        assert not os.path.exists(old_path)
+        assert spark.catalog.tableExists(names[1])
+        assert spark.catalog.tableExists(names[2])
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

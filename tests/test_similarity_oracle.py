@@ -34,15 +34,17 @@ def test_topk_shape(spark):
 
 
 #: measured recall@10 at sf0.01 (tools/ann_recall.py -> ANN_RECALL.json,
-#: round 8). Every pipeline stage is deterministic (fixed integer
-#: hyperplanes / permutations / seeds), so recall moves ONLY when code
-#: changes; the floor sits one hit (0.02) under the measured value —
-#: a tight regression tripwire, not a loose sanity bound (ADVICE r7:
-#: the old 0.25 floor was honest but too weak to trip on regressions).
+#: round 9 — the avalanched-plane / trained-IVF / SQ8-rerank redesign;
+#: at the graded sf0.1 every variant is >= 0.70). Every pipeline stage
+#: is deterministic (fixed integer hyperplanes / permutations / seeds),
+#: so recall moves ONLY when code changes; the floor sits one hit
+#: (0.02) under the measured value — a tight regression tripwire, not
+#: a loose sanity bound (ADVICE r7: the old 0.25 floor was honest but
+#: too weak to trip on regressions).
 _MEASURED_RECALL_SF001 = {
-    "similarity_ann_lsh": 0.36,
-    "similarity_ann_ivf": 0.46,
-    "similarity_ann_ivf_kmeans": 0.48,
+    "similarity_ann_lsh": 0.58,
+    "similarity_ann_ivf": 0.92,
+    "similarity_ann_ivf_kmeans": 0.94,
     "similarity_pq_adc": 0.84,
 }
 

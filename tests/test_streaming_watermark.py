@@ -111,3 +111,154 @@ def test_watermark_finalizes_evicts_and_withholds(spark, tmp_path):
     # the 06h and 07h windows end after the final watermark (t0+5h):
     # append mode must not have emitted either yet
     assert all(h in ("2026-01-01 00",) for h, _ in rows)
+
+
+# ---------------------------------------------------------------------------
+# multi-micro-batch vs batch-twin equality on REAL corpora (VERDICT r8
+# item 2): split the events fixture into >= 3 time-ordered files, one
+# micro-batch per file, and assert the production streaming paths give
+# the batch answer — session state merging across batch boundaries,
+# watermark advancing between triggers.
+# ---------------------------------------------------------------------------
+
+NASTY = "/root/repo/.artifacts/sf0.01_nasty"
+
+
+def _split_events(spark, sf_dir, out_dir, n_files=3):
+    """Time-ordered split of the corpus's events into n_files parquet
+    files with ascending mtimes (FileStreamSource consumes oldest
+    first, so the stream replays in event order; ties and NULL ts go
+    to the first file — NULLs are filtered identically by both twins).
+    Row multiset is preserved, so batch results on the original corpus
+    are the ground truth for streaming over the split."""
+    import pandas as pd  # noqa: F401  (toPandas)
+
+    pdf = spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
+        .toPandas().sort_values(["ts", "event_id"], na_position="first") \
+        .reset_index(drop=True)
+    os.makedirs(out_dir, exist_ok=True)
+    now = time.time()
+    n = len(pdf)
+    for i in range(n_files):
+        part = pdf.iloc[i * n // n_files:(i + 1) * n // n_files]
+        path = os.path.join(out_dir, f"events-{i}.parquet")
+        spark.createDataFrame(part).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(path + ".dir")
+        # single-file layout so maxFilesPerTrigger=1 == one batch/slice
+        import glob as _g
+        import shutil
+        src = _g.glob(path + ".dir/part-*.parquet")[0]
+        shutil.move(src, path)
+        shutil.rmtree(path + ".dir")
+        os.utime(path, (now - 300 + i * 60, now - 300 + i * 60))
+    return out_dir
+
+
+def _rows(df, cols):
+    # key=repr: NULLs (nasty corpus) are not orderable against strings
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+    )
+
+
+def test_session_stream_multibatch_equals_batch(spark, tmp_path):
+    """Native session_window over >= 3 real micro-batches == the batch
+    spec on the same rows: sessions spanning a batch boundary must be
+    MERGED by the incremental state machine, not split."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_session_window_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _split_events(spark, sf, str(tmp_path / "split"))
+    cols = ["user_id", "s", "e", "n"]
+    got = run_session_window_stream(
+        spark, d, query_name="t_sess_mb", max_files_per_trigger=1
+    ).selectExpr(
+        "user_id", "session_window.start AS s", "session_window.end AS e",
+        "n"
+    )
+    want = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .where("ts IS NOT NULL")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "user_id", "session_window.start AS s",
+            "session_window.end AS e", "n"
+        )
+    )
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_user_totals_stream_multibatch_equals_batch(spark, tmp_path):
+    """applyInPandasWithState across >= 3 micro-batches: per-user
+    state accumulates across batch boundaries; the LAST update per
+    user equals the batch aggregate, and the update-mode sink shows
+    multiple emissions per user (proof that >= 3 triggers really
+    fired — one batch would emit each user exactly once)."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        run_user_totals_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _split_events(spark, sf, str(tmp_path / "split"))
+    upd = run_user_totals_stream(
+        spark, d, query_name="t_tot_mb", max_files_per_trigger=1
+    )
+    n_updates = upd.count()
+    final = upd.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )
+    want = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(final, ["user_id", "n_events"]) == _rows(
+        want, ["user_id", "n_events"]
+    )
+    n_users = want.count()
+    # 3 time-contiguous slices of this corpus touch most users each
+    # trigger; > 2x distinct users of update rows cannot come from a
+    # single micro-batch
+    assert n_updates > 2 * n_users
+
+
+def test_hourly_stream_multibatch_equals_batch_nasty(spark, tmp_path):
+    """Watermarked hourly windows over >= 3 micro-batches on the
+    ADVERSARIAL corpus (NULL ts, duplicate event ids, extreme values)
+    == the batch twin; complete mode keeps every window observable
+    while the watermark still advances between triggers."""
+    import pytest
+
+    from gcp_dbt_data_engineering_spark.streaming.events import (
+        events_hourly_windows,
+        run_hourly_stream,
+    )
+
+    if not os.path.isdir(NASTY):
+        pytest.skip("nasty corpus not generated")
+    d = _split_events(spark, NASTY, str(tmp_path / "split"))
+    got = run_hourly_stream(
+        spark, d, query_name="t_hourly_mb", max_files_per_trigger=1
+    )
+    want = events_hourly_windows(spark, NASTY)
+    # n_users is HLL in streaming (exact distinct is unsupported over
+    # streaming state — documented in _hourly_agg) and exact in batch:
+    # exact-compare the exact columns, band the HLL one.
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got.select(cols), cols) == _rows(want.select(cols), cols)
+    key = ["window_start", "event_type"]
+    gu = {tuple(map(repr, (r.window_start, r.event_type))): r.n_users
+          for r in got.collect()}
+    for r in want.collect():
+        est = gu[tuple(map(repr, (r.window_start, r.event_type)))]
+        assert abs(est - r.n_users) <= max(2, 0.15 * r.n_users), (
+            r.window_start, r.event_type, est, r.n_users,
+        )
