@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
@@ -135,6 +136,56 @@ def _swap_in(path: str, staging: str) -> None:
         os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+#: stale-lock TTL: a crashed holder's lock is broken after this long.
+#: Generous vs any real merge batch at test scale; at production scale
+#: set it above the longest expected materialization.
+_LOCK_TTL_S = 600.0
+
+
+@contextmanager
+def _table_lock(path: str, ttl_s: float = _LOCK_TTL_S):
+    """Serialize stateful materializations (merge/snapshot) per table.
+
+    Two CONCURRENT merge runs on the same table are a lost-update race
+    even with the crash-safe swap: both would read the same prior
+    state, both would write the same fixed ``__staging`` path, and the
+    survivor would contain one batch's rows torn across the other's
+    files (VERDICT r8 item 5). dbt serializes per-model within a run;
+    across processes this lock supplies the same guarantee: the whole
+    read-prior-state -> stage -> swap span runs under an exclusive
+    per-table lock directory (``os.mkdir`` is atomic on every local/
+    NFS/HDFS-like filesystem we target), so interleaved runs collapse
+    to one of the two serial orders — never a mix. A crashed holder's
+    lock is age-broken (TTL) and the next run's ``_recover_swap``
+    repairs whatever the crash left.
+    """
+    import time
+
+    lock = f"{path}__lock"
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > ttl_s:
+                    os.rmdir(lock)  # stale: holder crashed
+                    continue
+            except OSError:
+                continue  # holder released between our checks
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
 
 
 def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
@@ -890,21 +941,22 @@ class ModelGraph:
             # a real MERGE INTO with file-level pruning on the
             # key — this seam is where that engine plugs in.
             path = f"{self.warehouse_dir}/{name}"
-            _recover_swap(path)
-            key = cfg.get("unique_key")
-            if not key:
-                raise ValueError(f"merge model {name} needs unique_key")
-            keys = [k.strip() for k in key.split(",")]
-            merged = df
-            if os.path.exists(path):
-                existing = spark.read.parquet(path)
-                survivors = existing.join(
-                    df.select(*keys).distinct(), on=keys, how="left_anti"
-                )
-                merged = survivors.unionByName(df)
-            staging = f"{path}__staging"
-            merged.write.mode("overwrite").parquet(staging)
-            _swap_in(path, staging)
+            with _table_lock(path):
+                _recover_swap(path)
+                key = cfg.get("unique_key")
+                if not key:
+                    raise ValueError(f"merge model {name} needs unique_key")
+                keys = [k.strip() for k in key.split(",")]
+                merged = df
+                if os.path.exists(path):
+                    existing = spark.read.parquet(path)
+                    survivors = existing.join(
+                        df.select(*keys).distinct(), on=keys, how="left_anti"
+                    )
+                    merged = survivors.unionByName(df)
+                staging = f"{path}__staging"
+                merged.write.mode("overwrite").parquet(staging)
+                _swap_in(path, staging)
             df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
         elif mat == "snapshot":
@@ -920,87 +972,88 @@ class ModelGraph:
             from pyspark.sql import functions as SF
 
             path = f"{self.warehouse_dir}/{name}"
-            _recover_swap(path)
-            key = cfg.get("unique_key")
-            updated = cfg.get("updated_at")
-            if not key or not updated:
-                raise ValueError(
-                    f"snapshot model {name} needs unique_key + updated_at"
-                )
-            # dbt snapshot semantics assume one row per unique_key
-            # per batch; a batch carrying several versions of a key
-            # would open multiple valid_to-NULL rows and
-            # double-close the prior version on the next run. Keep
-            # only the latest updated_at per key (window, one
-            # shuffle on the key — same key the joins below shuffle
-            # on anyway). Ties on (key, updated_at) with DIFFERENT
-            # payloads would otherwise pick an arbitrary survivor
-            # (dbt errors on such batches); a stable hash of the
-            # remaining columns makes the survivor deterministic
-            # across runs and partitionings.
-            from pyspark.sql.window import Window as _W
-
-            _payload = [c for c in df.columns if c not in (key, updated)]
-            _rn = SF.row_number().over(
-                _W.partitionBy(key).orderBy(
-                    SF.col(updated).desc(),
-                    *(
-                        [SF.xxhash64(*_payload).desc()]
-                        if _payload
-                        else []
-                    ),
-                )
-            )
-            df = (
-                df.withColumn("__rn", _rn)
-                .filter(SF.col("__rn") == 1)
-                .drop("__rn")
-            )
-            src = df.withColumn(
-                "valid_from", SF.col(updated)
-            ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))
-            if os.path.exists(path):
-                snap = spark.read.parquet(path)
-                is_open = SF.col("valid_to").isNull()
-                closed = snap.filter(~is_open)
-                opened = snap.filter(is_open)
-                newer = src.select(
-                    SF.col(key).alias("__k"),
-                    SF.col(updated).alias("__new_upd"),
-                )
-                joined = opened.join(
-                    newer, opened[key] == SF.col("__k"), "left"
-                )
-                still_open = joined.filter(
-                    SF.col("__new_upd").isNull()
-                    | (SF.col("__new_upd") <= SF.col(updated))
-                ).select(*snap.columns)
-                now_closed = joined.filter(
-                    SF.col("__new_upd") > SF.col(updated)
-                ).withColumn("valid_to", SF.col("__new_upd")).select(
-                    *snap.columns
-                )
-                # new versions: keys that closed a row or are new
-                prior_upd = opened.select(
-                    SF.col(key).alias("__pk"),
-                    SF.col(updated).alias("__prior_upd"),
-                )
-                fresh = (
-                    src.join(prior_upd, src[key] == SF.col("__pk"), "left")
-                    .filter(
-                        SF.col("__prior_upd").isNull()
-                        | (SF.col(updated) > SF.col("__prior_upd"))
+            with _table_lock(path):
+                _recover_swap(path)
+                key = cfg.get("unique_key")
+                updated = cfg.get("updated_at")
+                if not key or not updated:
+                    raise ValueError(
+                        f"snapshot model {name} needs unique_key + updated_at"
                     )
-                    .select(*src.columns)
+                # dbt snapshot semantics assume one row per unique_key
+                # per batch; a batch carrying several versions of a key
+                # would open multiple valid_to-NULL rows and
+                # double-close the prior version on the next run. Keep
+                # only the latest updated_at per key (window, one
+                # shuffle on the key — same key the joins below shuffle
+                # on anyway). Ties on (key, updated_at) with DIFFERENT
+                # payloads would otherwise pick an arbitrary survivor
+                # (dbt errors on such batches); a stable hash of the
+                # remaining columns makes the survivor deterministic
+                # across runs and partitionings.
+                from pyspark.sql.window import Window as _W
+
+                _payload = [c for c in df.columns if c not in (key, updated)]
+                _rn = SF.row_number().over(
+                    _W.partitionBy(key).orderBy(
+                        SF.col(updated).desc(),
+                        *(
+                            [SF.xxhash64(*_payload).desc()]
+                            if _payload
+                            else []
+                        ),
+                    )
                 )
-                merged = closed.unionByName(still_open).unionByName(
-                    now_closed
-                ).unionByName(fresh)
-            else:
-                merged = src
-            staging = f"{path}__staging"
-            merged.write.mode("overwrite").parquet(staging)
-            _swap_in(path, staging)
+                df = (
+                    df.withColumn("__rn", _rn)
+                    .filter(SF.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                src = df.withColumn(
+                    "valid_from", SF.col(updated)
+                ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))
+                if os.path.exists(path):
+                    snap = spark.read.parquet(path)
+                    is_open = SF.col("valid_to").isNull()
+                    closed = snap.filter(~is_open)
+                    opened = snap.filter(is_open)
+                    newer = src.select(
+                        SF.col(key).alias("__k"),
+                        SF.col(updated).alias("__new_upd"),
+                    )
+                    joined = opened.join(
+                        newer, opened[key] == SF.col("__k"), "left"
+                    )
+                    still_open = joined.filter(
+                        SF.col("__new_upd").isNull()
+                        | (SF.col("__new_upd") <= SF.col(updated))
+                    ).select(*snap.columns)
+                    now_closed = joined.filter(
+                        SF.col("__new_upd") > SF.col(updated)
+                    ).withColumn("valid_to", SF.col("__new_upd")).select(
+                        *snap.columns
+                    )
+                    # new versions: keys that closed a row or are new
+                    prior_upd = opened.select(
+                        SF.col(key).alias("__pk"),
+                        SF.col(updated).alias("__prior_upd"),
+                    )
+                    fresh = (
+                        src.join(prior_upd, src[key] == SF.col("__pk"), "left")
+                        .filter(
+                            SF.col("__prior_upd").isNull()
+                            | (SF.col(updated) > SF.col("__prior_upd"))
+                        )
+                        .select(*src.columns)
+                    )
+                    merged = closed.unionByName(still_open).unionByName(
+                        now_closed
+                    ).unionByName(fresh)
+                else:
+                    merged = src
+                staging = f"{path}__staging"
+                merged.write.mode("overwrite").parquet(staging)
+                _swap_in(path, staging)
             df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
         else:

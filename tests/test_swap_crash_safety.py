@@ -173,3 +173,73 @@ def test_merge_survives_crash_mid_swap(spark, monkeypatch):
     assert not os.path.exists(f"{path}__staging")
     shutil.rmtree(wh, ignore_errors=True)
     shutil.rmtree(wh_ok, ignore_errors=True)
+
+
+def test_concurrent_merges_serialize_never_mix(spark):
+    """Two CONCURRENT real merge runs on the same table (VERDICT r8
+    item 5): the per-table lock (_table_lock) must collapse the
+    interleaving to one of the two serial orders — the surviving
+    table equals run-A-then-B or run-B-then-A, never a row-level mix.
+
+    Each racer gets its own spark.newSession() (temp views are
+    session-scoped; the warehouse paths and the lock are shared),
+    overlapping date batches write DIFFERENT aggregates for the same
+    customer keys, and the staged parquet write takes long enough
+    that both threads genuinely contend on the lock.
+    """
+    import threading
+
+    from gcp_dbt_data_engineering_spark.plans import models as M
+    from gcp_dbt_data_engineering_spark.sources import register_all
+
+    BASE = ("1995-01-01", "1996-01-01")
+    A = ("1995-01-01", "1998-01-01")
+    B = ("1996-01-01", "2002-01-01")
+
+    def serial(wh, batches):
+        shutil.rmtree(wh, ignore_errors=True)
+        sess = spark.newSession()
+        orders = register_all(sess, SF, tables=("orders",))["orders"]
+        g = M.ModelGraph(M.MERGE_MODEL, warehouse_dir=wh)
+        out = None
+        for lo, hi in batches:
+            out = _run_merge_batch(sess, g, orders, wh, lo, hi)
+        return out
+
+    ab = serial("/root/repo/.artifacts/wh_race_ab", (BASE, A, B))
+    ba = serial("/root/repo/.artifacts/wh_race_ba", (BASE, B, A))
+    assert ab != ba  # the orders must be distinguishable or the test is vacuous
+
+    wh = "/root/repo/.artifacts/wh_race_conc"
+    shutil.rmtree(wh, ignore_errors=True)
+    serial(wh, (BASE,))  # prior state exists before the race
+
+    errs = []
+
+    def racer(lo, hi):
+        try:
+            sess = spark.newSession()
+            orders = register_all(sess, SF, tables=("orders",))["orders"]
+            g = M.ModelGraph(M.MERGE_MODEL, warehouse_dir=wh)
+            _run_merge_batch(sess, g, orders, wh, lo, hi)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    t1 = threading.Thread(target=racer, args=A)
+    t2 = threading.Thread(target=racer, args=B)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    final = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{wh}/customer_order_state").collect(),
+        )
+    )
+    assert final in (ab, ba), (
+        "concurrent merges produced a state matching neither serial "
+        "order — a torn/lost-update mix"
+    )
+    # no lock/staging/parked leftovers
+    for suffix in ("__lock", "__staging", "__old"):
+        assert not os.path.exists(f"{wh}/customer_order_state{suffix}")
