@@ -127,18 +127,31 @@ def _sliced_ann_oracles() -> dict[str, str]:
     import gcp_dbt_data_engineering_spark.operators.similarity as sim
 
     out = {}
-    for name, oracle, pat in (
+    for name, oracle, pats in (
         ("similarity_topk_cosine", sim.ORACLE_TOPK_COSINE,
-         f"a.vec_id % {sim.QUERY_MOD} = 0"),
+         (f"a.vec_id % {sim.QUERY_MOD} = 0",)),
         ("similarity_ann_lsh", sim.ORACLE_ANN_LSH,
-         f"a.vec_id % {sim.QUERY_MOD} = 0"),
+         (f"a.vec_id % {sim.QUERY_MOD} = 0",)),
         ("similarity_pq_adc", sim.ORACLE_PQ_ADC,
-         f"qq.vec_id % {sim.QUERY_MOD} = 0"),
+         (f"qq.vec_id % {sim.QUERY_MOD} = 0",)),
+        # the r9 trained-IVF oracles filter queries in TWO CTEs (qrys
+        # and the probe l2q); the bare pattern substring-matches both,
+        # and str.replace rewrites every site so probe set and re-rank
+        # set shrink together
+        ("similarity_ann_ivf", sim.ORACLE_ANN_IVF,
+         (f"vec_id % {sim.QUERY_MOD} = 0",)),
+        ("similarity_ann_ivf_kmeans", sim.ORACLE_ANN_IVF_KMEANS,
+         (f"vec_id % {sim.QUERY_MOD} = 0",)),
     ):
-        sliced = oracle.replace(
-            pat, pat.replace(f"% {sim.QUERY_MOD}", f"% {QUERY_MOD_SLICED}")
-        )
+        sliced = oracle
+        for pat in pats:
+            assert pat in sliced, (name, pat)
+            sliced = sliced.replace(
+                pat,
+                pat.replace(f"% {sim.QUERY_MOD}", f"% {QUERY_MOD_SLICED}"),
+            )
         assert f"% {QUERY_MOD_SLICED} = 0" in sliced, name
+        assert f"% {sim.QUERY_MOD} = 0" not in sliced, name
         out[name] = sliced
     return out
 
@@ -353,6 +366,8 @@ def main() -> int:
         "similarity_topk_cosine",
         "similarity_ann_lsh",
         "similarity_pq_adc",
+        "similarity_ann_ivf",
+        "similarity_ann_ivf_kmeans",
     ):
         run(
             name,
