@@ -135,27 +135,94 @@ cand AS (
     FROM bands a JOIN sbands b {on}
     WHERE a.doc_id % {SLICE_MOD} <> 0))"""
     assert old in ORACLE_MINHASH_LSH
-    return _retarget(ORACLE_MINHASH_LSH.replace(old, new))
+    sliced = ORACLE_MINHASH_LSH.replace(old, new)
+    # DuckDB re-evaluates a CTE per reference: the two union branches
+    # each rebuild bands -> mins -> a 16-min-agg group-by over the
+    # 5e8-row shingle table — at sf100 that spilled past a 50 GB temp
+    # budget and ENOSPC'd. MATERIALIZE the per-doc stages once.
+    for cte in ("mins AS (", "bands AS ("):
+        assert cte in sliced, cte
+        sliced = sliced.replace(
+            cte, cte.replace("AS (", "AS MATERIALIZED (")
+        )
+    return _retarget(sliced)
+
+
+def _simhash_table(con) -> None:
+    """Materialize sim_t(doc_id, simhash) into the breadth db.
+
+    The signs stage — one GROUP BY doc_id with 60 SUM(CASE bit) aggs
+    over the 3.5e8-row shingle table — spilled past the sf100 disk
+    budget even MATERIALIZED (observed: >40 GB temp, ENOSPC). Per-doc
+    groups are disjoint under a modular doc_id split, so four passes
+    of a quarter of the input each are exactly equivalent and bound
+    the spill. The generators mirror dedup._sql_simhash verbatim
+    (same _sim_bit / shiftleft / fp fold); the selftest pins equality
+    against the committed full oracle.
+    """
+    from gcp_dbt_data_engineering_spark.operators import texthash as th
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        _SIM_A2,
+        _SIM_B2,
+        SIMHASH_BITS,
+        _sim_bit,
+    )
+
+    have = {
+        r[0]
+        for r in con.execute(
+            "SELECT table_name FROM information_schema.tables"
+        ).fetchall()
+    }
+    if "sim_t" in have:
+        return
+    sign_cols = ",\n       ".join(
+        f"SUM(CASE WHEN {_sim_bit(j, 'duck')} = 1 THEN 1 ELSE -1 END)"
+        f" AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {th.shiftleft_one(str(j), 'duck')}"
+        " ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    con.execute("CREATE TABLE sim_t (doc_id BIGINT, simhash BIGINT)")
+    for r in range(4):
+        print(f"  sim_t pass {r + 1}/4...", flush=True)
+        con.execute(f"""INSERT INTO sim_t
+WITH shx AS (SELECT doc_id, h,
+               (({_SIM_A2} * h + {_SIM_B2}) % {th.P}) AS h2
+             FROM sh_t WHERE doc_id % 4 = {r}),
+signs AS (SELECT doc_id,
+       {sign_cols}
+       FROM shx GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM signs""")
 
 
 def _sliced_simhash() -> str:
     from gcp_dbt_data_engineering_spark.operators.dedup import (
-        ORACLE_SIMHASH,
+        HAMMING_T,
+        _sql_chunk_values,
     )
 
+    pair = ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)"
+            " AS hamming")
     on = "ON a.k = b.k AND a.ck = b.ck AND a.doc_id < b.doc_id"
-    old = f"""  FROM chunks a JOIN chunks b
-    {on})"""
-    new = f"""  FROM (SELECT * FROM chunks WHERE doc_id % {SLICE_MOD} = 0) a
-  JOIN chunks b {on}
+    return f"""
+WITH chunks AS MATERIALIZED (
+  SELECT doc_id, simhash, k, (simhash >> off) & mask AS ck
+  FROM sim_t, (VALUES {_sql_chunk_values()}) AS c(k, off, mask)),
+schunks AS MATERIALIZED (
+  SELECT * FROM chunks WHERE doc_id % {SLICE_MOD} = 0)
+SELECT DISTINCT doc_a, doc_b, hamming
+FROM (
+  {pair} FROM schunks a JOIN chunks b {on}
   UNION ALL
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM chunks a
-  JOIN (SELECT * FROM chunks WHERE doc_id % {SLICE_MOD} = 0) b {on}
-  WHERE a.doc_id % {SLICE_MOD} <> 0)"""
-    assert old in ORACLE_SIMHASH, "simhash oracle shape changed"
-    return _retarget(ORACLE_SIMHASH.replace(old, new))
+  {pair} FROM chunks a JOIN schunks b {on}
+  WHERE a.doc_id % {SLICE_MOD} <> 0)
+WHERE hamming <= {HAMMING_T}
+"""
 
 
 def main() -> int:
@@ -200,6 +267,7 @@ def main() -> int:
             f"read_parquet('{table_path(sf_dir, t)}')"
         )
     _shingle_views(con)
+    _simhash_table(con)
 
     out: dict[str, dict] = {}
     only = os.environ.get("RECHECK_ONLY")
