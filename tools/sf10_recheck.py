@@ -123,6 +123,35 @@ WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * x.n
     return {"dedup_ngram_jaccard": jac, "dedup_containment": con}
 
 
+def _lsh_chunks_table(con) -> None:
+    """Materialize the 448-plane LSH band keys into chunks_t in 8
+    modular vec_id passes. The relational sign computation (qdim x wt
+    -> 64*448 joined rows per vector) is 5.7e9 intermediate rows at
+    sf10 and its hash aggregate spilled past a 40 GB temp budget in
+    one statement; per-vector groups are disjoint under a modular
+    split, so 8 passes are exactly equivalent and bound the spill."""
+    import gcp_dbt_data_engineering_spark.operators.similarity as sim
+
+    have = {
+        r[0]
+        for r in con.execute(
+            "SELECT table_name FROM information_schema.tables"
+        ).fetchall()
+    }
+    if "chunks_t" in have:
+        return
+    con.execute("CREATE TABLE chunks_t (vec_id BIGINT, c BIGINT, ck BIGINT)")
+    # _SQL_CHUNKS ends at the chunks CTE; qn comes from _SQL_QUANTIZED
+    for r in range(8):
+        # subquery wrap: INSERT INTO ... WITH <materialized ctes>
+        # trips DuckDB's binder ("Duplicate alias"); the same WITH
+        # inside a FROM-subquery binds fine
+        con.execute(f"""INSERT INTO chunks_t SELECT * FROM (
+WITH {sim._SQL_QUANTIZED},
+{sim._SQL_CHUNKS.replace("FROM qn)", f"FROM qn WHERE vec_id % 8 = {r})", 1)}
+SELECT vec_id, c, ck FROM chunks)""")
+
+
 def _sliced_ann_oracles() -> dict[str, str]:
     import gcp_dbt_data_engineering_spark.operators.similarity as sim
 
@@ -152,6 +181,14 @@ def _sliced_ann_oracles() -> dict[str, str]:
             )
         assert f"% {QUERY_MOD_SLICED} = 0" in sliced, name
         assert f"% {sim.QUERY_MOD} = 0" not in sliced, name
+        if name == "similarity_ann_lsh":
+            # read the staged band keys (_lsh_chunks_table) instead of
+            # recomputing them inline — the inline form spilled > 40 GB
+            assert sim._SQL_CHUNKS in sliced
+            sliced = sliced.replace(
+                sim._SQL_CHUNKS,
+                "\nchunks AS (SELECT * FROM chunks_t)",
+            )
         out[name] = sliced
     return out
 
@@ -303,6 +340,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{table_path(sf_dir, t)}')"
         )
+    _lsh_chunks_table(con)
 
     out: dict[str, dict] = {}
     # RECHECK_ONLY='regex' re-runs a subset; results merge into the
