@@ -443,14 +443,15 @@ def main() -> None:
         line = json.dumps(payload)
         if len(line) <= 1900:
             break
-    # Newline padding so the driver's 2000-char stdout tail contains
-    # ONLY (whitespace +) this line: leading whitespace is valid JSON
-    # trivia, so the stored tail now parses as a complete JSON
-    # document instead of starting mid-way through an earlier progress
-    # line (VERDICT r8 item 8 — the truncation was cosmetic but made
-    # the artifact's "tail" field unparseable on its own).
-    print("\n" * 2000, end="")
-    print(line)
+    # The driver's BENCH artifact stores stdout[-2000:]. Pad the line
+    # itself with trailing spaces (valid JSON trivia) to exactly 1999
+    # chars so line+\n fills the whole window: the stored tail IS the
+    # JSON document, starting at byte 0 — no mid-line truncation
+    # (VERDICT r8 item 8) and no ~100 blank lines of newline padding
+    # (VERDICT r9 nit). The leading newline keeps the tail parseable
+    # even if the driver strips the final newline before slicing.
+    print()
+    print(line + " " * (1999 - len(line)))
     spark.stop()
 
 

@@ -350,11 +350,18 @@ class SimpleDataProfiler:
         # measured to dominate this operator's wall-clock at sf0.1.
         return self.spark.sql(_profile_sql(parts))
 
-    def with_run_metadata(self, df: DataFrame, environment: str = "dev") -> DataFrame:
-        """Stamp run metadata (reference: profiling_example.py:20-21)."""
-        return df.withColumn("run_id", F.lit(str(uuid.uuid4()))).withColumn(
-            "environment", F.lit(environment)
-        )
+    def with_run_metadata(
+        self,
+        df: DataFrame,
+        environment: str = "dev",
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Stamp run metadata (reference: profiling_example.py:20-21).
+        ``run_id`` defaults to a fresh UUID; the job config may pin one
+        (the reference's ``config.get('run_id', 'unknown')``)."""
+        return df.withColumn(
+            "run_id", F.lit(run_id or str(uuid.uuid4()))
+        ).withColumn("environment", F.lit(environment))
 
     def append_history(self, df: DataFrame, path: str) -> None:
         """Append a profile run to the history table — the reference's
