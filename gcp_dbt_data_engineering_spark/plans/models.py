@@ -174,10 +174,20 @@ def _table_lock(path: str, ttl_s: float = _LOCK_TTL_S):
         except FileExistsError:
             try:
                 if time.time() - os.stat(lock).st_mtime > ttl_s:
-                    os.rmdir(lock)  # stale: holder crashed
+                    # Stale: holder crashed. Break it with an atomic
+                    # rename-to-tombstone so exactly ONE breaker wins —
+                    # a bare rmdir+retry lets two waiters both judge the
+                    # same lock stale, A break+reacquire, then B break
+                    # A's FRESH lock: two live holders, the lost-update
+                    # race the lock exists to prevent (ADVICE r9). The
+                    # losing breaker's rename raises (src gone) and it
+                    # loops back to contend on mkdir like everyone else.
+                    tomb = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                    os.rename(lock, tomb)
+                    os.rmdir(tomb)
                     continue
             except OSError:
-                continue  # holder released between our checks
+                continue  # holder released / another breaker won
             time.sleep(0.05)
     try:
         yield

@@ -327,9 +327,18 @@ def _event_stream(
     """
     tune(spark)
     schema_file = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(schema_file):
-        schema_file = sf_dir  # multi-file split corpus
-    raw_schema = spark.read.parquet(schema_file).schema
+    if os.path.exists(schema_file):
+        raw_schema = spark.read.parquet(schema_file).schema
+    else:
+        # multi-file split corpus: apply the SAME glob the stream uses,
+        # else schema inference would ingest every parquet file in the
+        # directory (orders.parquet etc.) and fail or merge-infer a
+        # wrong schema (ADVICE r9).
+        raw_schema = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events*.parquet")

@@ -52,9 +52,11 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from gcp_dbt_data_engineering_spark.session import get_spark  # noqa: E402
 from gcp_dbt_data_engineering_spark.sources import load_table  # noqa: E402
 from gcp_dbt_data_engineering_spark.operators.similarity import (  # noqa: E402
+    BAND_BITS,
     FLAT_PROBE,
     IVF_ITERS,
     IVF_K,
+    N_BANDS,
     QUERY_MOD,
     RERANK_DIV,
     RERANK_MIN,
@@ -125,6 +127,29 @@ def _probed_stats(
         )
     )
     return _stats(perq, n)
+
+
+OUT_PATH = os.path.join(REPO, "ANN_CANDIDATES.json")
+
+
+def merge_into(path: str, fresh: dict) -> dict:
+    """Merge this run's per-SF records into the existing artifact.
+
+    A plain overwrite silently DROPS every scale factor not re-measured
+    by this invocation — exactly what happened in r9, when a dying
+    multi-hour all-SF run left only sf10 behind and the multi-SF
+    flat-fraction evidence vanished (VERDICT r9 item 1). Per-SF records
+    are independent measurements, so the merge is a dict update: fresh
+    SFs replace same-named stale ones, untouched SFs survive.
+    """
+    out: dict[str, dict] = {}
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        pass  # first run / corrupt partial write: start fresh
+    out.update(fresh)
+    return out
 
 
 def main() -> int:
@@ -198,19 +223,25 @@ def main() -> int:
         base.unpersist()
         out[os.path.basename(sf_dir)] = rec
         print(os.path.basename(sf_dir), json.dumps(rec), flush=True)
+        # checkpoint after EVERY sf: a dying multi-hour run keeps the
+        # scales it finished (the r9 failure mode), and a partial rerun
+        # merges into — never overwrites — the committed history.
+        with open(OUT_PATH, "w") as f:
+            json.dump(merge_into(OUT_PATH, out), f, indent=1)
 
     out["note"] = (
         "candidates probed per query, from index occupancy (linear "
         "scans; no pair materialization). lsh = pre-distinct banded "
-        "join volume (64 bands x 8 bits); ivf_flat = rows in the 28 "
-        "probed cells (exact math on all of them); ivf_sq8 = rows in "
-        "the 32 probed cells (int8-compressed scan) with "
-        "exact_rerank_frac the bounded exact-math budget; the K sweep "
-        "shows the production knob — scale K with the corpus and "
-        "per-query work stays bounded (~N_PROBE*N/K)."
+        f"join volume ({N_BANDS} bands x {BAND_BITS} bits); ivf_flat = "
+        f"rows in the {FLAT_PROBE} probed cells (exact math on all of "
+        f"them); ivf_sq8 = rows in the {SQ8_PROBE} probed cells "
+        "(int8-compressed scan) with exact_rerank_frac the bounded "
+        "exact-math budget; the K sweep shows the production knob — "
+        "scale K with the corpus and per-query work stays bounded "
+        "(~N_PROBE*N/K)."
     )
-    with open(os.path.join(REPO, "ANN_CANDIDATES.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    with open(OUT_PATH, "w") as f:
+        json.dump(merge_into(OUT_PATH, out), f, indent=1)
     spark.stop()
     return 0
 

@@ -5,7 +5,8 @@ is quadratic there by corpus construction, not by engine defect:
 factor 1000 every cross-replica copy pair has cosine exactly 1.0 and
 ``dedup_embedding_cosine``'s full answer is ~C(1000,2)·n_base ≈ 1e9
 pairs. The engine's scale story for these specs is the bounded tiled
-kernel + the occupancy audit (ANN_CANDIDATES.json covers sf100); THIS
+kernel + the occupancy audit (ANN_CANDIDATES.json — per-SF records are
+merged, never overwritten, by ``tools/ann_candidates.merge_into``); THIS
 tool supplies exact correctness evidence at sf100 the same way the
 sf10 recheck did for phash/pagerank (tools/sf10_recheck.py):
 
