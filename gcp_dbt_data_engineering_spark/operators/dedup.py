@@ -698,14 +698,21 @@ WHERE hamming <= {HAMMING_T}
 QSCALE = 1 << 20  # floor(x * 2^20): exact in float64, portable to SQL
 COSINE_T = 0.4
 
-#: clamp bound for quantized components: with |q| ≤ 2^28-1 and DIM=64,
-#: every squared norm and dot product is < 64·2^56 = 2^62 — exact int64
-#: at ANY corpus size and ANY input garbage. A corrupt ±1e30 component
-#: (a real failure mode in 100 TB embedding dumps) would otherwise
+#: clamp bound for quantized components: with |q| ≤ 2^27-1 and DIM=64,
+#: every squared norm / dot product is < 64·2^54 = 2^60, and — the
+#: binding case (ADVICE r9) — the IVF centroid-distance fold
+#: Σ(x-v)² ≤ 64·(2·QCLAMP)² < 2^62 is exact int64 too (centroid
+#: components are means of clamped values, so |x-v| ≤ 2·QCLAMP). The
+#: previous 2^28-1 bound protected norms and dots but left the L2 fold
+#: a theoretical 2^64 worst case where Spark wraps/throws while
+#: DuckDB's SUM promotes to HUGEINT — a latent engine/oracle
+#: divergence on adversarial corpora. A corrupt ±1e30 component (a
+#: real failure mode in 100 TB embedding dumps) would otherwise
 #: overflow the int64 fold under ANSI mode and kill the whole job.
-#: For sane embeddings (|x| ≤ 256 = QCLAMP/QSCALE) the clamp never
-#: binds, so results on clean corpora are unchanged.
-QCLAMP = (1 << 28) - 1
+#: For sane embeddings (|x| ≤ 128 = QCLAMP/QSCALE) the clamp never
+#: binds, so results on clean corpora are unchanged (test corpora max
+#: |x| ≈ 0.58 → |q| ≈ 6·10^5 ≪ 2^27).
+QCLAMP = (1 << 27) - 1
 
 
 def quant_transform(col: str, dialect: str) -> str:

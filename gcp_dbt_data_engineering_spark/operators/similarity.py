@@ -61,9 +61,12 @@ N_PLANES = 448
 N_BANDS = 56
 BAND_BITS = 8
 
-#: hyperplane components live in [-2^28, 2^28): |q| <= QCLAMP < 2^28
-#: and 64 terms of |q*w| < 2^56 keep every dot fold < 2^62 — no int64
-#: overflow even on clamped adversarial components.
+#: hyperplane components live in [-2^28, 2^28): |q| <= QCLAMP < 2^27
+#: and 64 terms of |q*w| < 2^55 keep every dot fold < 2^61 — no int64
+#: overflow even on clamped adversarial components. The IVF L2 fold
+#: Σ(x-v)² over 64 dims is the tightest consumer of QCLAMP: see the
+#: bound note at ``dedup.QCLAMP`` and the headroom assertions in
+#: tests/test_content_robustness.py.
 _WMOD = 1 << 29
 _WHALF = 1 << 28
 
@@ -215,7 +218,8 @@ FROM ranked WHERE rank <= {TOP_K}
 # ---------------------------------------------------------------------------
 
 def _spark_chunks(df: DataFrame) -> DataFrame:
-    """(vec_id, c, ck): 8-bit LSH band keys per vector, 64 bands.
+    """(vec_id, c, ck): ``BAND_BITS``-bit LSH band keys per vector,
+    one row per band (``N_BANDS`` = 56 bands x 8 bits = 448 planes).
 
     Computed with one numpy int64 matmul per Arrow batch (signs of
     X @ W.T, W avalanched integer hyperplanes from the same ``_mix_np``

@@ -70,8 +70,15 @@ def test_quant_clamp_bounds_norm_fold(spark):
             " CAST(0.5 AS FLOAT)]", 'duck')} AS q"""
     ).fetchone()[0]
     assert list(d) == list(row)
-    # the clamp really protects the fold: DIM * QCLAMP^2 fits int64
+    # the clamp really protects EVERY fold the engine runs (ADVICE r9:
+    # the norm bound alone left the IVF centroid-distance fold exposed):
+    # norms/dots sum DIM terms of q², the IVF probe/assign L2 fold sums
+    # DIM terms of (x-v)² with |x-v| ≤ 2·QCLAMP (centroid components
+    # are means of clamped values) — both must fit int64, since Spark's
+    # BIGINT aggregate() wraps/throws where DuckDB's SUM promotes to
+    # HUGEINT.
     assert DIM * QCLAMP * QCLAMP < 2**63
+    assert DIM * (2 * QCLAMP) * (2 * QCLAMP) < 2**63
 
 
 def test_quant_transform_pins_null_elements(spark):
