@@ -715,6 +715,49 @@ COSINE_T = 0.4
 QCLAMP = (1 << 27) - 1
 
 
+#: embedding dimensionality of the corpus contract (similarity.DIM
+#: aliases this — defined here so the usability predicate can live
+#: beside the quantization boundary without a circular import)
+EMB_DIM = 64
+
+#: any float32-origin finite value is <= ~3.4028e38; above this the
+#: component can only be +-Infinity (cast to DOUBLE preserves it)
+_FINITE_MAX = "3.5e38"
+
+
+def usable_embedding_pred(col: str, dialect: str, dim: int = EMB_DIM) -> str:
+    """The usability boundary every embedding consumer applies, in
+    identical SQL text for both dialects (wave-6 adversarial corpus):
+    a usable vector is non-NULL, exactly ``dim`` components, and all
+    components finite.
+
+    - Wrong-dimension vectors (truncated/concatenated encodes — a real
+      failure mode in 100 TB embedding dumps) would silently NULL-pad
+      Spark's ``zip_with`` dot products while DuckDB's ``qv[i]``
+      indexing yields NULLs at different positions, and a RAGGED batch
+      crashes the numpy matmul in ``similarity._spark_chunks``.
+    - NaN components diverge between engines inside ``greatest``/
+      ``least``/CAST chains (measured: quant_transform yields +QCLAMP
+      in DuckDB but 0 in Spark); +-Infinity would clamp consistently
+      today but is equally meaningless as a direction component.
+
+    NULL ELEMENTS inside a well-formed vector stay allowed (pinned to
+    0 by ``quant_transform``'s coalesce — the ADVICE r8 boundary);
+    they drop out of the filter lambda because ``isnan(NULL)`` is NULL.
+    """
+    fil, ln = ("filter", "size") if dialect == "spark" else (
+        "list_filter", "len"
+    )
+    lam = (
+        "x -> isnan(CAST(x AS DOUBLE))"
+        f" OR abs(CAST(x AS DOUBLE)) > {_FINITE_MAX}"
+    )
+    return (
+        f"{col} IS NOT NULL AND {ln}({col}) = {dim}"
+        f" AND {ln}({fil}({col}, {lam})) = 0"
+    )
+
+
 def quant_transform(col: str, dialect: str) -> str:
     """Clamped int64 quantization of a float-array column — identical
     arithmetic text in both dialects (greatest/least/floor are IEEE
@@ -848,15 +891,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale an LSH bucket id (similarity.py) plays this role, with the
     tiling keeping hot buckets task-bounded.
 
-    Content robustness: NULL embeddings (failed encodes) and vectors
-    whose every component quantizes to 0 (no representable direction
-    at QSCALE — the all-zero vector, sub-quantum denormals) are
-    excluded at this boundary; cosine is undefined for them and a NULL
-    row would crash the numpy Gram kernel (inhomogeneous array).
+    Content robustness: NULL / wrong-dimension / non-finite embeddings
+    (failed encodes — similarity.usable_embedding_pred, wave 6) and
+    vectors whose every component quantizes to 0 (no representable
+    direction at QSCALE — the all-zero vector, sub-quantum denormals)
+    are excluded at this boundary; cosine is undefined for them and a
+    NULL or ragged row would crash the numpy Gram kernel
+    (inhomogeneous array).
     """
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(F.expr(usable_embedding_pred("embedding", "spark")))
         .selectExpr(
             "vec_id",
             "label",
@@ -874,7 +919,7 @@ ORACLE_EMBEDDING_COSINE = f"""
 WITH q AS (
   SELECT vec_id, label,
          {quant_transform('embedding', 'duck')} AS qv
-  FROM embeddings WHERE embedding IS NOT NULL),
+  FROM embeddings WHERE {usable_embedding_pred('embedding', 'duck')}),
 n AS (
   SELECT vec_id, label, qv,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -46,7 +46,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.spec import QuerySpec
+from ..plans.spec import QuerySpec, sql_dbl2dec
 from ..sources import TABLE_DTYPES, load_table, spread
 
 NUMERIC_KINDS = {"float", "int"}
@@ -426,16 +426,19 @@ def _oracle_table_profile(table: str) -> str:
             d = f"CAST({c} AS DOUBLE)"
             min_num = f"MIN({d})"
             max_num = f"MAX({d})"
-            # VARCHAR hop on every decimal->double (spec.sql_dec2dbl):
-            # DuckDB's direct cast drifts 1 ulp past ~15 significant
-            # digits (sumsq crosses that at sf1); the string route
-            # matches Spark's BigDecimal.doubleValue exactly.
+            # VARCHAR hops BOTH ways (spec.sql_dec2dbl / sql_dbl2dec):
+            # decimal->double drifts 1 ulp past ~15 significant digits
+            # (sumsq crosses that at sf1), and double->decimal scales
+            # in double — at the adversarial 1e12 row the per-row
+            # CAST(v*v AS DECIMAL(38,8)) was off by 7e7 absolute,
+            # flipping the rounded stddev (wave 6). Both string routes
+            # match Spark's BigDecimal semantics exactly.
             s1 = (
-                f"CAST(CAST(SUM(CAST({d} AS DECIMAL(22,6)))"
+                f"CAST(CAST(SUM({sql_dbl2dec(d, 22, 6)})"
                 f" AS VARCHAR) AS DOUBLE)"
             )
             s2 = (
-                f"CAST(CAST(SUM(CAST({d}*{d} AS DECIMAL(38,8)))"
+                f"CAST(CAST(SUM({sql_dbl2dec(f'{d}*{d}', 38, 8)})"
                 f" AS VARCHAR) AS DOUBLE)"
             )
             avg = (

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
 from ..sources import load_table
-from .dedup import QSCALE, quant_transform
+from .dedup import QSCALE, quant_transform, usable_embedding_pred
 from .sketch import _hll_hash
 
 DIM = 64
@@ -109,14 +109,15 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     # content-robustness boundary (shared by every similarity spec):
-    # NULL embeddings (failed encodes) are excluded, components are
-    # clamped before the bigint cast (quant_transform — a corrupt
+    # NULL / wrong-dimension / non-finite embeddings (failed encodes)
+    # are excluded (usable_embedding_pred, wave 6), FINITE components
+    # are clamped before the bigint cast (quant_transform — a corrupt
     # ±1e30 component would overflow the int64 norm fold), and
     # all-zero quantized vectors (no representable direction) are
     # excluded — cosine is undefined for them.
     df = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(F.expr(usable_embedding_pred("embedding", "spark")))
         .selectExpr(
             "vec_id",
             f"{quant_transform('embedding', 'spark')} AS q",
@@ -137,7 +138,7 @@ _SQL_QUANTIZED = f"""
 q AS (
   SELECT vec_id,
          {quant_transform('embedding', 'duck')} AS qv
-  FROM embeddings WHERE embedding IS NOT NULL),
+  FROM embeddings WHERE {usable_embedding_pred('embedding', 'duck')}),
 qn0 AS (
   SELECT vec_id, qv,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -916,10 +917,13 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: pure projection, no shuffle; at 100 TB this is the
     map stage you run once and write next to the raw vectors.
     """
-    # NULL embeddings (failed encodes) are excluded — same boundary
-    # rule as _quantized; there is nothing to quantize or audit.
+    # NULL / wrong-dimension / non-finite embeddings (failed encodes)
+    # are excluded — same usability boundary as _quantized; there is
+    # nothing meaningful to quantize or audit (a NaN component makes
+    # the max-abs scale NaN, with engine-divergent greatest()
+    # semantics downstream — wave 6).
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.expr(usable_embedding_pred("embedding", "spark"))
     )
     scaled = emb.selectExpr(
         "vec_id",
@@ -957,7 +961,7 @@ WITH scaled AS (
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(embedding, x -> abs(coalesce(CAST(x AS DOUBLE), 0.0)))),
            (a, x) -> greatest(a, x)) AS scale
-  FROM embeddings WHERE embedding IS NOT NULL)
+  FROM embeddings WHERE {usable_embedding_pred('embedding', 'duck')})
 SELECT vec_id, label, scale,
        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          list_transform(generate_series(1, len(embedding)),

@@ -94,6 +94,27 @@ def sql_dec2dbl(expr: str) -> str:
     return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
 
 
+def sql_dbl2dec(expr: str, prec: int, scale: int) -> str:
+    """Correctly-rounded (HALF_UP) DOUBLE→DECIMAL for DuckDB oracle
+    text — the mirror of :func:`sql_dec2dbl` (wave 6).
+
+    DuckDB's direct double→decimal scales IN DOUBLE (value·10^scale,
+    then to the internal integer), so once the scaled value leaves the
+    exact-double range the conversion drifts wildly: CAST(1e24 AS
+    DECIMAL(38,8)) yields ...0053661622.04 where the double's exact
+    value is ...9983222784 — a 7e7 absolute error that Spark's
+    BigDecimal(double) exact-expansion HALF_UP never makes (measured:
+    the profiler's Σv² over an adversarial 1e12 row diverged in the
+    15th digit and flipped a DECIMAL(28,6)-rounded stddev). The fix
+    prints the double's EXACT decimal expansion (printf's fixed
+    notation is exactly rounded, and 60 fractional digits cover every
+    value these oracles square or sum) and lets the VARCHAR→DECIMAL
+    parse do the rounding — measured HALF_UP in DuckDB, matching
+    Spark's ROUND_HALF_UP for positives and negatives alike.
+    """
+    return f"CAST(printf('%.60f', {expr}) AS DECIMAL({prec},{scale}))"
+
+
 def sql_money_sum(expr: str, name: str) -> str:
     return (
         sql_dec2dbl(f"SUM(CAST({expr} AS DECIMAL(22,6)))") + f" AS {name}"

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .spec import QuerySpec, money_sum, sql_money_sum
+from .spec import QuerySpec, money_sum, sql_dec2dbl, sql_money_sum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1258,7 +1258,11 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_GINI = """
+#: every decimal→double crossing takes the VARCHAR hop (sql_dec2dbl):
+#: DuckDB's direct cast drifts 1 ulp past ~15 significant digits —
+#: wave 6's extra duplicate order pushed SUM(r) onto a drifting value
+#: (…767.55 exact, …767.5499 direct) and total_revenue hash-diverged.
+ORACLE_GINI = f"""
 WITH rev AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS r
   FROM orders GROUP BY 1),
@@ -1268,9 +1272,9 @@ ranked AS (
          COUNT(*) OVER () AS n
   FROM rev)
 SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-       CAST(SUM(r) AS DOUBLE) AS total_revenue,
-       CAST(CAST(SUM((2 * rn - n - 1) * r) AS DOUBLE)
-            / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+       {sql_dec2dbl('SUM(r)')} AS total_revenue,
+       CAST({sql_dec2dbl('SUM((2 * rn - n - 1) * r)')}
+            / (CAST(MAX(n) AS DOUBLE) * {sql_dec2dbl('SUM(r)')})
             AS DOUBLE) AS gini
 FROM ranked
 """
@@ -1430,7 +1434,9 @@ reps AS (
   FROM hashed, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS r)
   GROUP BY r),
 means AS (
-  SELECT r, CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mean_r
+  -- VARCHAR hop (sql_dec2dbl): s_r is a 19-digit decimal at the
+  -- adversarial magnitudes and DuckDB's direct cast drifts (wave 6)
+  SELECT r, {sql_dec2dbl('s_r')} / CAST(n_r AS DOUBLE) AS mean_r
   FROM reps),
 ranked AS (
   SELECT mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rk
@@ -1440,7 +1446,7 @@ ci AS (
          MAX(CASE WHEN rk = {_BOOT_HI_RANK} THEN mean_r END) AS ci_hi
   FROM ranked),
 pt AS (
-  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
+  SELECT {sql_dec2dbl('SUM(CAST(o_totalprice AS DECIMAL(22,6)))')}
            / CAST(COUNT(*) AS DOUBLE) AS point_mean
   FROM orders)
 SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,

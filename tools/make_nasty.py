@@ -85,6 +85,16 @@ QUOTE_SOUP = (
     "-- ; DROP TABLE documents; %s {fmt} $dollar `tick`"
 )
 
+import unicodedata  # noqa: E402
+
+#: NFC/NFD normalization twins (wave 6): same rendered text, different
+#: code points — composed é (U+00E9) vs e + combining acute (U+0301)
+NFC_TEXT = unicodedata.normalize(
+    "NFC", "café déjà vu naïve münchen"
+)
+NFD_TEXT = unicodedata.normalize("NFD", NFC_TEXT)
+assert NFC_TEXT != NFD_TEXT and len(NFC_TEXT) < len(NFD_TEXT)
+
 
 def doc_rows() -> list[tuple]:
     """(doc_id, text, lang) — source fixed below, n_chars computed."""
@@ -107,6 +117,29 @@ def doc_rows() -> list[tuple]:
         (900011, UNICODE_STRESS, "zz"),   # video, multi-byte payload
         (900012, UNICODE_STRESS, "zz"),   # image, multi-byte payload
         (900014, "", "en"),               # video, empty body
+        # ---- wave 6 ----------------------------------------------
+        # NFC/NFD normalization twins: identical rendered text,
+        # different code points — they must NOT exact-dedup (hashes
+        # are over raw code points in both engines) but are legit
+        # near-dup/shingle bait; n_chars differs (7 vs 10 per word
+        # class), stressing every length/ratio path.
+        (900015, NFC_TEXT, "fr"),
+        (900016, NFD_TEXT, "fr"),
+        # word counts at the SHINGLE_N=3 boundary: 2 words (zero
+        # shingles — must vanish from shingle relations without
+        # dividing by zero), exactly 3 (one shingle), 4 (two).
+        (900017, "alpha beta", "en"),
+        (900018, "alpha beta gamma", "en"),
+        (900019, "alpha beta gamma delta", "en"),
+        # one 10k-char word: tokenizers/shingles see ONE giant token
+        # (char-level ops see 10k), no whitespace anywhere.
+        (900020, "w" * 10000, "en"),
+        # every separator class between words: tab, LF, CR, NBSP —
+        # the words() split contract across engines.
+        (900021, "alpha\tbeta\ngamma\rdelta\xa0epsilon", "en"),
+        # exact duplicate of the NFC twin: 900015/900022 is a true
+        # dup pair; 900015/900016 must stay distinct in exact dedup.
+        (900022, NFC_TEXT, "fr"),
     ]
 
 
@@ -176,6 +209,47 @@ def main() -> int:
                          2
                   UNION ALL
                   SELECT 900004, NULL, 3
+                  UNION ALL
+                  -- wave 6: non-finite and wrong-dimension encodes.
+                  -- The usability boundary (dedup.usable_embedding_
+                  -- pred) must exclude ALL of these identically in
+                  -- both engines: NaN quantizes divergently
+                  -- (+QCLAMP in DuckDB, 0 in Spark), inf is a
+                  -- meaningless direction, ragged dims NULL-pad
+                  -- zip_with / crash the numpy matmul.
+                  SELECT 900005,
+                         list_transform(range(64), i ->
+                           CAST(CASE WHEN i % 7 = 3 THEN 'NaN'
+                                     ELSE '0.25' END AS FLOAT)),
+                         4
+                  UNION ALL
+                  SELECT 900006,
+                         list_transform(range(64), i ->
+                           CAST(CASE WHEN i = 0 THEN 'Infinity'
+                                     WHEN i = 63 THEN '-Infinity'
+                                     ELSE '0.5' END AS FLOAT)),
+                         5
+                  UNION ALL
+                  SELECT 900007,
+                         list_transform(range(3), i ->
+                           CAST(0.5 AS FLOAT)),
+                         6
+                  UNION ALL
+                  SELECT 900008,
+                         list_transform(range(100), i ->
+                           CAST(0.1 AS FLOAT)),
+                         7
+                  UNION ALL
+                  SELECT 900009, CAST([] AS FLOAT[]), 8
+                  UNION ALL
+                  -- NULL ELEMENT inside a well-formed vector: stays
+                  -- USABLE, element pins to 0 (ADVICE r8 boundary,
+                  -- now corpus-level)
+                  SELECT 900010,
+                         list_transform(range(64), i ->
+                           CAST(CASE WHEN i = 5 THEN NULL
+                                     ELSE '0.3' END AS FLOAT)),
+                         9
                   ORDER BY 1
                 ) TO '{d}' (FORMAT PARQUET)
                 """
@@ -191,6 +265,12 @@ def main() -> int:
                   SELECT o_orderkey, o_custkey, 'F', 77.77,
                          o_orderdate, '5-LOW'
                   FROM read_parquet('{s}') WHERE o_orderkey =
+                    (SELECT MIN(o_orderkey) FROM read_parquet('{s}'))
+                  UNION ALL
+                  -- wave 6: FULL-ROW duplicate (every column equal) —
+                  -- the distinct-vs-groupBy class: uniqueness DQ must
+                  -- count it, row-level DISTINCT must collapse it
+                  SELECT * FROM read_parquet('{s}') WHERE o_orderkey =
                     (SELECT MIN(o_orderkey) FROM read_parquet('{s}'))
                   UNION ALL
                   SELECT * FROM (VALUES
@@ -237,6 +317,28 @@ def main() -> int:
                     (900005, CAST('2024-01-10 12:02:00' AS
                      TIMESTAMP_NS), 2, '', 2.5, '')
                   ) AS v(event_id, ts, user_id, event_type, value,
+                         props)
+                  UNION ALL
+                  -- wave 6: timestamp collision storm — 40 events at
+                  -- ONE instant (distinct ids). Any window/rollup
+                  -- ordered by ts alone is nondeterministic under
+                  -- this; every deterministic spec must tie-break on
+                  -- event_id identically in both engines.
+                  SELECT 900100 + i,
+                         CAST('2024-01-10 13:00:00' AS TIMESTAMP_NS),
+                         3, 'view', CAST(i AS DOUBLE),
+                         '{{"storm": ' || i || '}}'
+                  FROM range(40) t(i)
+                  UNION ALL
+                  -- identical (ts, event_id) pair with different
+                  -- payloads: the strongest ordering-ambiguity case a
+                  -- dedup/window path can meet
+                  SELECT * FROM (VALUES
+                    (900140, CAST('2024-01-10 13:00:00' AS
+                     TIMESTAMP_NS), 3, 'view', 1.0, '{{"a": 1}}'),
+                    (900140, CAST('2024-01-10 13:00:00' AS
+                     TIMESTAMP_NS), 3, 'click', 2.0, '{{"a": 2}}')
+                  ) AS w(event_id, ts, user_id, event_type, value,
                          props)
                   ORDER BY event_id
                 ) TO '{d}' (FORMAT PARQUET)
