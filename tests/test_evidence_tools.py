@@ -53,6 +53,25 @@ def test_ann_candidates_merge_keeps_unmeasured_sfs(tmp_path, merge_into):
     assert merged["note"] == "new"
 
 
+def test_write_merged_reads_before_truncating(tmp_path):
+    """The WRITE path, not just the merge function: ``json.dump(
+    merge_into(path, out), open(path, 'w'))`` truncates the file
+    before merge_into reads it — the exact overwrite bug again, one
+    layer up (caught live in r10: the first checkpoint emptied the
+    committed sf10 record). write_merged must read first."""
+    sys.path.insert(0, "/root/repo/tools")
+    from ann_candidates import write_merged
+
+    path = str(tmp_path / "ANN_CANDIDATES.json")
+    with open(path, "w") as f:
+        json.dump({"sf10": {"n_vectors": 200000}}, f)
+    merged = write_merged(path, {"sf1": {"n_vectors": 20000}})
+    on_disk = json.load(open(path))
+    assert merged == on_disk
+    assert on_disk["sf10"] == {"n_vectors": 200000}  # survived the write
+    assert on_disk["sf1"] == {"n_vectors": 20000}
+
+
 def test_ann_candidates_merge_fresh_and_corrupt(tmp_path, merge_into):
     """First run (no artifact) and a torn partial write both degrade to
     'start fresh with this run's records' — never a crash that loses

@@ -68,6 +68,57 @@ def test_ann_recall_vs_bruteforce(spark):
         )
 
 
+#: measured recall@10 at sf0.01 on the DENSE query set (query_mod=25,
+#: 20 queries — tools/ann_recall.py r10, VERDICT r9 item 3). The r9
+#: small-SF LSH numbers (0.58-0.60) were 5-query estimates; at 20
+#: queries they replicate (0.585/0.595), so the gap vs sf0.1's 0.745
+#: is REAL and explained: it is corpus statistics, not band geometry.
+#: The mean true-top-10 cosine of this near-random corpus RISES with N
+#: (measured 0.300 at n=500 -> 0.352 at n=2000: more candidates =>
+#: closer best-10), and sign-LSH band collision tracks it —
+#: p_band = (1 - acos(cos)/pi)^8, P(>=1 of 56) ~ 0.60 at cos 0.30 vs
+#: ~ 0.68 at cos 0.35, matching the measured 0.585 -> 0.745. The
+#: production fix at small N is more bands (or fewer bits/band), a
+#: spec constant — NOT corpus-side magic; the spec pins geometry, so
+#: this floor is documented and tripwired instead.
+_MEASURED_DENSE_RECALL_SF001 = {
+    "similarity_ann_lsh": 0.595,
+    "similarity_ann_ivf": 0.86,
+    "similarity_ann_ivf_kmeans": 0.885,
+    "similarity_pq_adc": 0.8,
+}
+
+
+def test_ann_recall_dense_queries(spark):
+    """The dense-query (20-query) small-SF recall band, pinned: recall
+    moves only when code changes (every pipeline stage deterministic),
+    so a drop below measured-minus-one-hit is a regression."""
+    from gcp_dbt_data_engineering_spark.operators import similarity as S
+
+    orig = S.QUERY_MOD
+    try:
+        S.QUERY_MOD = 25  # measurement-only: the index is corpus-side
+        bf: dict[int, set] = {}
+        for r in S.SPECS["similarity_topk_cosine"].spark(spark, SF).collect():
+            bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        n_pairs = sum(len(v) for v in bf.values())
+        assert sum(1 for _ in bf) >= 20
+        for name, measured in _MEASURED_DENSE_RECALL_SF001.items():
+            hits = sum(
+                1
+                for r in S.SPECS[name].spark(spark, SF).collect()
+                if r.neighbor_id in bf.get(r.query_id, ())
+            )
+            recall = hits / n_pairs
+            assert recall >= measured - 1.5 / n_pairs, (
+                f"{name} dense recall@10 {recall:.3f} fell below the "
+                f"measured band ({measured}); re-measure with "
+                f"tools/ann_recall.py if intentional"
+            )
+    finally:
+        S.QUERY_MOD = orig
+
+
 def test_outlier_audit_oracle_and_partition(spark):
     """Oracle twin for embeddings_outlier_audit plus semantics: shares
     in [0,1], mean >= min per label, and outlier counts reproduce a

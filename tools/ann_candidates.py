@@ -152,6 +152,19 @@ def merge_into(path: str, fresh: dict) -> dict:
     return out
 
 
+def write_merged(path: str, fresh: dict) -> dict:
+    """Merge THEN write. The read must complete before the file is
+    opened for writing — ``json.dump(merge_into(path, out),
+    open(path, 'w'))`` truncates the file before merge_into reads it,
+    silently reproducing the overwrite bug the merge exists to fix
+    (caught live in r10: the first checkpoint emptied the committed
+    sf10 record)."""
+    merged = merge_into(path, fresh)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    return merged
+
+
 def main() -> int:
     spark = get_spark()
     out: dict[str, dict] = {}
@@ -226,8 +239,7 @@ def main() -> int:
         # checkpoint after EVERY sf: a dying multi-hour run keeps the
         # scales it finished (the r9 failure mode), and a partial rerun
         # merges into — never overwrites — the committed history.
-        with open(OUT_PATH, "w") as f:
-            json.dump(merge_into(OUT_PATH, out), f, indent=1)
+        write_merged(OUT_PATH, out)
 
     out["note"] = (
         "candidates probed per query, from index occupancy (linear "
@@ -240,8 +252,7 @@ def main() -> int:
         "scale K with the corpus and per-query work stays bounded "
         "(~N_PROBE*N/K)."
     )
-    with open(OUT_PATH, "w") as f:
-        json.dump(merge_into(OUT_PATH, out), f, indent=1)
+    write_merged(OUT_PATH, out)
     spark.stop()
     return 0
 

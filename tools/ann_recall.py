@@ -1,17 +1,34 @@
 """Measured recall@10 per ANN variant per scale factor (VERDICT r7
-item 8): the committed evidence behind the regression tripwires in
-tests/test_similarity_oracle.py.
+item 8; extended r10 with VERDICT r9 items 2-3): the committed evidence
+behind the regression tripwires in tests/test_similarity_oracle.py.
 
 Ground truth is the exact brute-force spec (similarity_topk_cosine);
 recall@10 = |ANN top-10 ∩ exact top-10| / |exact top-10| over all
-query points. Writes ANN_RECALL.json at the repo root.
+query points. Three sections per SF in ANN_RECALL.json:
+
+- the four shipped variants at the spec's own query set
+  (``vec_id % 100 == 0`` — 1% of the corpus);
+- ``dense`` (small SFs only): the SAME pipelines re-measured on a
+  denser query set (``vec_id % DENSE_MOD == 0``) so the estimate rests
+  on >= 20 queries instead of 5 — r9's 0.58/0.60 small-SF LSH numbers
+  were 5-query estimates with +-0.2 binomial noise (VERDICT r9 item 3).
+  Query density does not change the index (buckets/centroids are
+  corpus-side), so this is the same measurement with tighter error
+  bars.
+- ``by_k`` (sf >= 0.1): recall of the IVF-Flat pipeline at the K
+  sweep points of the occupancy audit (tools/ann_candidates.py) —
+  the production knob ``N_PROBE*N/K`` needs a quality axis next to
+  its cost axis (VERDICT r9 item 2). K != IVF_K runs a freshly
+  trained Lloyd index with the spec's own fit/probe/re-rank rules.
+
+Per-SF records MERGE into ANN_RECALL.json (same discipline as
+ANN_CANDIDATES.json — a partial rerun must not drop other scales).
 
 Run:  python tools/ann_recall.py [sf_dir ...]
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 
@@ -25,6 +42,77 @@ VARIANTS = (
     "similarity_pq_adc",
 )
 
+#: denser measurement-only query set for small SFs: 4x the spec's
+#: query density -> >= 20 queries at sf0.001/sf0.01.
+DENSE_MOD = 25
+#: re-measure densely when the spec's own query count is below this
+DENSE_MIN_QUERIES = 20
+
+#: the spec's K plus the occupancy audit's sweep point
+K_SWEEP = (128, 512)
+
+OUT_PATH = os.path.join(REPO, "ANN_RECALL.json")
+
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ann_candidates import write_merged  # noqa: E402  (merge-then-write)
+
+
+def _topk_sets(df) -> dict[int, set]:
+    out: dict[int, set] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(ann_df, bf: dict[int, set], n_pairs: int) -> float:
+    hits = sum(
+        1 for r in ann_df.collect() if r.neighbor_id in bf.get(r.query_id, ())
+    )
+    return round(hits / n_pairs, 4)
+
+
+def _ivf_flat_k(spark, sf_dir: str, k: int):
+    """The similarity_ann_ivf pipeline with a parameterized K: same
+    quantized base, same Lloyd fit (iters/seed rules), same FLAT_PROBE
+    probing and exact re-rank — only the cell count varies."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators import similarity as S
+
+    base = S._quantized(spark, sf_dir)
+    cents = S._kmeans_cents_df(base, k, S.IVF_ITERS).persist()
+    members = S._assign_cids(
+        base.select("vec_id", "q"), cents, extra_cols=("vec_id",)
+    )
+    queries = base.filter(
+        (F.col("vec_id") % S.QUERY_MOD) == 0
+    ).selectExpr("vec_id AS query_id", "q AS qa", "nn AS na")
+    probes = S._ivf_probes(queries, cents, S.FLAT_PROBE)
+    scored = (
+        F.broadcast(probes)
+        .join(
+            members.join(base, "vec_id").selectExpr(
+                "vec_id AS neighbor_id", "q AS qb", "nn AS nb", "cid"
+            ),
+            "cid",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            S._cosine(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+                "na",
+                "nb",
+            )
+            + " AS cosine",
+        )
+    )
+    out = S._ann_topk(scored)
+    return out, cents
+
 
 def main() -> int:
     sf_dirs = sys.argv[1:] or [
@@ -33,8 +121,8 @@ def main() -> int:
         "/root/testdata/sf0.1",
         os.path.join(REPO, ".artifacts", "sf1"),
     ]
-    from gcp_dbt_data_engineering_spark import get_spark
-    from gcp_dbt_data_engineering_spark.operators.similarity import SPECS
+    from gcp_dbt_data_engineering_spark import clear_caches, get_spark
+    from gcp_dbt_data_engineering_spark.operators import similarity as S
 
     spark = get_spark(app_name="ann_recall")
     out: dict[str, dict] = {}
@@ -42,25 +130,58 @@ def main() -> int:
         if not os.path.isdir(sf_dir):
             print(f"skip {sf_dir} (absent)")
             continue
-        bf = {}
-        for r in SPECS["similarity_topk_cosine"].spark(spark, sf_dir).collect():
-            bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        bf = _topk_sets(S.SPECS["similarity_topk_cosine"].spark(spark, sf_dir))
         n_pairs = sum(len(v) for v in bf.values())
-        row: dict[str, float] = {
+        row: dict[str, object] = {
             "n_queries": len(bf), "n_exact_pairs": n_pairs,
         }
         for name in VARIANTS:
-            hits = 0
-            for r in SPECS[name].spark(spark, sf_dir).collect():
-                if r.neighbor_id in bf.get(r.query_id, ()):
-                    hits += 1
-            row[name] = round(hits / n_pairs, 4)
+            row[name] = _recall(
+                S.SPECS[name].spark(spark, sf_dir), bf, n_pairs
+            )
+
+        # --- denser query set at small SFs (measurement-only: the
+        # index is corpus-side, so only the query filter changes) -----
+        if len(bf) < DENSE_MIN_QUERIES:
+            orig = S.QUERY_MOD
+            try:
+                S.QUERY_MOD = DENSE_MOD
+                dbf = _topk_sets(
+                    S.SPECS["similarity_topk_cosine"].spark(spark, sf_dir)
+                )
+                dn = sum(len(v) for v in dbf.values())
+                dense: dict[str, object] = {
+                    "query_mod": DENSE_MOD,
+                    "n_queries": len(dbf),
+                    "n_exact_pairs": dn,
+                }
+                for name in VARIANTS:
+                    dense[name] = _recall(
+                        S.SPECS[name].spark(spark, sf_dir), dbf, dn
+                    )
+                row["dense"] = dense
+            finally:
+                S.QUERY_MOD = orig
+
+        # --- per-K recall for the occupancy sweep (sf >= 0.1: K=512
+        # needs enough vectors for 512 non-trivial cells) -------------
+        n_vec = S._quantized(spark, sf_dir).count()
+        if n_vec >= 2000:
+            by_k: dict[str, float] = {}
+            for k in K_SWEEP:
+                if k == S.IVF_K:
+                    by_k[f"k{k}"] = row["similarity_ann_ivf"]  # the spec
+                    continue
+                ann, cents = _ivf_flat_k(spark, sf_dir, k)
+                by_k[f"k{k}"] = _recall(ann, bf, n_pairs)
+                cents.unpersist()
+            row["ivf_flat_by_k"] = by_k
+
         out[os.path.basename(sf_dir.rstrip("/"))] = row
-        print(sf_dir, row)
-    path = os.path.join(REPO, "ANN_RECALL.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"-> {path}")
+        print(sf_dir, row, flush=True)
+        write_merged(OUT_PATH, out)
+        clear_caches(spark)
+    print(f"-> {OUT_PATH}")
     spark.stop()
     return 0
 
