@@ -111,10 +111,15 @@ def main() -> int:
 
         rx = re.compile(only)
         configs = [c for c in configs if rx.search(c[0])]
-        out_path = os.path.join(REPO, "ROBUSTNESS.json")
-        if os.path.exists(out_path):
-            with open(out_path) as f:
-                results.update(json.load(f))
+    # ALWAYS merge into the existing artifact: entries written by OTHER
+    # tools (sf0.001_speculation_stragglers, from speculation_gate.py)
+    # must survive a full sweep — a replace-write silently dropped that
+    # row in r10 (the same overwrite class as the r9 ANN_CANDIDATES
+    # loss; this run's configs overwrite only their own keys).
+    out_path = os.path.join(REPO, "ROBUSTNESS.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results.update(json.load(f))
     builders = {
         os.path.join(REPO, ".artifacts", "sf0.01_skew"): "make_skew.py",
         os.path.join(REPO, ".artifacts", "sf0.01_nasty"): "make_nasty.py",
