@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
-from ..sources import load_table
+from ..sources import load_table, spread
 from .dedup import QSCALE, quant_transform, usable_embedding_pred
 from .sketch import _hll_hash
 
@@ -115,8 +115,17 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ±1e30 component would overflow the int64 norm fold), and
     # all-zero quantized vectors (no representable direction) are
     # excluded — cosine is undefined for them.
+    # spread() before the CPU-heavy downstream folds: a fat-row-group
+    # corpus (sf100 ships 2M rows in TWO parquet row groups) caps the
+    # scan at 2 tasks, and the persisted relation would inherit that —
+    # every Lloyd assignment / banding / candidate fold then runs on 2
+    # of 32 cores (measured: the sf100 occupancy audit sat at 6% CPU
+    # for 2 h). One round-robin shuffle at cache-build time fixes the
+    # parallelism for the lifetime of the persisted artifact; real
+    # multi-file lakes split at the scan and spread() skips the
+    # shuffle entirely.
     df = (
-        load_table(spark, sf_dir, "embeddings")
+        spread(load_table(spark, sf_dir, "embeddings"))
         .filter(F.expr(usable_embedding_pred("embedding", "spark")))
         .selectExpr(
             "vec_id",
