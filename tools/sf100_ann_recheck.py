@@ -136,25 +136,38 @@ def _np_topk(ids, q, nn, cand_lists) -> list[tuple]:
 
 def _np_kmeans(ids, q, k: int, iters: int):
     """Seeds -> Lloyd -> final assignment, exact int64 + IEEE floor
-    (same rules as _kmeans_cents_df; ties to the smaller cid)."""
+    (same rules as _kmeans_cents_df; ties to the smaller cid).
+
+    Returns (cents, live, assign) where ``live[pos]`` is the ORIGINAL
+    cid of centroid row ``pos`` and ``assign`` holds original cids.
+    Clusters that lose all members disappear but the survivors KEEP
+    their cid values (Spark's recenter is a groupBy on cid) — a
+    position-reindexing replay silently relabels every cid after a
+    dead one (caught at sf100: 5 of 128 cells die; the sf0.1 selftest
+    had no deaths, so position == cid held by luck). ``live`` stays
+    ascending, so positional argmin/lexsort tie-breaks remain
+    by-smallest-original-cid."""
     from gcp_dbt_data_engineering_spark.operators.similarity import _mix_np
 
     order = np.lexsort((ids, _mix_np(ids)))[:k]
-    cents = q[order]  # cid = position
+    cents = q[order]
+    live = np.arange(k, dtype=np.int64)  # original cid per row
     for _ in range(iters):
-        a = _np_assign(q, cents)
-        new = []
-        for cid in range(len(cents)):
-            m = a == cid
+        a = _np_assign(q, cents)  # positions into cents
+        new, kept = [], []
+        for pos in range(len(cents)):
+            m = a == pos
             if not m.any():
                 continue  # lost all members: cluster disappears
+            kept.append(live[pos])
             new.append(
                 np.floor(
                     q[m].sum(axis=0).astype(np.float64) / m.sum()
                 ).astype(np.int64)
             )
         cents = np.stack(new)
-    return cents, _np_assign(q, cents)
+        live = np.asarray(kept, dtype=np.int64)
+    return cents, live, live[_np_assign(q, cents)]
 
 
 def _np_assign(q, cents, chunk: int = 200_000):
@@ -248,7 +261,7 @@ def main() -> int:
     print(f"numpy: corpus={n_corpus} queries={len(qidx)}", flush=True)
 
     print("numpy: lloyd fit...", flush=True)
-    cents, assign = _np_kmeans(ids, q, S.IVF_K, S.IVF_ITERS)
+    cents, live, assign = _np_kmeans(ids, q, S.IVF_K, S.IVF_ITERS)
     print(f"numpy: {len(cents)} cells", flush=True)
     print("numpy: band keys...", flush=True)
     bands = _np_band_keys(q)
@@ -256,7 +269,9 @@ def main() -> int:
     def probes_for(qi: int, n_probe: int) -> np.ndarray:
         cnn = (cents * cents).sum(axis=1)
         d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
-        return np.lexsort((np.arange(len(cents)), d2))[:n_probe]
+        # positions ascend with original cid (live is sorted), so
+        # the positional tie-break IS by-smallest-cid; map to cids
+        return live[np.lexsort((live, d2))[:n_probe]]
 
     def rec_of(name, method, spark_rows, np_rows, extra=None) -> None:
         rec: dict[str, Any] = {"method": method, "err": None}
@@ -363,7 +378,7 @@ def main() -> int:
     # ---- IVF-Flat ----------------------------------------------------------
     print("replay: ivf-flat...", flush=True)
     members_by_cid: dict[int, np.ndarray] = {
-        cid: np.where(assign == cid)[0] for cid in range(len(cents))
+        int(c): np.where(assign == c)[0] for c in live
     }
     cand_lists = []
     for qi in qidx:
@@ -404,7 +419,7 @@ def main() -> int:
     print("duckdb micro-slice...", flush=True)
     try:
         micro = _duck_micro(
-            sf_dir, ids, q, nn, assign, cents, bands, c8, n8,
+            sf_dir, ids, q, nn, assign, cents, live, bands, c8, n8,
             qidx[::MICRO_STRIDE], rerank,
         )
         for name, ok in micro.items():
@@ -443,7 +458,7 @@ def main() -> int:
     return 1 if n_bad else 0
 
 
-def _duck_micro(sf_dir, ids, q, nn, assign, cents, bands, c8, n8,
+def _duck_micro(sf_dir, ids, q, nn, assign, cents, live, bands, c8, n8,
                 micro_idx, rerank) -> dict[str, bool]:
     """SQL recomputation of candidate -> score -> top-10 for the micro
     queries, over the numpy-staged artifacts (third engine for the
@@ -550,7 +565,7 @@ ORDER BY query_id, rank
     for qid in sorted(micro_set):
         qi = idx_of[qid]
         d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
-        for cid in np.lexsort((np.arange(len(cents)), d2))[:FLAT_PROBE]:
+        for cid in live[np.lexsort((live, d2))[:FLAT_PROBE]]:
             probe_rows.append((qid, int(cid)))
     con.register(
         "probes",
@@ -566,7 +581,7 @@ ORDER BY query_id, rank
     for qid in sorted(micro_set):
         qi = idx_of[qid]
         d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
-        cells = np.lexsort((np.arange(len(cents)), d2))[:FLAT_PROBE]
+        cells = live[np.lexsort((live, d2))[:FLAT_PROBE]]
         cand = np.where(np.isin(assign, cells))[0]
         cand = cand[cand != qi]
         ref_cands.append((qi, cand))
@@ -577,7 +592,7 @@ ORDER BY query_id, rank
     for qid in sorted(micro_set):
         qi = idx_of[qid]
         d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
-        for cid in np.lexsort((np.arange(len(cents)), d2))[:SQ8_PROBE]:
+        for cid in live[np.lexsort((live, d2))[:SQ8_PROBE]]:
             probe_rows.append((qid, int(cid)))
     con.register(
         "probes8",
@@ -602,7 +617,7 @@ ORDER BY query_id, rank
     for qid in sorted(micro_set):
         qi = idx_of[qid]
         d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
-        cells = np.lexsort((np.arange(len(cents)), d2))[:SQ8_PROBE]
+        cells = live[np.lexsort((live, d2))[:SQ8_PROBE]]
         cand = np.where(np.isin(assign, cells))[0]
         cand = cand[cand != qi]
         s8 = (c8[cand] @ c8[qi]).astype(np.float64) / (
