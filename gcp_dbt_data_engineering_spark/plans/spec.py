@@ -95,24 +95,61 @@ def sql_dec2dbl(expr: str) -> str:
 
 
 def sql_dbl2dec(expr: str, prec: int, scale: int) -> str:
-    """Correctly-rounded (HALF_UP) DOUBLE→DECIMAL for DuckDB oracle
+    """Correctly-rounded (HALF_UP, away from zero — Spark's
+    BigDecimal(double) semantics) DOUBLE→DECIMAL for DuckDB oracle
     text — the mirror of :func:`sql_dec2dbl` (wave 6).
 
     DuckDB's direct double→decimal scales IN DOUBLE (value·10^scale,
-    then to the internal integer), so once the scaled value leaves the
-    exact-double range the conversion drifts wildly: CAST(1e24 AS
-    DECIMAL(38,8)) yields ...0053661622.04 where the double's exact
-    value is ...9983222784 — a 7e7 absolute error that Spark's
-    BigDecimal(double) exact-expansion HALF_UP never makes (measured:
-    the profiler's Σv² over an adversarial 1e12 row diverged in the
-    15th digit and flipped a DECIMAL(28,6)-rounded stddev). The fix
-    prints the double's EXACT decimal expansion (printf's fixed
-    notation is exactly rounded, and 60 fractional digits cover every
-    value these oracles square or sum) and lets the VARCHAR→DECIMAL
-    parse do the rounding — measured HALF_UP in DuckDB, matching
-    Spark's ROUND_HALF_UP for positives and negatives alike.
+    then to the internal integer), so the conversion drifts: CAST(1e24
+    AS DECIMAL(38,8)) is off by 7e7 absolute, and even in-range values
+    misround near ties (measured: the profiler's Σv² over an
+    adversarial 1e12 row diverged in the 15th digit and flipped a
+    DECIMAL(28,6)-rounded stddev; 16k of 150k clean rows differ from
+    the exact conversion at scale 8). A printf('%.60f') string hop is
+    exact but ~80 µs/call — 12 s per 150k-row aggregate. This form is
+    exact AND fast (measured 0.09 s for the same aggregate; 0 diffs vs
+    python Decimal HALF_UP on a 3000-point magnitude fuzz 1e-10..3e29
+    plus true-midpoint/negative/1e24 edge cases):
+
+    - split |x| = hi·2^52 + mid + fr with FLOOR — every step is an
+      exact IEEE op (power-of-two divide, floor, Sterbenz subtract),
+      hi/mid are BIGINT-exact, and the integer part reassembles in
+      HUGEINT with zero rounding;
+    - the fractional part rounds via FLOOR(fr·10^s + 0.5), whose only
+      inexactness is the ~1e-8 multiply error — a boundary guard
+      routes rows within 1e-6 of a rounding tie (≈2e-6 of rows, and
+      every TRUE dyadic midpoint, where half-even printf vs half-up
+      would differ) through the exact printf path;
+    - negatives round away from zero by applying the split to |x|.
+
+    Domain: |x| < 10^(prec-scale) (the DECIMAL's own range — Spark
+    overflows the same values to NULL).
     """
-    return f"CAST(printf('%.60f', {expr}) AS DECIMAL({prec},{scale}))"
+    s = scale
+    unit = "0." + "0" * (s - 1) + "1"
+    a = f"ABS({expr})"
+    hi = f"FLOOR({a} / 4503599627370496.0)"
+    lo = f"({a} - {hi} * 4503599627370496.0)"
+    mid = f"FLOOR({lo})"
+    fr = f"({lo} - {mid})"
+    rs = f"({fr} * {10 ** s}.0 + 0.5)"
+    near = f"(ABS({rs} - ROUND({rs})) < 1e-6)"
+    frac = (
+        f"CASE WHEN {near}"
+        f" THEN CAST(printf('%.60f', {fr}) AS DECIMAL({s + 2},{s}))"
+        f" ELSE CAST(CAST(CAST(FLOOR({rs}) AS BIGINT) AS DECIMAL(18,0))"
+        f" * CAST({unit} AS DECIMAL({s + 2},{s}))"
+        f" AS DECIMAL({s + 2},{s})) END"
+    )
+    intpart = (
+        f"CAST(CAST(CAST({hi} AS BIGINT) AS HUGEINT) * 4503599627370496"
+        f" + CAST({mid} AS BIGINT) AS DECIMAL({prec},{s}))"
+    )
+    mag = f"CAST({intpart} + {frac} AS DECIMAL({prec},{s}))"
+    return (
+        f"CAST(CASE WHEN {expr} < 0 THEN -{mag} ELSE {mag} END"
+        f" AS DECIMAL({prec},{s}))"
+    )
 
 
 def sql_money_sum(expr: str, name: str) -> str:
