@@ -70,8 +70,11 @@ from sf10_recheck import _cmp  # noqa: E402
 
 #: every 100th spec query (spec queries are vec_id % 100 == 0)
 QUERY_MOD_SLICED = int(os.environ.get("ANN_SLICE_MOD", "10000"))
-#: DuckDB micro-slice: every 10th sliced query
-MICRO_STRIDE = 10
+#: DuckDB micro-slice: every Nth sliced query. At sf100 use
+#: ANN_MICRO_STRIDE=100 (10 queries): the lsh candidate join carries
+#: ~580k rows/query through 64-term list folds, and 100 micro queries
+#: spilled DuckDB past the disk budget (observed: 60+ GB of .tmp).
+MICRO_STRIDE = int(os.environ.get("ANN_MICRO_STRIDE", "10"))
 
 OUT_COLS = ["query_id", "neighbor_id", "rank", "cosine"]
 
@@ -473,7 +476,10 @@ def _duck_micro(sf_dir, ids, q, nn, assign, cents, live, bands, c8, n8,
     import pyarrow as pa
 
     con = duckdb.connect()
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET memory_limit='40GB'")
+    # bounded spill: fail the micro check rather than fill the disk
+    con.execute("SET temp_directory='/tmp/duckdb_micro_spill'")
+    con.execute("SET max_temp_directory_size='30GB'")
     micro_set = set(int(ids[i]) for i in micro_idx)
 
     def _fsl(mat: np.ndarray):
