@@ -83,7 +83,18 @@ def run_dq_job(argv: list[str] | None = None) -> int:
     config = load_job_config(args.config)
     if args.fecha:
         config["fecha"] = args.fecha
-        config.setdefault("date_column", "o_orderdate")
+        if not config.get("date_column"):
+            # o_orderdate is only a sane default for the orders table;
+            # any other table must name its own date column or --fecha
+            # would die later with an opaque AnalysisException.
+            if config.get("table_name") == "orders":
+                config["date_column"] = "o_orderdate"
+            else:
+                raise SystemExit(
+                    "--fecha requires date_column in the config for "
+                    f"table {config.get('table_name')!r} (only the "
+                    "orders table has a default)"
+                )
     spark = get_spark(app_name="run_dq_job")
     results = apply_thresholds(
         DQEngine(spark).run(config, sf_dir=args.data_dir), config

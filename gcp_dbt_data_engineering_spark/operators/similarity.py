@@ -43,10 +43,9 @@ from pyspark.sql import functions as F
 
 from ..plans.spec import QuerySpec
 from ..sources import load_table, spread
+from .dedup import EMB_DIM as DIM  # single source of truth for dim
 from .dedup import QSCALE, quant_transform, usable_embedding_pred
 from .sketch import _hll_hash
-
-DIM = 64
 TOP_K = 10
 QUERY_MOD = 100  # queries = vec_id % 100 == 0
 

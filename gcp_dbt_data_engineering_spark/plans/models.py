@@ -184,6 +184,27 @@ def _table_lock(path: str, ttl_s: float = _LOCK_TTL_S):
                     # loops back to contend on mkdir like everyone else.
                     tomb = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
                     os.rename(lock, tomb)
+                    # TOCTOU guard (ADVICE r10): the staleness verdict
+                    # came from a stat taken BEFORE the rename. If we
+                    # were preempted in between, another waiter may
+                    # have broken the stale lock and re-acquired — and
+                    # we just renamed away their FRESH lock. rename
+                    # preserves mtime, so re-judge on the tombstone:
+                    # fresh means we stole a live lock — give it back
+                    # (rename restores the holder's dir) and go wait.
+                    # Residual window is the few instructions between
+                    # this steal and the give-back, vs the unbounded
+                    # preemption gap it replaces.
+                    if time.time() - os.stat(tomb).st_mtime <= ttl_s:
+                        try:
+                            if not os.path.exists(lock):
+                                os.rename(tomb, lock)
+                            else:  # slot re-taken: drop the tombstone
+                                os.rmdir(tomb)
+                        except OSError:
+                            pass
+                        time.sleep(0.05)
+                        continue
                     os.rmdir(tomb)
                     continue
             except OSError:

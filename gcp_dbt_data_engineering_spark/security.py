@@ -72,7 +72,14 @@ def validate_fecha(fecha: str) -> str:
 def scan_sql(sql: str) -> str:
     lowered = sql.lower()
     for kw in FORBIDDEN_SQL_KEYWORDS:
-        if kw.isalnum() or "_" in kw:
+        if kw.endswith("_"):
+            # prefix keywords (sp_/xp_): the trailing underscore IS part
+            # of the following identifier, so only the left edge anchors
+            # — a right boundary would make the pattern unmatchable
+            # (regression vs the reference's substring scan, which
+            # rejects sp_executesql / xp_cmdshell).
+            hit = re.search(rf"(?<![a-z0-9_]){re.escape(kw)}", lowered)
+        elif kw.isalnum() or "_" in kw:
             hit = re.search(rf"(?<![a-z0-9_]){re.escape(kw)}(?![a-z0-9_])", lowered)
         else:
             hit = kw in lowered

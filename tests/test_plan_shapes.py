@@ -46,8 +46,11 @@ BUDGETS = {
     # round-6 waves: both bucket LMs broadcast, final top-K is a
     # TakeOrdered (asserted below), never a global sort
     "dsir_importance_selection": (16, 2),
-    # centroid dim broadcasts; scoring map-side
-    "embeddings_outlier_audit": (7, 2),
+    # centroid dim broadcasts; scoring map-side; +1 exchange is the
+    # r10 spread() round-robin repartition at _quantized cache build
+    # (operators/similarity.py:118-127) — paid once to break the
+    # 2-task fat-row-group parquet bottleneck at sf100
+    "embeddings_outlier_audit": (8, 2),
     # histogram threshold broadcasts; boundary window keys (lang, q)
     "token_budget_select": (8, 1),
     # df-filter joins on the 8-byte hash; per-doc island windows

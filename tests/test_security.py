@@ -52,6 +52,21 @@ def test_scan_sql_no_false_positive_on_substrings():
     # keyword scan is word-boundary aware: 'created'/'updated_at'
     # contain forbidden stems but are legitimate identifiers.
     assert sec.scan_sql("SELECT created, updated_at FROM t")
+    # created_at (the reference's own false-positive case) stays legal
+    assert sec.scan_sql("created_at IS NOT NULL")
+
+
+def test_scan_sql_blocks_procedure_prefixes():
+    # sp_/xp_ are PREFIXES: the right boundary must not anchor, else
+    # sp_executesql slips through (reference forbidden list,
+    # tests/dq_sql_notes.md:275-279).
+    for bad in ("sp_executesql @x", "EXECUTE xp_cmdshell 'dir'",
+                "select xp_cmdshell"):
+        with pytest.raises(ValueError):
+            sec.scan_sql(bad)
+    # but an identifier merely *containing* sp_ mid-word is fine
+    assert sec.scan_sql("SELECT disp_name FROM t")
+    assert sec.scan_sql("SELECT resp_code FROM t")
 
 
 def test_validate_config_rejects_injection():

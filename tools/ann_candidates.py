@@ -160,8 +160,13 @@ def write_merged(path: str, fresh: dict) -> dict:
     (caught live in r10: the first checkpoint emptied the committed
     sf10 record)."""
     merged = merge_into(path, fresh)
-    with open(path, "w") as f:
+    # atomic replace: a kill mid-dump must never tear the artifact
+    # (a torn file makes the next merge_into "start fresh" and drop
+    # every previously committed per-SF record)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(merged, f, indent=1)
+    os.replace(tmp, path)
     return merged
 
 

@@ -92,26 +92,38 @@ def _np_quantized(sf_dir: str):
     )
 
     con = duckdb.connect()
-    pdf = con.execute(
+    # Arrow fetch, NOT .df(): pandas conversion folds per-element NULL
+    # into NaN, conflating "NULL element" (engine keeps the row,
+    # quant_transform pins the element to 0) with "true NaN component"
+    # (usable_embedding_pred rejects the row). to_pylist() preserves
+    # the distinction as Python None.
+    tbl = con.execute(
         "SELECT vec_id, embedding FROM read_parquet(?) "
         "WHERE embedding IS NOT NULL ORDER BY vec_id",
         [os.path.join(sf_dir, "embeddings.parquet")],
-    ).df()
-    keep_rows = [
-        i
-        for i, e in enumerate(pdf.embedding)
-        if e is not None and len(e) == 64
-        and np.all(np.isfinite(np.asarray(e, dtype=np.float64)))
-    ]
-    pdf = pdf.iloc[keep_rows]
-    X = np.array(pdf.embedding.tolist(), dtype=np.float64)
-    X = np.nan_to_num(X, copy=False)  # NULL elements arrive as NaN -> 0
+    ).arrow()
+    all_ids = tbl["vec_id"].to_pylist()
+    keep_ids, vecs = [], []
+    for vid, e in zip(all_ids, tbl["embedding"].to_pylist()):
+        if e is None or len(e) != 64:
+            continue
+        a = np.asarray(
+            [0.0 if x is None else x for x in e], dtype=np.float64
+        )
+        if not np.all(np.isfinite(a)):
+            continue  # true NaN/Inf component rejects the whole row
+        keep_ids.append(vid)
+        vecs.append(a)
+    X = (
+        np.array(vecs, dtype=np.float64)
+        if vecs else np.empty((0, 64), dtype=np.float64)
+    )
     q = np.clip(
         np.floor(X * QSCALE), -float(QCLAMP), float(QCLAMP)
     ).astype(np.int64)
     nn = (q * q).sum(axis=1)
     m = nn > 0
-    return pdf.vec_id.to_numpy()[m], q[m], nn[m]
+    return np.asarray(keep_ids, dtype=np.int64)[m], q[m], nn[m]
 
 
 def _np_cosine(dots: np.ndarray, na, nb) -> np.ndarray:
@@ -447,8 +459,10 @@ def main() -> int:
             prior_specs = prior.get("specs", prior)
             prior_specs.update(out)
             merged = prior_specs
-        with open(path, "w") as f:
+        tmp = path + ".tmp"  # atomic: never tear the committed artifact
+        with open(tmp, "w") as f:
             json.dump({"sf_dir": sf_dir, "specs": merged}, f, indent=1)
+        os.replace(tmp, path)
     n_bad = sum(
         1 for r in out.values()
         if r["err"] or r.get("hash_match") is not True
