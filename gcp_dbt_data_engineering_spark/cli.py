@@ -87,7 +87,8 @@ def run_dq_job(argv: list[str] | None = None) -> int:
             # o_orderdate is only a sane default for the orders table;
             # any other table must name its own date column or --fecha
             # would die later with an opaque AnalysisException.
-            if config.get("table_name") == "orders":
+            table = str(config.get("table_name", "")).rsplit(".", 1)[-1]
+            if table == "orders":
                 config["date_column"] = "o_orderdate"
             else:
                 raise SystemExit(

@@ -60,6 +60,32 @@ N_PLANES = 448
 N_BANDS = 56
 BAND_BITS = 8
 
+#: size-adaptive banding (r11, VERDICT r10 item 4): below ``SMALL_N``
+#: usable vectors the SAME 448 planes regroup into 64 bands x 7 bits.
+#: Why: near-pair band collision is 1-(1-p^bits)^bands with p the
+#: plane-agreement probability, and p FALLS as the corpus shrinks
+#: (mean true-top-10 cosine 0.300 @ 500 vectors vs 0.352 @ 2k —
+#: corpus statistics, measured r10). At p~=0.60, 8-bit bands give
+#: ~0.59 collision (the measured small-SF recall floor) while 7-bit
+#: bands give ~0.82; the extra random-collision cost (1/128 vs 1/256
+#: per band) is only paid where N is tiny, so candidate counts stay
+#: bounded. Decided from N at index-build time; the DuckDB oracle
+#: derives the identical split from COUNT(*) of the same relation
+#: (``geo`` CTE), keeping both sides in lockstep at every SF.
+SMALL_N = 5000
+SMALL_N_BANDS = 64
+SMALL_BAND_BITS = 7
+
+
+def band_geometry(n: int) -> tuple[int, int]:
+    """(n_bands, band_bits) for a corpus of ``n`` usable vectors —
+    the single decision point shared by the Spark path, the numpy
+    replays, and the evidence tools (the SQL oracle re-derives it
+    textually in the ``geo`` CTE)."""
+    if n < SMALL_N:
+        return SMALL_N_BANDS, SMALL_BAND_BITS
+    return N_BANDS, BAND_BITS
+
 #: hyperplane components live in [-2^28, 2^28): |q| <= QCLAMP < 2^27
 #: and 64 terms of |q*w| < 2^55 keep every dot fold < 2^61 — no int64
 #: overflow even on clamped adversarial components. The IVF L2 fold
@@ -226,9 +252,12 @@ FROM ranked WHERE rank <= {TOP_K}
 # sign-LSH bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 
-def _spark_chunks(df: DataFrame) -> DataFrame:
-    """(vec_id, c, ck): ``BAND_BITS``-bit LSH band keys per vector,
-    one row per band (``N_BANDS`` = 56 bands x 8 bits = 448 planes).
+def _spark_chunks(
+    df: DataFrame, n_bands: int = N_BANDS, band_bits: int = BAND_BITS
+) -> DataFrame:
+    """(vec_id, c, ck): ``band_bits``-bit LSH band keys per vector,
+    one row per band (default 56 bands x 8 bits = 448 planes; small
+    corpora pass the 64x7 regrouping from ``band_geometry``).
 
     Computed with one numpy int64 matmul per Arrow batch (signs of
     X @ W.T, W avalanched integer hyperplanes from the same ``_mix_np``
@@ -246,7 +275,7 @@ def _spark_chunks(df: DataFrame) -> DataFrame:
         + np.arange(DIM, dtype=np.int64)[None, :]
     )
     W = _mix_np(jd) % _WMOD - _WHALF  # |w| <= 2^28: dot folds < 2^62
-    pow2 = 1 << np.arange(BAND_BITS, dtype=np.int64)
+    pow2 = 1 << np.arange(band_bits, dtype=np.int64)
 
     def chunk_keys(batches):
         for pdf in batches:
@@ -254,14 +283,14 @@ def _spark_chunks(df: DataFrame) -> DataFrame:
                 continue
             X = np.array(pdf["q"].tolist(), dtype=np.int64)
             bits = (X @ W.T > 0).astype(np.int64)  # (n, 448)
-            cks = bits.reshape(len(X), N_BANDS, BAND_BITS) @ pow2
+            cks = bits.reshape(len(X), n_bands, band_bits) @ pow2
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), N_BANDS
+                        pdf["vec_id"].to_numpy(), n_bands
                     ),
                     "c": np.tile(
-                        np.arange(N_BANDS, dtype=np.int64), len(X)
+                        np.arange(n_bands, dtype=np.int64), len(X)
                     ),
                     "ck": cks.reshape(-1),
                 }
@@ -285,7 +314,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall fix — see the module docstring.
     """
     base = _quantized(spark, sf_dir)
-    chunks = _spark_chunks(base)
+    # index-build-time decision: one count on the persisted quantized
+    # cache (cheap, reused by every similarity spec this session)
+    chunks = _spark_chunks(base, *band_geometry(base.count()))
     qc = chunks.filter((F.col("vec_id") % QUERY_MOD) == 0).selectExpr(
         "vec_id AS query_id", "c", "ck"
     )
@@ -343,6 +374,9 @@ wt AS MATERIALIZED (
 qdim AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS x
   FROM qn),
+geo AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM qn0 WHERE nn > 0) < {SMALL_N}
+              THEN {SMALL_BAND_BITS} ELSE {BAND_BITS} END AS bb),
 dots AS (
   SELECT e.vec_id, w.j,
          CASE WHEN SUM(e.x * w.w) > 0 THEN CAST(1 AS BIGINT)
@@ -350,9 +384,9 @@ dots AS (
   FROM qdim e JOIN wt w ON w.d = e.d
   GROUP BY e.vec_id, w.j),
 chunks AS MATERIALIZED (
-  SELECT vec_id, j // {BAND_BITS} AS c,
-         SUM(b * (CAST(1 AS BIGINT) << (j % {BAND_BITS}))) AS ck
-  FROM dots GROUP BY vec_id, j // {BAND_BITS})"""
+  SELECT vec_id, j // g.bb AS c,
+         SUM(b * (CAST(1 AS BIGINT) << (j % g.bb))) AS ck
+  FROM dots, geo g GROUP BY vec_id, j // g.bb)"""
 
 
 ORACLE_ANN_LSH = f"""

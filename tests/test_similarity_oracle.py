@@ -69,20 +69,18 @@ def test_ann_recall_vs_bruteforce(spark):
 
 
 #: measured recall@10 at sf0.01 on the DENSE query set (query_mod=25,
-#: 20 queries — tools/ann_recall.py r10, VERDICT r9 item 3). The r9
-#: small-SF LSH numbers (0.58-0.60) were 5-query estimates; at 20
-#: queries they replicate (0.585/0.595), so the gap vs sf0.1's 0.745
-#: is REAL and explained: it is corpus statistics, not band geometry.
-#: The mean true-top-10 cosine of this near-random corpus RISES with N
-#: (measured 0.300 at n=500 -> 0.352 at n=2000: more candidates =>
-#: closer best-10), and sign-LSH band collision tracks it —
-#: p_band = (1 - acos(cos)/pi)^8, P(>=1 of 56) ~ 0.60 at cos 0.30 vs
-#: ~ 0.68 at cos 0.35, matching the measured 0.585 -> 0.745. The
-#: production fix at small N is more bands (or fewer bits/band), a
-#: spec constant — NOT corpus-side magic; the spec pins geometry, so
-#: this floor is documented and tripwired instead.
+#: 20 queries — tools/ann_recall.py). History: the r9/r10 small-SF LSH
+#: floor (0.585/0.595 under fixed 56x8 banding) was root-caused to
+#: corpus statistics — the mean true-top-10 cosine of this
+#: near-random corpus RISES with N (0.300 at n=500 -> 0.352 at
+#: n=2000), and sign-LSH band collision tracks it. r11 engineered the
+#: floor away with size-adaptive banding (similarity.band_geometry:
+#: the same 448 planes regroup into 64x7 below SMALL_N=5000 vectors),
+#: re-measured: lsh 0.805 @ sf0.001 and 0.855 @ sf0.01 — both above
+#: the VERDICT r10 item-4 target of 0.7, oracle still hash-exact at
+#: every SF (the geo CTE derives the identical split from COUNT(*)).
 _MEASURED_DENSE_RECALL_SF001 = {
-    "similarity_ann_lsh": 0.595,
+    "similarity_ann_lsh": 0.855,
     "similarity_ann_ivf": 0.86,
     "similarity_ann_ivf_kmeans": 0.885,
     "similarity_pq_adc": 0.8,

@@ -65,6 +65,7 @@ from gcp_dbt_data_engineering_spark.operators.similarity import (  # noqa: E402
     _kmeans_cents_df,
     _quantized,
     _spark_chunks,
+    band_geometry,
 )
 
 #: the spec's K plus one sweep point to demonstrate the N/K law (the
@@ -180,7 +181,9 @@ def main() -> int:
         rec: dict[str, object] = {"n_vectors": n}
 
         # --- sign-LSH: per-query pre-distinct join volume -------------
-        chunks = _spark_chunks(base).persist()
+        nb, bb = band_geometry(n)  # size-adaptive, matches the spec
+        rec["band_geometry"] = [nb, bb]
+        chunks = _spark_chunks(base, nb, bb).persist()
         sizes = chunks.groupBy("c", "ck").agg(F.count("*").alias("sz"))
         perq = (
             chunks.filter((F.col("vec_id") % QUERY_MOD) == 0)

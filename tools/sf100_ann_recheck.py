@@ -202,28 +202,29 @@ def _np_assign(q, cents, chunk: int = 200_000):
 
 
 def _np_band_keys(q, chunk: int = 200_000):
-    """(n, N_BANDS) int64 band keys replaying _spark_chunks."""
+    """(n, n_bands) int64 band keys replaying _spark_chunks, with the
+    spec's size-adaptive band geometry (r11): n = full corpus size."""
     from gcp_dbt_data_engineering_spark.operators.similarity import (
-        BAND_BITS,
         DIM,
-        N_BANDS,
         N_PLANES,
         _WHALF,
         _WMOD,
         _mix_np,
+        band_geometry,
     )
 
+    n_bands, band_bits = band_geometry(len(q))
     jd = (
         np.arange(N_PLANES, dtype=np.int64)[:, None] * DIM
         + np.arange(DIM, dtype=np.int64)[None, :]
     )
     W = _mix_np(jd) % _WMOD - _WHALF
-    pow2 = 1 << np.arange(BAND_BITS, dtype=np.int64)
-    out = np.empty((len(q), N_BANDS), dtype=np.int64)
+    pow2 = 1 << np.arange(band_bits, dtype=np.int64)
+    out = np.empty((len(q), n_bands), dtype=np.int64)
     for lo in range(0, len(q), chunk):
         hi = min(lo + chunk, len(q))
         bits = (q[lo:hi] @ W.T > 0).astype(np.int64)
-        out[lo:hi] = bits.reshape(hi - lo, N_BANDS, BAND_BITS) @ pow2
+        out[lo:hi] = bits.reshape(hi - lo, n_bands, band_bits) @ pow2
     return out
 
 
@@ -352,9 +353,10 @@ def main() -> int:
         )
         for c in range(bands.shape[1])
     }
-    S._spark_chunks(S._quantized(spark, sf_dir)).createOrReplaceTempView(
-        "__chunks_v"
-    )
+    qrel = S._quantized(spark, sf_dir)
+    S._spark_chunks(
+        qrel, *S.band_geometry(qrel.count())
+    ).createOrReplaceTempView("__chunks_v")
     sp_fp = {
         int(r.c): (int(r.n), int(r.s))
         for r in spark.sql(
