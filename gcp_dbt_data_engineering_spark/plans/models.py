@@ -219,6 +219,20 @@ def _table_lock(path: str, ttl_s: float = _LOCK_TTL_S):
             pass
 
 
+def _seed_reader(spark):
+    """CSV reader with RFC-4180 semantics for seed files (wave 7):
+    Spark's defaults break quoted fields containing newlines (each
+    physical line becomes a record without ``multiLine``) and mangle
+    doubled-quote escapes (default escape is backslash), while DuckDB
+    — and dbt's own seed loader — parse both correctly; a seed row
+    like ``"United\nStates"`` silently became two torn rows."""
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
+
+
 def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
     """``{% macro name(a, b) %}body{% endmacro %}`` → name → (params,
     body). The reference declares ``macro-paths`` (dbt_project.yml:18)
@@ -639,7 +653,7 @@ class ModelGraph:
             if names is not None and name not in names:
                 continue
             schema = self.seed_schemas.get(name)
-            reader = spark.read.option("header", "true")
+            reader = _seed_reader(spark)
             if schema:
                 reader = reader.schema(schema)
             else:
@@ -1134,7 +1148,7 @@ class ModelGraph:
                 continue
             try:
                 schema = self.seed_schemas.get(name)
-                reader = spark.read.option("header", "true")
+                reader = _seed_reader(spark)
                 reader = (
                     reader.schema(schema)
                     if schema

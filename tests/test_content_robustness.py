@@ -235,7 +235,7 @@ def test_assets_exclude_null_text(spark, tmp_path):
 
 
 def test_nasty_artifact_green():
-    """The committed adversarial-corpus gate must be 155/155 exact."""
+    """The committed adversarial-corpus gate must be N/N exact (156 as of r11: similarity_pq_ivf joined the suite)."""
     import json
     import os
 
@@ -244,7 +244,7 @@ def test_nasty_artifact_green():
     with open(path) as f:
         d = json.load(f)
     assert d["n_fail"] == 0 and d["n_rows_only"] == 0
-    assert d["n_specs"] == d["n_pass"] == 155
+    assert d["n_specs"] == d["n_pass"] == 156
 
 
 # -- property: portable-hash parity over unicode, including the empty

@@ -96,3 +96,37 @@ def test_run_sql_tests_screens_sql(spark):
             ],
             SF,
         )
+
+
+def test_scan_sql_multiline_and_comment_embedded():
+    """Wave 7: custom_sql conditions spanning lines. Legit multi-line
+    boolean conditions pass; forbidden tokens hiding after newlines or
+    inside would-be comments are still caught (the scan is token-
+    based, not line-based)."""
+    ok = (
+        "o_totalprice > 0\n"
+        "  AND o_orderdate IS NOT NULL\n"
+        "  AND created_at IS NOT NULL"
+    )
+    assert sec.scan_sql(ok)
+    for bad in (
+        "o_totalprice > 0\n-- sneaky trailing comment",
+        "x = 1 AND\nsp_executesql @p",
+        "x = 1\n/* block */ AND y = 2",
+        "a=1;\nDROP TABLE t",
+        "EXEC\nxp_cmdshell 'x'",
+    ):
+        with pytest.raises(ValueError):
+            sec.scan_sql(bad)
+
+
+def test_validate_fecha_date_boundaries():
+    """Wave 7: calendar edges. Real leap day and year-9999 dates are
+    valid; non-leap Feb 29, month 13, and zero-day reject."""
+    assert sec.validate_fecha("2096-02-29")  # leap
+    assert sec.validate_fecha("9999-12-31")
+    assert sec.validate_fecha("0001-01-01")
+    for bad in ("2095-02-29", "1995-13-01", "1995-00-10",
+                "1995-06-31", "95-06-15", "1995/06/15"):
+        with pytest.raises(ValueError):
+            sec.validate_fecha(bad)

@@ -630,3 +630,38 @@ def test_dependency_seed_load_error_is_reported(spark, tmp_path):
     assert by["broken"]["status"] == "error"
     assert by["m"]["status"] == "skipped"
     assert "broken" in by["m"]["detail"]
+
+
+def test_seed_csv_quoted_newlines_and_doubled_quotes(spark, tmp_path):
+    """Wave 7: RFC-4180 seeds. A quoted field containing a newline and
+    a doubled-quote escape must load as ONE row with the literal
+    content — Spark's CSV defaults tore `"United\\nStates"` into two
+    rows (no multiLine) and kept the doubled quotes verbatim (escape
+    defaults to backslash), silently diverging from DuckDB / dbt's
+    seed loader. models._seed_reader pins multiLine + quote-escape."""
+    import duckdb
+
+    seed = tmp_path / "countries.csv"
+    seed.write_text(
+        'code,name\n'
+        'US,"United\nStates"\n'
+        'FR,"France ""la belle"""\n'
+        'DE,Germany\n'
+    )
+    g = ModelGraph(
+        {},
+        warehouse_dir=str(tmp_path / "wh"),
+        seeds={"countries": str(seed)},
+        seed_schemas={"countries": "code string, name string"},
+    )
+    out = g.seed(spark)
+    got = sorted(map(tuple, out["countries"].collect()))
+    want = sorted(
+        map(tuple, duckdb.sql(
+            f"SELECT * FROM read_csv('{seed}', header=true, "
+            "columns={'code': 'VARCHAR', 'name': 'VARCHAR'})"
+        ).fetchall())
+    )
+    assert got == want
+    assert ("US", "United\nStates") in got
+    assert ("FR", 'France "la belle"') in got

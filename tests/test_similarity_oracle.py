@@ -42,10 +42,11 @@ def test_topk_shape(spark):
 #: a loose sanity bound (ADVICE r7: the old 0.25 floor was honest but
 #: too weak to trip on regressions).
 _MEASURED_RECALL_SF001 = {
-    "similarity_ann_lsh": 0.58,
+    "similarity_ann_lsh": 0.88,  # r11 size-adaptive banding (64x7)
     "similarity_ann_ivf": 0.92,
     "similarity_ann_ivf_kmeans": 0.94,
     "similarity_pq_adc": 0.84,
+    "similarity_pq_ivf": 0.92,  # r11 IVF-PQ composition (28-cell probe)
 }
 
 
@@ -84,6 +85,7 @@ _MEASURED_DENSE_RECALL_SF001 = {
     "similarity_ann_ivf": 0.86,
     "similarity_ann_ivf_kmeans": 0.885,
     "similarity_pq_adc": 0.8,
+    "similarity_pq_ivf": 0.86,
 }
 
 

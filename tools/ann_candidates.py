@@ -57,6 +57,7 @@ from gcp_dbt_data_engineering_spark.operators.similarity import (  # noqa: E402
     IVF_ITERS,
     IVF_K,
     N_BANDS,
+    PQ_PROBE,
     QUERY_MOD,
     RERANK_DIV,
     RERANK_MIN,
@@ -228,6 +229,20 @@ def main() -> int:
                     4,
                 )
                 rec["ivf_sq8"] = sq8
+                pq = _probed_stats(
+                    _l2_probes(queries, cents, PQ_PROBE),
+                    sizes, assigned, n,
+                )
+                pq["note"] = (
+                    "IVF-PQ: compressed (8x packed PQ) ADC scan of "
+                    "the probed cells; exact re-rank only the ADC top "
+                    f"max({RERANK_MIN}, N/{RERANK_DIV}) per query"
+                )
+                pq["exact_rerank_frac"] = round(
+                    max(RERANK_MIN, -(-n // RERANK_DIV)) / max(n - 1, 1),
+                    4,
+                )
+                rec["pq_ivf"] = pq
             else:
                 rec[f"ivf_flat_k{k}"] = _probed_stats(
                     _l2_probes(queries, cents, FLAT_PROBE),

@@ -116,6 +116,11 @@ BNLJ_OK: dict[str, str] = {
         "fixed query set broadcast against the k-row centroid "
         "aggregate (k=K_CLUSTERS)"
     ),
+    "similarity_pq_ivf": (
+        "fixed query set joined to its probe centroids (Q×PQ_PROBE "
+        "rows) broadcast against the bucketed compressed candidate "
+        "stream; rerank threshold is a 1-row count crossJoin"
+    ),
     "sketch_hll_sliding_window": (
         "per-day HLL register relation (one row per calendar day) "
         "joined to the day calendar — both sides day-bounded"
@@ -326,6 +331,24 @@ def audit_spec(df) -> dict[str, object]:
     return _classify(_formatted(df))
 
 
+
+
+def _run_stamp() -> dict:
+    """Commit + wall-clock stamp embedded in the artifact (VERDICT r10
+    item 8): identical-content re-runs are otherwise invisible in git,
+    making 'did the sweep actually re-run?' unverifiable."""
+    import subprocess, time
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.strip()
+    except OSError:
+        commit = "unknown"
+    return {"commit": commit,
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PLAN_AUDIT.json")
@@ -390,7 +413,8 @@ def main() -> int:
     }
     with open(out, "w") as f:
         json.dump(
-            {"summary": summary, "per_spec": per_spec, "errors": errors},
+            {"summary": summary, "run_stamp": _run_stamp(),
+             "per_spec": per_spec, "errors": errors},
             f,
             indent=1,
             sort_keys=True,

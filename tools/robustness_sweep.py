@@ -61,6 +61,24 @@ def _summary() -> dict:
     }
 
 
+
+
+def _run_stamp() -> dict:
+    """Commit + wall-clock stamp embedded in the artifact (VERDICT r10
+    item 8): identical-content re-runs are otherwise invisible in git,
+    making 'did the sweep actually re-run?' unverifiable."""
+    import subprocess, time
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.strip()
+    except OSError:
+        commit = "unknown"
+    return {"commit": commit,
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+
+
 def main() -> int:
     keep = os.path.join(REPO, "CORRECTNESS_full.json")
     with open(keep) as f:
@@ -157,11 +175,13 @@ def main() -> int:
     finally:
         with open(keep, "w") as f:
             f.write(original)  # the committed artifact stays the sf0.01 gate
+    results["run_stamp"] = _run_stamp()
     out = os.path.join(REPO, "ROBUSTNESS.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
-    bad = [n for n, r in results.items() if r["n_fail"]]
+    bad = [n for n, r in results.items()
+           if n != "run_stamp" and r["n_fail"]]
     print("SWEEP", "FAIL: " + ", ".join(bad) if bad else "ALL GREEN")
     return 1 if bad else 0
 
