@@ -625,19 +625,27 @@ def _oracle_byte_features() -> str:
         f" / CAST(n AS DOUBLE) AS f{j}"
         for j in range(FEAT_DIM)
     )
+    # LINEAR form (wave 7): the old ``substr(h, 2*i-1, 1)`` per byte
+    # position is an O(i) scan in DuckDB — quadratic overall (14 s at
+    # a 100k-char doc, 226 s at 400k, weeks at the 10 MB token).
+    # Split the hex string ONCE, unnest one row per nibble with its
+    # subscript, and pair adjacent nibbles by (i+1)//2 in a hash
+    # aggregate — every stage O(n).
     return f"""
 WITH hx AS (
-  SELECT doc_id, hex(encode(text)) AS h,
+  SELECT doc_id, string_split(hex(encode(text)), '') AS hc,
          octet_length(encode(text)) AS n
   FROM documents
   WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
-pos AS (
-  SELECT doc_id, h, n, unnest(generate_series(1, n)) AS i FROM hx),
+nib AS (
+  SELECT doc_id, n, generate_subscripts(hc, 1) AS ci, unnest(hc) AS ch
+  FROM hx),
 b AS (
   SELECT doc_id, n,
-         (strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) - 1) * 16
-         + (strpos('0123456789ABCDEF', substr(h, 2 * i, 1)) - 1) AS v
-  FROM pos)
+         SUM(CASE WHEN ci % 2 = 1
+                  THEN (strpos('0123456789ABCDEF', ch) - 1) * 16
+                  ELSE strpos('0123456789ABCDEF', ch) - 1 END) AS v
+  FROM nib GROUP BY doc_id, n, (ci + 1) // 2)
 SELECT doc_id AS asset_id,
        CAST(n AS BIGINT) AS n_bytes,
        {dims}

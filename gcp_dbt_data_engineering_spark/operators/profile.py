@@ -173,6 +173,22 @@ def _column_stats(parts: list[tuple[DataFrame, str, dict[str, str]]]) -> DataFra
     )
     stddev = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
     numeric = F.col("dtype").isin(*sorted(NUMERIC_KINDS))
+    # metadata GRID left-join (wave 7): empty tables still profile —
+    # one row per declared column, counts 0, value stats NULL (the
+    # melt-groupBy alone has no groups to emit; see _profile_sql)
+    spark_s = parts[0][0].sparkSession
+    grid = spark_s.createDataFrame(
+        [(t, c, k) for _df, t, dt in parts for c, k in dt.items()],
+        "table_name string, column_name string, dtype string",
+    )
+    a = F.broadcast(grid).join(a.drop("dtype"), keys[:2], "left")
+    a = (
+        a.withColumn("total_count", F.coalesce("total_count", F.lit(0)))
+        .withColumn("null_count", F.coalesce("null_count", F.lit(0)))
+        .withColumn(
+            "distinct_count", F.coalesce("distinct_count", F.lit(0))
+        )
+    )
     return a.select(
         *keys,
         F.col("total_count").cast("bigint").alias("total_count"),
@@ -258,6 +274,19 @@ b AS (
         b_join = (" LEFT JOIN b ON a.table_name = b.table_name"
                   " AND a.column_name = b.column_name")
         b_cols = "min_str, max_str"
+    # the column GRID is metadata (known without data): emit a row per
+    # declared column even when a table is EMPTY — counts coalesce to
+    # 0, value stats stay NULL. Wave 7: the melt-groupBy alone yields
+    # zero groups on an empty table while the reference profiler (and
+    # the per-column scalar-aggregate oracle) reports every column.
+    grid_vals = ",\n  ".join(
+        f"('{table}', '{c}', '{k}')"
+        for _view, table, dtypes in parts
+        for c, k in dtypes.items()
+    )
+    if b_join:
+        b_join = (" LEFT JOIN b ON g.table_name = b.table_name"
+                  " AND g.column_name = b.column_name")
     return f"""
 WITH long_all AS (
 {long_all}),
@@ -269,22 +298,26 @@ a AS (
          MIN(dval) AS min_num, MAX(dval) AS max_num,
          CAST(SUM(CAST(dval AS DECIMAL(22,6))) AS DOUBLE) AS __sum,
          CAST(SUM(CAST(dval * dval AS DECIMAL(38,8))) AS DOUBLE) AS __sumsq
-  FROM long_all GROUP BY table_name, column_name, dtype){b_cte}
-SELECT {"/*+ BROADCAST(b) */" if str_sel else ""} a.table_name,
-       a.column_name, dtype,
-       CAST(total_count AS BIGINT) AS total_count,
-       CAST(null_count AS BIGINT) AS null_count,
-       CAST(distinct_count AS BIGINT) AS distinct_count,
+  FROM long_all GROUP BY table_name, column_name, dtype){b_cte},
+grid AS (
+  SELECT * FROM (VALUES
+  {grid_vals}) AS g(table_name, column_name, dtype))
+SELECT {"/*+ BROADCAST(b) */" if str_sel else ""} g.table_name,
+       g.column_name, g.dtype,
+       CAST(COALESCE(total_count, 0) AS BIGINT) AS total_count,
+       CAST(COALESCE(null_count, 0) AS BIGINT) AS null_count,
+       CAST(COALESCE(distinct_count, 0) AS BIGINT) AS distinct_count,
        min_num, max_num,
-       CASE WHEN dtype IN ({numeric_in}) AND {n} > 0
+       CASE WHEN g.dtype IN ({numeric_in}) AND {n} > 0
             THEN CAST(CAST(__sum / {n} AS DECIMAL(28,6)) AS DOUBLE)
        END AS avg_num,
-       CASE WHEN dtype IN ({numeric_in}) AND {n} > 1
+       CASE WHEN g.dtype IN ({numeric_in}) AND {n} > 1
             THEN CAST(CAST(sqrt(greatest({var}, 0.0)) AS DECIMAL(28,6))
                       AS DOUBLE)
        END AS stddev_num,
        {b_cols}
-FROM a{b_join}
+FROM grid g LEFT JOIN a ON g.table_name = a.table_name
+  AND g.column_name = a.column_name{b_join}
 """
 
 

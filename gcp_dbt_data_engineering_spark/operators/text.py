@@ -301,17 +301,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_FINGERPRINT = f"""
-WITH per_doc AS (
-  SELECT doc_id,
-         list_min({th.char_shingle_hashes('lower(text)', FP_GRAM, 'duck')})
-           AS fp_min,
-         {th.polyhash('lower(text)', 'duck')} AS fp_full
-  FROM documents)
+#: LINEAR gram stage (wave 7): per-gram ``substr(text, i, 5)`` is an
+#: O(i) code-point scan in DuckDB (21 s at a 100k-char doc, 315 s at
+#: 400k — weeks at the 10 MB-token pathology), and folding a captured
+#: code list inside a list_transform lambda re-materializes the list
+#: per gram (worse). Relational instead: one row per char code, the
+#: 5-gram hash as a fixed nesting of LEADs over (doc, pos) — the
+#: nested ``(…*31 + c) % P`` equals the polyhash fold exactly — then
+#: MIN per doc. Every stage is a vectorized window/aggregate, O(n).
+#: fp_full keeps the whole-doc list_reduce (linear; 16 s at 10M).
+def _oracle_fingerprint() -> str:
+    g = "c0"
+    for k in range(1, FP_GRAM):
+        g = f"(({g}) * 31 + c{k}) % {th.P}"
+    leads = ",\n         ".join(
+        f"lead(c, {k}) OVER w AS c{k}" for k in range(1, FP_GRAM)
+    )
+    return f"""
+WITH cd AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS lt, length(lower(text)) AS L,
+         {th.char_codes('lower(text)')} AS codes
+  FROM documents),
+ch AS (
+  SELECT doc_id, generate_subscripts(codes, 1) AS pos, unnest(codes) AS c
+  FROM cd),
+gr AS (
+  SELECT doc_id, pos, c AS c0,
+         {leads}
+  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+gmin AS (
+  SELECT doc_id, MIN({g}) AS fp_min
+  FROM gr WHERE c{FP_GRAM - 1} IS NOT NULL GROUP BY doc_id),
+per_doc AS (
+  SELECT cd.doc_id, gmin.fp_min,
+         {th.polyhash('lt', 'duck')} AS fp_full
+  FROM cd LEFT JOIN gmin ON gmin.doc_id = cd.doc_id)
 SELECT doc_id, fp_min, fp_full,
        COUNT(*) OVER (PARTITION BY fp_min) AS n_docs_same_fp
 FROM per_doc
 """
+
+
+ORACLE_FINGERPRINT = _oracle_fingerprint()
 
 
 # ---------------------------------------------------------------------------

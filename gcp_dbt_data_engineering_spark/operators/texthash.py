@@ -205,6 +205,35 @@ def char_shingle_hashes(text_col: str, n: int, dialect: str) -> str:
     return f"list_transform({grams}, s -> {polyhash('s', dialect)})"
 
 
+def char_codes(text_col: str) -> str:
+    """DuckDB: per-char code list of ``text_col`` — the O(n) base for
+    ``char_gram_hashes_from_codes``. Same codes ``polyhash``'s
+    string_split path sees."""
+    return (
+        f"list_transform(string_split({text_col}, ''),"
+        " c -> CAST(ord(c) AS BIGINT))"
+    )
+
+
+def char_gram_hashes_from_codes(codes_col: str, len_col: str, n: int) -> str:
+    """DuckDB: char-n-gram polyhashes from a PRE-COMPUTED code list
+    (wave 7): the substr-per-position form above is an O(i) code-point
+    scan per gram in DuckDB — quadratic overall; measured 21 s at a
+    100k-char doc, 315 s at 400k, i.e. weeks at the 10 MB-token
+    pathology — so callers hoist ``char_codes`` into a CTE (evaluated
+    once per row) and fold each gram over an O(n) list_slice here.
+    Byte-identical values: a no-init list_reduce equals the 0-init
+    fold (0*31 + c1 = c1). Spark's substring has an all-ASCII fast
+    path and measures linear, so the spark branch of
+    ``char_shingle_hashes`` stays as is."""
+    return (
+        f"CASE WHEN {len_col} >= {n} THEN"
+        f" list_transform(generate_series(1, {len_col} - {n - 1}),"
+        f" i -> list_reduce(list_slice({codes_col}, i, i + {n - 1}),"
+        f" (acc, c) -> (acc * 31 + c) % {P})) ELSE [] END"
+    )
+
+
 def xor(a: str, b: str, dialect: str) -> str:
     """Bitwise XOR of two BIGINT expressions."""
     return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"

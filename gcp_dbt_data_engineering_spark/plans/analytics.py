@@ -526,10 +526,47 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the () grouping set is a separate global aggregate, not part of
+    # the rollup: standard SQL (and DuckDB/Postgres) emit the
+    # grand-total row even over EMPTY input — a global aggregate
+    # always yields one row — while Spark's rollup/cube/grouping-sets
+    # return zero rows on empty input (wave 7, empty-corpus gate).
+    # On non-empty data the union is exactly the rollup's () row, so
+    # clean-corpus results are unchanged; the extra pass is a
+    # map-side-partial global agg over the same scan.
+    # ONE base scan: the (status, priority) grain keeps its DECIMAL
+    # sum and the (status) / () groupings re-aggregate it losslessly
+    # (counts add; decimal sums add exactly; one double cast per
+    # output row) — also cheaper than Expand-based rollup at scale.
     od = _t(spark, sf_dir, "orders")
-    return od.rollup("o_orderstatus", "o_orderpriority").agg(
+    g = od.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        money_sum(F.col("o_totalprice"), "total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("dp"),
+    )
+    null_s = F.lit(None).cast("string")
+
+    def fin(df, status, prio):
+        return df.select(
+            status.alias("o_orderstatus"), prio.alias("o_orderpriority"),
+            "n_orders", F.col("dp").cast("double").alias("total_price"),
+        )
+
+    return (
+        fin(g, F.col("o_orderstatus"), F.col("o_orderpriority"))
+        .unionByName(fin(
+            g.groupBy("o_orderstatus").agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("dp").alias("dp"),
+            ),
+            F.col("o_orderstatus"), null_s,
+        ))
+        .unionByName(fin(
+            g.agg(
+                F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+                F.sum("dp").alias("dp"),
+            ),
+            null_s, null_s,
+        ))
     )
 
 

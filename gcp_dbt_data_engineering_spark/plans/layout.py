@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .models import _write_schema_stub, read_table
 from .spec import QuerySpec, money_sum, sql_money_sum
 
 ART = "/root/repo/.artifacts/layout"
@@ -234,12 +235,14 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "fecha", F.col("ts").cast("date")
         )
-        _stage(
-            path,
-            lambda t: ev.write.partitionBy("fecha")
-            .mode("overwrite")
-            .parquet(t),
-        )
+
+        def _write(t):
+            ev.write.partitionBy("fecha").mode("overwrite").parquet(t)
+            # a zero-event corpus writes no partition dirs; the stub
+            # keeps the layout readable (see models._write_schema_stub)
+            _write_schema_stub(t, ev)
+
+        _stage(path, _write)
     return path
 
 
@@ -257,7 +260,7 @@ def events_fecha_partitioned_slice(
     empty.
     """
     path = _partitioned_events(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    ev = read_table(spark, path)
     day = "2024-01-15"
     return (
         ev.filter(F.col("fecha") == F.lit(day).cast("date"))

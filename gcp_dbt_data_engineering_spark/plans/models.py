@@ -39,6 +39,7 @@ directory of ``.sql`` files exactly like dbt's ``models/`` tree.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from contextlib import contextmanager
@@ -231,6 +232,45 @@ def _seed_reader(spark):
         .option("multiLine", "true")
         .option("escape", '"')
     )
+
+
+#: underscore-prefixed => invisible to parquet file discovery, so the
+#: stub never pollutes partition inference or row reads
+_SCHEMA_STUB = "_graft_schema.json"
+
+
+def _write_schema_stub(path: str, df) -> None:
+    """Record the table's schema beside its files (wave 7): a
+    PARTITIONED write of an EMPTY batch produces zero data files, and
+    the read-back dies with UNABLE_TO_INFER_SCHEMA — bricking a table
+    whose very first incremental batch happens to be empty (a late-
+    data window with nothing late is routine at scale). The stub is
+    the minimum of what a real catalog/metastore records per table;
+    on Delta/Iceberg the table format itself carries this."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _SCHEMA_STUB + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(df.schema.json())
+    os.replace(tmp, os.path.join(path, _SCHEMA_STUB))
+
+
+def read_table(spark, path: str):
+    """``spark.read.parquet`` with the schema-stub fallback: a
+    file-less (all-batches-empty) table reads as its declared schema
+    with zero rows instead of raising."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        stub = os.path.join(path, _SCHEMA_STUB)
+        if os.path.exists(stub):
+            from pyspark.sql.types import StructType
+
+            with open(stub) as f:
+                schema = StructType.fromJson(json.loads(f.read()))
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
@@ -939,8 +979,8 @@ class ModelGraph:
             and re.search(rf"\b{re.escape(name)}\b", sql) is not None
         )
         if self_ref:
-            spark.read.parquet(
-                f"{self.warehouse_dir}/{name}"
+            read_table(
+                spark, f"{self.warehouse_dir}/{name}"
             ).createOrReplaceTempView(name)
         df = spark.sql(sql)
         if self_ref:
@@ -950,7 +990,8 @@ class ModelGraph:
         elif mat == "table":
             path = f"{self.warehouse_dir}/{name}"
             df.write.mode("overwrite").parquet(path)
-            df = spark.read.parquet(path)
+            _write_schema_stub(path, df)
+            df = read_table(spark, path)
             df.createOrReplaceTempView(name)
         elif mat == "incremental":
             path = f"{self.warehouse_dir}/{name}"
@@ -973,7 +1014,8 @@ class ModelGraph:
             )
             # dynamic mode: only partitions present in df are replaced
             writer.parquet(path)
-            df = spark.read.parquet(path)
+            _write_schema_stub(path, df)
+            df = read_table(spark, path)
             df.createOrReplaceTempView(name)
         elif mat == "merge":
             # dbt's incremental unique_key strategy: rows in this
@@ -994,7 +1036,7 @@ class ModelGraph:
                 keys = [k.strip() for k in key.split(",")]
                 merged = df
                 if os.path.exists(path):
-                    existing = spark.read.parquet(path)
+                    existing = read_table(spark, path)
                     survivors = existing.join(
                         df.select(*keys).distinct(), on=keys, how="left_anti"
                     )
@@ -1002,7 +1044,8 @@ class ModelGraph:
                 staging = f"{path}__staging"
                 merged.write.mode("overwrite").parquet(staging)
                 _swap_in(path, staging)
-            df = spark.read.parquet(path)
+                _write_schema_stub(path, merged)
+            df = read_table(spark, path)
             df.createOrReplaceTempView(name)
         elif mat == "snapshot":
             # dbt snapshot, timestamp strategy (SCD2): the
@@ -1099,7 +1142,8 @@ class ModelGraph:
                 staging = f"{path}__staging"
                 merged.write.mode("overwrite").parquet(staging)
                 _swap_in(path, staging)
-            df = spark.read.parquet(path)
+                _write_schema_stub(path, merged)
+            df = read_table(spark, path)
             df.createOrReplaceTempView(name)
         else:
             raise ValueError(f"unknown materialization {mat!r} for {name}")
@@ -1545,7 +1589,7 @@ def model_incremental_daily_revenue(
             & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
         ).createOrReplaceTempView("events_batch")
         graph.run(spark)
-    return spark.read.parquet(f"{warehouse_dir}/daily_event_revenue").select(
+    return read_table(spark, f"{warehouse_dir}/daily_event_revenue").select(
         F.col("event_date").cast("string").alias("event_date"),
         "event_type",
         "n_events",
@@ -1622,7 +1666,7 @@ def model_merge_customer_state(
             & F.col("o_custkey").isNotNull()
         ).createOrReplaceTempView("orders_batch")
         graph.run(spark)
-    return spark.read.parquet(f"{warehouse_dir}/customer_order_state").select(
+    return read_table(spark, f"{warehouse_dir}/customer_order_state").select(
         "o_custkey",
         "n_orders",
         F.col("last_order").cast("string").alias("last_order"),
@@ -1855,7 +1899,14 @@ def dbt_sources_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f"source.{r['source']}.{r['table']}", "freshness", r["status"])
         for r in fresh
     ]
-    n = out["src_purchase_stats"].collect()[0]["n_events"]
+    # fold over the model rows (not collect()[0]): on an EMPTY events
+    # source the grouped model has zero rows and the summary must read
+    # 0, matching the oracle's global COUNT (wave 7 empty-corpus gate)
+    n = (
+        out["src_purchase_stats"]
+        .agg(F.coalesce(F.sum("n_events"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
     rows.append(("model.src_purchase_stats", "n_events", str(n)))
     return spark.createDataFrame(
         rows, "node string, metric string, value string"
@@ -1865,9 +1916,12 @@ def dbt_sources_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_freshness() -> str:
     def grade(table, col, warn_h, err_h):
         now = f"TIMESTAMP '{FRESHNESS_NOW}'"
+        # NULL MAX (empty source) grades 'error', matching dbt and the
+        # Spark grader — a bare CASE would fall through to 'pass'
         return f"""
 SELECT 'source.warehouse.{table}' AS node, 'freshness' AS metric,
-       CASE WHEN MAX({col}) < {now} - INTERVAL {err_h} HOUR
+       CASE WHEN MAX({col}) IS NULL THEN 'error'
+            WHEN MAX({col}) < {now} - INTERVAL {err_h} HOUR
               THEN 'error'
             WHEN MAX({col}) < {now} - INTERVAL {warn_h} HOUR
               THEN 'warn'
@@ -1948,7 +2002,7 @@ def model_incremental_late_data(
     ).createOrReplaceTempView("events_src")
     graph.run(spark)
 
-    return spark.read.parquet(f"{warehouse_dir}/daily_event_counts").select(
+    return read_table(spark, f"{warehouse_dir}/daily_event_counts").select(
         F.col("event_date").cast("string").alias("event_date"),
         "event_type",
         "n_events",

@@ -221,12 +221,43 @@ SELECT p_brand, 'promo_only'
 # ---------------------------------------------------------------------------
 
 def events_cube_type_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the () grouping set is split out as a global aggregate: standard
+    # SQL emits the grand-total row even over EMPTY input, Spark's
+    # cube returns zero rows there (wave 7 empty-corpus gate; same fix
+    # as orders_rollup_status_priority). Non-empty results unchanged.
+    # ONE base scan: the (type, cohort) grain keeps its DECIMAL sum,
+    # and coarser groupings re-aggregate it losslessly (counts add;
+    # decimal sums add exactly; the double cast happens once per
+    # output row) — cheaper at scale than Expand-based cube, which
+    # multiplies shuffle rows 4x.
     ev = _t(spark, sf_dir, "events").withColumn(
         "cohort", (F.col("user_id") % 4).cast("bigint")
     )
-    return ev.cube("event_type", "cohort").agg(
+    g = ev.groupBy("event_type", "cohort").agg(
         F.count(F.lit(1)).alias("n_events"),
-        money_sum(F.col("value"), "total_value"),
+        F.sum(F.col("value").cast("decimal(22,6)")).alias("dv"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("bigint")
+
+    def fin(df, etype, coh):
+        return df.select(
+            etype.alias("event_type"), coh.alias("cohort"),
+            "n_events", F.col("dv").cast("double").alias("total_value"),
+        )
+
+    reagg = [F.sum("n_events").alias("n_events"), F.sum("dv").alias("dv")]
+    total = g.agg(
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_events"),
+        F.sum("dv").alias("dv"),
+    )
+    return (
+        fin(g, F.col("event_type"), F.col("cohort"))
+        .unionByName(fin(g.groupBy("event_type").agg(*reagg),
+                         F.col("event_type"), null_b))
+        .unionByName(fin(g.groupBy("cohort").agg(*reagg),
+                         null_s, F.col("cohort")))
+        .unionByName(fin(total, null_s, null_b))
     )
 
 

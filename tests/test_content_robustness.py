@@ -383,3 +383,51 @@ def test_merge_rejects_null_unique_key(spark, tmp_path):
     ).collect()
     keys = [r["o_custkey"] for r in out]
     assert keys == [10]  # NULL-key orders never enter any batch
+
+
+def test_empty_corpus_artifact_green():
+    """Wave 7: the committed ZERO-ROW-corpus gate must be 156/156
+    exact — every spec handles empty tables (fresh partition /
+    filtered-to-nothing branch) without crashing or diverging from
+    the oracle. First run found 7 real defects: Spark's rollup/cube
+    drop the standard-mandated grand-total row on empty input, the
+    profiler emitted no per-column rows, partitioned writes of empty
+    batches bricked the read-back, and a freshness summary indexed
+    collect()[0] of an empty model."""
+    import json
+    import os
+
+    path = "/root/repo/CORRECTNESS_empty.json"
+    assert os.path.exists(path), "run tools/make_empty.py + the gate"
+    with open(path) as f:
+        d = json.load(f)
+    assert d["n_fail"] == 0 and d["n_rows_only"] == 0
+    assert d["n_specs"] == d["n_pass"] == 156
+
+
+def test_schema_stub_keeps_empty_partitioned_table_readable(spark, tmp_path):
+    """Wave 7 root cause, unit-level: a partitionBy write of an empty
+    DataFrame produces no data files; read_table falls back to the
+    schema stub and returns the declared schema with zero rows
+    (production analogue: the catalog/metastore record, or the table
+    format's own metadata on Delta/Iceberg)."""
+    from gcp_dbt_data_engineering_spark.plans.models import (
+        _write_schema_stub,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "a int, b string, fecha date")
+    empty.write.partitionBy("fecha").parquet(path)
+    _write_schema_stub(path, empty)
+    back = read_table(spark, path)
+    assert back.count() == 0
+    assert set(back.columns) == {"a", "b", "fecha"}
+    # and a table WITH files reads normally (stub ignored by discovery)
+    full = spark.createDataFrame(
+        [(1, "x", None)], "a int, b string, fecha date"
+    )
+    path2 = str(tmp_path / "t2")
+    full.write.partitionBy("fecha").parquet(path2)
+    _write_schema_stub(path2, full)
+    assert read_table(spark, path2).count() == 1

@@ -140,6 +140,16 @@ def doc_rows() -> list[tuple]:
         # exact duplicate of the NFC twin: 900015/900022 is a true
         # dup pair; 900015/900016 must stay distinct in exact dedup.
         (900022, NFC_TEXT, "fr"),
+        # ---- wave 7 ----------------------------------------------
+        # a single 10 MB token with no whitespace anywhere: word-level
+        # ops see ONE giant token, char-level ops see 10M chars — the
+        # "binary blob pasted into a text column" crawl reality. 200x
+        # the wave-6 10k-word; stresses shingle hashing, token-length
+        # stats, entropy folds and every length ratio at real scale.
+        (900023, "y" * 10_000_000, "en"),
+        # pure non-breaking-space doc (whitespace to a renderer, a
+        # 3-byte-per-char multibyte word to a naive splitter)
+        (900024, "\xa0" * 500, "zz"),
     ]
 
 
