@@ -122,6 +122,18 @@ def main() -> int:
             {},
             [os.path.join(REPO, ".artifacts", "sf0.01_nasty")],
         ),
+        # duplicate storm (tools/make_dupstorm.py, wave 8): 300
+        # verbatim boilerplate copies + 100 one-token edits (one LSH
+        # bucket holds ~37% of documents; 301-clique near-dup graph),
+        # 300 identical + 100 near-identical embeddings (k-means point
+        # mass, cosine-1.0 tie storms), a hot customer with 17% of
+        # orders — the boilerplate-heavy crawl reality that turns
+        # bucketed algorithms quadratic and ties nondeterministic
+        (
+            "sf0.01_dup_storm",
+            {},
+            [os.path.join(REPO, ".artifacts", "sf0.01_dupstorm")],
+        ),
     ]
     only = os.environ.get("CONFIGS")
     if only:
@@ -141,6 +153,8 @@ def main() -> int:
     builders = {
         os.path.join(REPO, ".artifacts", "sf0.01_skew"): "make_skew.py",
         os.path.join(REPO, ".artifacts", "sf0.01_nasty"): "make_nasty.py",
+        os.path.join(REPO, ".artifacts", "sf0.01_dupstorm"):
+            "make_dupstorm.py",
     }
     try:
         for name, env, args in configs:
