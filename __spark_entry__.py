@@ -60,6 +60,11 @@ def _evidence_rank() -> dict[str, tuple[int, int]]:
         "dedup_minhash_lsh": 8,
         "similarity_ann_ivf_kmeans": 8,
         "dedup_semantic": 8,
+        # r11: size-adaptive LSH banding (similarity.band_geometry)
+        # changed the sf0.01 output (500 vectors < the 1000-vector
+        # threshold now gets more/narrower bands); the r10 driver-green
+        # row describes the old 56x8 geometry
+        "similarity_ann_lsh": 11,
     }
     for name, chg_rnd in changed_in_round.items():
         status, neg_rnd = rank.get(name, (1, 0))

@@ -171,6 +171,11 @@ def _sliced_ann_oracles() -> dict[str, str]:
          (f"vec_id % {sim.QUERY_MOD} = 0",)),
         ("similarity_ann_ivf_kmeans", sim.ORACLE_ANN_IVF_KMEANS,
          (f"vec_id % {sim.QUERY_MOD} = 0",)),
+        # r11 IVF-PQ: same two-CTE filter structure as the IVF
+        # oracles (qrys + the probe l2q); the ADC re-rank budget is a
+        # corpus count (FROM qn), untouched by query slicing
+        ("similarity_pq_ivf", sim.ORACLE_PQ_IVF,
+         (f"vec_id % {sim.QUERY_MOD} = 0",)),
     ):
         sliced = oracle
         for pat in pats:
@@ -406,6 +411,7 @@ def main() -> int:
         "similarity_pq_adc",
         "similarity_ann_ivf",
         "similarity_ann_ivf_kmeans",
+        "similarity_pq_ivf",
     ):
         run(
             name,
