@@ -432,12 +432,42 @@ def main() -> int:
         _np_topk(ids, q, nn, cand_lists),
     )
 
+    # ---- IVF-PQ (r11) ------------------------------------------------------
+    print("replay: ivf-pq...", flush=True)
+    # PQ reconstruction centers replayed from FIRST PRINCIPLES (the
+    # 4-bit uniform binning over the quantized components), NOT by
+    # unpacking the spec's packed words — if the engine's pack/unpack
+    # round-trip were lossy, spec and replay would diverge right here,
+    # keeping packing correctness on the staged-exact critical path.
+    pqc = (
+        S.PQ_LO
+        + np.minimum(
+            S.PQ_L - 1, np.maximum(0, q - S.PQ_LO) // S.PQ_STEP
+        ) * S.PQ_STEP
+        + S.PQ_HALF
+    )
+    cand_lists = []
+    for qi in qidx:
+        cells = probes_for(int(qi), S.PQ_PROBE)
+        cand = np.concatenate([members_by_cid[c] for c in cells])
+        cand = cand[cand != qi]
+        diff = pqc[cand] - q[qi]  # int64: 64·(2·QCLAMP)² fits
+        adc = (diff * diff).sum(axis=1)
+        top = np.lexsort((ids[cand], adc))[:rerank]
+        cand_lists.append((int(qi), cand[top]))
+    rec_of(
+        "similarity_pq_ivf",
+        method,
+        spark_rows("similarity_pq_ivf"),
+        _np_topk(ids, q, nn, cand_lists),
+    )
+
     # ---- DuckDB micro-slice over staged artifacts --------------------------
     print("duckdb micro-slice...", flush=True)
     try:
         micro = _duck_micro(
             sf_dir, ids, q, nn, assign, cents, live, bands, c8, n8,
-            qidx[::MICRO_STRIDE], rerank,
+            qidx[::MICRO_STRIDE], rerank, pqc,
         )
         for name, ok in micro.items():
             out[name]["duck_micro_slice_match"] = ok
@@ -478,13 +508,14 @@ def main() -> int:
 
 
 def _duck_micro(sf_dir, ids, q, nn, assign, cents, live, bands, c8, n8,
-                micro_idx, rerank) -> dict[str, bool]:
+                micro_idx, rerank, pqc) -> dict[str, bool]:
     """SQL recomputation of candidate -> score -> top-10 for the micro
     queries, over the numpy-staged artifacts (third engine for the
     arithmetic): exact int64 dots via a (vec, dim) unnest join, the
     spec's own cosine text, rank by (cosine DESC, neighbor_id)."""
     from gcp_dbt_data_engineering_spark.operators.similarity import (
         FLAT_PROBE,
+        PQ_PROBE,
         SQ8_PROBE,
         TOP_K,
     )
@@ -511,6 +542,7 @@ def _duck_micro(sf_dir, ids, q, nn, assign, cents, live, bands, c8, n8,
             "cid": pa.array(assign),
             "c8": _fsl(c8),
             "n8": pa.array(n8),
+            "pqc": _fsl(pqc),
         }
     )
     con.register("vecs", vecs_tbl)
@@ -651,6 +683,45 @@ ORDER BY query_id, rank
     results["similarity_ann_ivf_kmeans"] = (
         sq8_rows == np_reference(ref_cands)
     )
+
+    # ivf-pq: integer ADC rank in SQL over the staged reconstruction
+    # centers (third engine for the asymmetric distance), exact top-10
+    probe_rows = []
+    for qid in sorted(micro_set):
+        qi = idx_of[qid]
+        d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
+        for cid in live[np.lexsort((live, d2))[:PQ_PROBE]]:
+            probe_rows.append((qid, int(cid)))
+    con.register(
+        "probespq",
+        __import__("pandas").DataFrame(
+            probe_rows, columns=["query_id", "cid"]
+        ),
+    )
+    pq_rows = top10(f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (a.q[i] - v.pqc[i]) * (a.q[i] - v.pqc[i])),
+               (x, y) -> x + y) ASC, v.vec_id) AS prn
+    FROM probespq p
+    JOIN vecs a ON a.vec_id = p.query_id
+    JOIN vecs v ON v.cid = p.cid
+    WHERE v.vec_id <> p.query_id)
+  WHERE prn <= {rerank}""")
+    ref_cands = []
+    for qid in sorted(micro_set):
+        qi = idx_of[qid]
+        d2 = nn[qi] - 2 * (cents @ q[qi]) + cnn
+        cells = live[np.lexsort((live, d2))[:PQ_PROBE]]
+        cand = np.where(np.isin(assign, cells))[0]
+        cand = cand[cand != qi]
+        diff = pqc[cand] - q[qi]
+        adc = (diff * diff).sum(axis=1)
+        top = np.lexsort((ids[cand], adc))[:rerank]
+        ref_cands.append((qi, cand[top]))
+    results["similarity_pq_ivf"] = pq_rows == np_reference(ref_cands)
     return results
 
 
