@@ -189,14 +189,36 @@ def word_hashes(text_col: str, dialect: str) -> str:
 
 
 def char_shingle_hashes(text_col: str, n: int, dialect: str) -> str:
-    """Array of polyhashes of the character n-grams of a text column."""
+    """Array of polyhashes of the character n-grams of a text column.
+
+    Spark branch is O(n) per doc (wave 8): the earlier
+    per-position ``substring({text_col}, i, n)`` form re-scans the
+    string from byte 0 on EVERY call to find the code-point offset —
+    O(i) per gram, quadratic per doc (measured 26 s at a 100k-char
+    doc; ~days at the wave-7 10 MB single-token pathology, which
+    wedged one executor core exactly the way a pathological crawl doc
+    would on a 1000-executor cluster). Instead the char-code array is
+    computed ONCE per doc and bound via a 1-element ``transform``
+    (SQL's let-binding), and each gram folds n O(1) ``element_at``
+    lookups. Byte-identical values: polyhash's 0-init first step is
+    ``(0*31 + c0) % P = c0`` since every code point < P, so the
+    nested fold equals ``polyhash(substring(...))`` exactly, and
+    ``split``/``ascii`` are the same code-point extraction polyhash
+    itself uses."""
     if dialect == "spark":
-        grams = (
-            f"CASE WHEN length({text_col}) >= {n} THEN"
-            f" transform(sequence(1, length({text_col}) - {n - 1}),"
-            f" i -> substring({text_col}, i, {n})) ELSE array() END"
+        codes = (
+            f"transform(split({text_col}, ''),"
+            " ch -> CAST(ascii(ch) AS BIGINT))"
         )
-        return f"transform({grams}, s -> {polyhash('s', dialect)})"
+        g = "element_at(cs, i)"
+        for k in range(1, n):
+            g = f"(({g}) * 31 + element_at(cs, i + {k})) % {P}"
+        return (
+            f"CASE WHEN length({text_col}) >= {n} THEN"
+            f" element_at(transform(array({codes}), cs ->"
+            f" transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> {g})), 1) ELSE array() END"
+        )
     grams = (
         f"CASE WHEN length({text_col}) >= {n} THEN"
         f" list_transform(generate_series(1, length({text_col}) - {n - 1}),"
