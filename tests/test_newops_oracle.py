@@ -630,6 +630,7 @@ def test_compact_small_files_oracle_and_layout(spark):
     compacts (fragmented shard count -> ceil(rows/target) files on
     disk) and preserves content exactly."""
     import glob
+    import os
 
     from gcp_dbt_data_engineering_spark.plans.layout import (
         ART,
@@ -643,15 +644,23 @@ def test_compact_small_files_oracle_and_layout(spark):
     res = compare(spec.spark(spark, SF), spec.oracle, SF)
     assert res["match"], res
 
-    tag = _sf_tag(SF)
+    # The r8 staleness fix (22bce61) keyed the layout dirs on the
+    # source's mtime+size (_sf_tag(sf, 'orders')) and e63fa4d made the
+    # compacted output per-PID; this glob kept the pre-r8 paths and
+    # only stayed green while pre-r8 leftover dirs lingered under
+    # .artifacts/ — a fresh checkout exposed it (r11 inherited-state
+    # fix). The spec runs in THIS process, so its compacted dir
+    # carries our pid.
+    tag = _sf_tag(SF, "orders")
+    comp_dir = f"{ART}/{tag}_compacted_orders-{os.getpid()}"
     frag = glob.glob(f"{ART}/{tag}_fragmented_orders/*.parquet")
-    comp = glob.glob(f"{ART}/{tag}_compacted_orders/*.parquet")
+    comp = glob.glob(f"{comp_dir}/part-*.parquet")
     assert len(frag) == COMPACT_SHARDS
     n = spark.read.parquet(f"{SF}/orders.parquet").count()
     assert len(comp) == max(1, -(-n // COMPACT_ROWS_PER_FILE))
     assert len(comp) < len(frag)
     # content identity beyond the checksum: full anti-join is empty
-    a = spark.read.parquet(f"{ART}/{tag}_compacted_orders")
+    a = spark.read.parquet(comp_dir)
     b = spark.read.parquet(f"{SF}/orders.parquet")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
