@@ -63,6 +63,18 @@ def test_plan_audit_matches_head(spark):
     from plan_audit import audit_spec
 
     import __spark_entry__ as entry
+    from gcp_dbt_data_engineering_spark.session import clear_caches
+
+    # Normalize session state to the artifact's generation conditions
+    # (tools/plan_audit.py: fresh session, build-only). If an earlier
+    # test in the shared session EXECUTED a similarity spec, the
+    # materialized _quantized InMemoryRelation prints its finalized
+    # cached plan — including the spread() cache-build repartition
+    # exchange — inside every consumer's formatted explain, so the
+    # four eager embeddings specs count +1 exchange vs the committed
+    # build-only plans (reproduced: pq_adc.toArrow() first => 23/5/
+    # 10/12 vs 22/4/9/11; clear_caches restores the committed counts).
+    clear_caches(spark)
 
     with open(os.path.join(REPO, "PLAN_AUDIT.json")) as f:
         committed = json.load(f)["per_spec"]
