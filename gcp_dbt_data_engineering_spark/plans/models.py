@@ -254,23 +254,55 @@ def _write_schema_stub(path: str, df) -> None:
     os.replace(tmp, os.path.join(path, _SCHEMA_STUB))
 
 
+def _as_nullable(dt):
+    """Schema with every field/element nullable — the exact shape
+    parquet footer INFERENCE yields (files can always hold nulls), so
+    a stub-supplied schema is indistinguishable from an inferred one."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _as_nullable(dt.valueType), True)
+    return dt
+
+
 def read_table(spark, path: str):
-    """``spark.read.parquet`` with the schema-stub fallback: a
+    """``spark.read.parquet`` with the schema-stub fast path.
+
+    When the table's schema stub exists (every materialization writes
+    one), its schema is handed to the reader: this skips the per-read
+    footer-inference JOB (~70-90 ms of driver+task round-trip per
+    read at any scale — the metastore role a real catalog plays; a
+    Hive/Glue-backed table never re-infers either). The stub schema is
+    nullable-normalized to match what inference would return. A
     file-less (all-batches-empty) table reads as its declared schema
-    with zero rows instead of raising."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    with zero rows instead of raising: with an explicit schema the
+    reader needs no inference, so the empty dir is simply an empty
+    relation. Stub-less dirs (external layouts) still infer.
+    """
+    stub = os.path.join(path, _SCHEMA_STUB)
+    schema = None
+    if os.path.exists(stub):
+        from pyspark.sql.types import StructType
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        stub = os.path.join(path, _SCHEMA_STUB)
-        if os.path.exists(stub):
-            from pyspark.sql.types import StructType
-
+        try:
             with open(stub) as f:
-                schema = StructType.fromJson(json.loads(f.read()))
-            return spark.createDataFrame([], schema)
-        raise
+                schema = _as_nullable(
+                    StructType.fromJson(json.loads(f.read()))
+                )
+        except (OSError, ValueError, KeyError):
+            schema = None  # torn/garbled stub: fall back to inference
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def parse_macros(text: str) -> dict[str, tuple[list[str], str]]:
@@ -701,7 +733,10 @@ class ModelGraph:
             df = reader.csv(path)
             wpath = f"{self.warehouse_dir}/{name}"
             df.write.mode("overwrite").parquet(wpath)
-            df = spark.read.parquet(wpath)
+            # stub + read_table: the read-back resolves its schema from
+            # the stub (catalog role) instead of a footer-inference job
+            _write_schema_stub(wpath, df)
+            df = read_table(spark, wpath)
             df.createOrReplaceTempView(name)
             out[name] = df
         return out
@@ -1436,11 +1471,18 @@ def dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     raise ValueError(f"unknown schema test {test!r}")
                 rows.append((model, col, test, sql))
+    # evaluate each scalar count subquery ONCE: referencing `(sql)` in
+    # both the failed_records projection and the status CASE ran every
+    # count twice (Spark plans two independent scalar subqueries; 8
+    # subquery jobs for 4 tests) — derive status from the aliased
+    # count in an outer select instead (guide §2.4: remove duplicated
+    # work the optimizer won't dedupe for you)
     parts = [
         spark.sql(
-            f"SELECT '{m}' AS model, '{c}' AS column_name, '{t}' AS test_name, "
-            f"CAST(({sql}) AS BIGINT) AS failed_records, "
-            f"CASE WHEN ({sql}) = 0 THEN 'PASS' ELSE 'FAIL' END AS status"
+            f"SELECT model, column_name, test_name, failed_records, "
+            f"CASE WHEN failed_records = 0 THEN 'PASS' ELSE 'FAIL' END "
+            f"AS status FROM (SELECT '{m}' AS model, '{c}' AS column_name, "
+            f"'{t}' AS test_name, CAST(({sql}) AS BIGINT) AS failed_records)"
         )
         for m, c, t, sql in rows
     ]

@@ -54,6 +54,22 @@ RUNTIME_CONF: dict[str, str] = {
     # of re-setting here.
 }
 
+#: Write-path Hadoop confs (applied to the live hadoopConfiguration —
+#: they are core confs, not runtime SQLConfs). Both shave fixed
+#: per-write overhead, the constant every materialization batch pays:
+#: - committer v2 renames task output straight into the destination
+#:   (v1 adds a serial driver-side rename pass per job-commit); crash
+#:   atomicity for stateful tables comes from the engine's
+#:   _SUCCESS-gated staged-swap protocol, not the committer, so v1's
+#:   stronger job-level atomicity buys nothing here.
+#: - parquet summary files (_metadata/_common_metadata) are a write-
+#:   time footer merge nothing reads back (Spark infers from data
+#:   file footers); skipping them removes a per-write driver pass.
+HADOOP_CONF: dict[str, str] = {
+    "mapreduce.fileoutputcommitter.algorithm.version": "2",
+    "parquet.summary.metadata.level": "NONE",
+}
+
 
 def _env_conf() -> dict[str, str]:
     """Ad-hoc conf overrides from ``SPARK_GRAFT_EXTRA_CONF``.
@@ -100,6 +116,12 @@ def tune(
             # Non-runtime conf on this build — fine for confs that only
             # matter at session-build time (get_spark sets them there).
             pass
+    try:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in HADOOP_CONF.items():
+            hconf.set(k, v)
+    except Exception:
+        pass  # connect-mode session without a JVM-side context handle
     return spark
 
 

@@ -6,6 +6,7 @@ from .registry import (  # noqa: F401
     load_table,
     register_all,
     spread,
+    spread_by_size,
     stats_informed_join,
     table_path,
     write_sink,

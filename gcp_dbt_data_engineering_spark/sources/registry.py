@@ -322,9 +322,41 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
         est = df.rdd.getNumPartitions()
     if not files:
         est = df.rdd.getNumPartitions()
+    if n <= est:
+        # already at (or above) the requested parallelism: a
+        # repartition would be a pure extra exchange
+        return df
     if est < max(2, n // 2):
         return df.repartition(n)
     return df
+
+
+def spread_by_size(
+    df: DataFrame, bytes_per_task: int = 8 << 20
+) -> DataFrame:
+    """:func:`spread` with DATA-proportional parallelism.
+
+    For stages whose per-task fixed overhead is material (every
+    Python-boundary stage pays a ~10-20 ms worker handshake per task,
+    measured §4 of OPTIMIZATION_r11), core-count fan-out of a tiny
+    input buys nothing and the handshakes add up. Target a minimum
+    payload per task instead: parallelism = clamp(input_bytes /
+    bytes_per_task, 1, cores). Small corpora stay at their scan split
+    count (no shuffle at all); large corpora fan out to every core —
+    the same call is right at sf0.001 and at 100 TB.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        size = sum(
+            os.path.getsize(f.removeprefix("file:"))
+            for f in df.inputFiles()
+        )
+    except Exception:
+        size = 0
+    if not size:
+        return df
+    n = max(1, min(sc.defaultParallelism, -(-size // bytes_per_task)))
+    return spread(df, n)
 
 
 def register_all(
