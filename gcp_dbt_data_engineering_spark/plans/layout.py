@@ -464,7 +464,12 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{ART}/{_sf_tag(sf_dir, 'orders')}_compacted_orders"
         f"-{os.getpid()}"
     )
-    df.repartition(target).write.mode("overwrite").parquet(compacted)
+    # per-PID scratch dir read back immediately below — nothing gates
+    # on its _SUCCESS marker (unlike the _stage()d artifacts), so skip
+    # the marker's job-commit write (~25 ms)
+    df.repartition(target).write.option(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+    ).mode("overwrite").parquet(compacted)
     out = spark.read.parquet(compacted)
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),

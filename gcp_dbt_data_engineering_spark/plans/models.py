@@ -238,6 +238,13 @@ def _seed_reader(spark):
 #: stub never pollutes partition inference or row reads
 _SCHEMA_STUB = "_graft_schema.json"
 
+#: per-write option dropping the _SUCCESS marker where nothing reads
+#: it (plain table / seed / incremental-partition writes) — the
+#: marker write is ~25 ms of job-commit time per write here. The
+#: staged-swap writes (merge/snapshot staging, layout._stage) KEEP
+#: the marker: ``_recover_swap``/``_have`` gate promotion on it.
+_NO_SUCCESS = {"mapreduce.fileoutputcommitter.marksuccessfuljobs": "false"}
+
 
 def _write_schema_stub(path: str, df) -> None:
     """Record the table's schema beside its files (wave 7): a
@@ -732,7 +739,7 @@ class ModelGraph:
                 reader = reader.option("inferSchema", "true")
             df = reader.csv(path)
             wpath = f"{self.warehouse_dir}/{name}"
-            df.write.mode("overwrite").parquet(wpath)
+            df.write.options(**_NO_SUCCESS).mode("overwrite").parquet(wpath)
             # stub + read_table: the read-back resolves its schema from
             # the stub (catalog role) instead of a footer-inference job
             _write_schema_stub(wpath, df)
@@ -1024,7 +1031,7 @@ class ModelGraph:
             df.createOrReplaceTempView(name)
         elif mat == "table":
             path = f"{self.warehouse_dir}/{name}"
-            df.write.mode("overwrite").parquet(path)
+            df.write.options(**_NO_SUCCESS).mode("overwrite").parquet(path)
             _write_schema_stub(path, df)
             df = read_table(spark, path)
             df.createOrReplaceTempView(name)
@@ -1044,7 +1051,8 @@ class ModelGraph:
             # split within hot partitions if one day >> executors.
             writer = (
                 df.repartition(F.col(part))
-                .write.mode("overwrite")
+                .write.options(**_NO_SUCCESS)
+                .mode("overwrite")
                 .partitionBy(part)
             )
             # dynamic mode: only partitions present in df are replaced
@@ -1235,8 +1243,13 @@ class ModelGraph:
                 )
                 df = reader.csv(path)
                 wpath = f"{self.warehouse_dir}/{name}"
-                df.write.mode("overwrite").parquet(wpath)
-                spark.read.parquet(wpath).createOrReplaceTempView(name)
+                df.write.options(**_NO_SUCCESS).mode(
+                    "overwrite"
+                ).parquet(wpath)
+                # stub + read_table: schema from the stub, not a
+                # footer-inference job (same as seed())
+                _write_schema_stub(wpath, df)
+                read_table(spark, wpath).createOrReplaceTempView(name)
                 if name in selected:
                     results.append(
                         {"node": name, "kind": "seed",
