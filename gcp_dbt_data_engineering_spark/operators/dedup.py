@@ -116,6 +116,28 @@ sh AS MATERIALIZED (SELECT DISTINCT doc_id, h
 sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
 
 
+def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n): per-doc distinct-shingle counts, memoized +
+    persisted with the same discipline as :func:`_shingle_rows` — the
+    Spark twin of the oracle's ``sz AS MATERIALIZED`` CTE. Five
+    consumers (Jaccard/containment verification sides, keep-best)
+    each re-aggregated the ~100× larger shingle relation per build;
+    the 1-row-per-doc memo makes every reference a cached-scan."""
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_shingle_sz_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is None:
+        hit = (
+            _shingle_rows(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
+        cache[sf_dir] = hit
+    return hit
+
+
 def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h, rnk, n): each doc's shingles ranked by the GLOBAL
     (document-frequency, hash) order, plus the doc's shingle count.
@@ -138,12 +160,21 @@ def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(
-    pairs: DataFrame, sh: DataFrame, threshold: float
+    pairs: DataFrame, sh: DataFrame, threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs via hash join."""
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via hash join.
+
+    ``sizes`` lets callers pass the memoized :func:`_shingle_sizes`
+    relation so the two size joins read 1 row/doc from cache instead
+    of re-aggregating the full shingle relation per reference."""
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz = (
+        sizes
+        if sizes is not None
+        else sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
         pairs.join(a, "doc_a")
         .join(b, ["doc_b", "h"])
@@ -313,6 +344,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppjoin_candidates(sh, _ranked_shingles(spark, sf_dir)),
         sh,
         JACCARD_T,
+        sizes=_shingle_sizes(spark, sf_dir),
     )
 
 
@@ -379,7 +411,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     full_b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    sz_b = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    sizes = _shingle_sizes(spark, sf_dir)
+    sz_b = sizes.withColumnRenamed("n", "nb")
     cands = (
         pref.join(full_b, "h")
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -390,7 +423,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz = sizes
     inter = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "h"])
@@ -487,7 +520,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(pairs, sh, VERIFY_T)
+    return _jaccard_pairs(
+        pairs, sh, VERIFY_T, sizes=_shingle_sizes(spark, sf_dir)
+    )
 
 
 def _sql_minhash() -> str:
@@ -1075,8 +1110,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     with n_dropped = 0.
     """
     labels = _cluster_labels(spark, sf_dir)
-    sh = _shingle_rows(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sz = _shingle_sizes(spark, sf_dir)
     members = labels.join(sz, "doc_id", "left").selectExpr(
         "label AS component_id",
         "doc_id",

@@ -282,3 +282,32 @@ def test_simhash_leaves_no_temp_views(spark):
     assert not {n for n in after - before if "simhash" in n}
     # both lazily-built frames still execute after the views dropped
     assert df1.count() == df2.count()
+
+
+def test_shingle_sizes_memo_exact_and_invalidated(spark):
+    """r11 optimization: the per-doc shingle-size relation is memoized
+    + persisted (_graft_shingle_sz_cache) instead of re-aggregated by
+    every consumer. It must equal the direct aggregate exactly, hand
+    back the same handle on a second call, and be dropped by
+    clear_caches like every derived memo."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        _shingle_rows,
+        _shingle_sizes,
+    )
+    from gcp_dbt_data_engineering_spark.session import clear_caches
+
+    sizes = _shingle_sizes(spark, SF)
+    direct = (
+        _shingle_rows(spark, SF)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["doc_id"], r["n"]) for r in sizes.collect()}
+    want = {(r["doc_id"], r["n"]) for r in direct.collect()}
+    assert got == want and len(got) > 0
+    assert _shingle_sizes(spark, SF) is sizes  # memo hit
+    assert sizes.is_cached
+    clear_caches(spark)
+    assert "_graft_shingle_sz_cache" not in spark.__dict__
