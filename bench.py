@@ -22,8 +22,13 @@ Methodology:
   DataFrames: the prepared-query steady state every deployed job runs
   in (plan built once, corpus artifacts materialized once, serving
   every execution — at 100 TB plan+artifact cost amortizes to
-  nothing); re-execution still re-reads parquet and re-shuffles, it
-  only skips re-planning, re-compiling, and broadcast/memo rebuilds.
+  nothing). Measured precisely (r11, statusTracker): re-executing a
+  held DataFrame re-runs ONLY its result stage — Spark reuses live
+  shuffle map output and built broadcasts across executions of the
+  same plan, besides skipping re-planning/re-compiling. Warm numbers
+  are therefore final-stage + fetch cost; the every-stage-fresh
+  number is spark_cold_s. Materialization/eager specs build new
+  plans each pass and pay every stage regardless.
   Headline spark time = min over the warm re-executions; passes run
   in different seeded-shuffle orders so one expensive predecessor
   can't poison a spec's min (run_orders recorded in the detail file).
@@ -301,7 +306,8 @@ def main() -> None:
             "+memo-rebuild+exec — genuine one-shot cost); then an "
             "unrecorded build pass (memos persist) and warm passes "
             "re-executing the held DataFrame (prepared-query steady "
-            "state: re-reads/re-shuffles, skips re-planning); "
+            "state: only the result stage re-runs — live shuffle map "
+            "output and broadcasts are reused, r11 measurement); "
             "headline spark_s = min over warm re-executions "
             "(min-of-5 since r8: sub-0.2s specs jitter ± the ~30ms "
             "scheduling floor, and min over more independently-"
