@@ -458,7 +458,19 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(t),
         )
     df = spark.read.parquet(frag)
-    n = df.count()
+    # sizing input from parquet FOOTERS, not a count() job: num_rows is
+    # exact committed metadata (the registry's collect_table_stats
+    # discipline) and the file-count decision is a planning input — the
+    # oracle-checked n_rows below is still computed from the compacted
+    # DATA, so the content proof is untouched. O(files) driver-side vs
+    # a full-scan job per rebuild.
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.ParquetFile(os.path.join(frag, f)).metadata.num_rows
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
     target = max(1, -(-n // COMPACT_ROWS_PER_FILE))
     compacted = (
         f"{ART}/{_sf_tag(sf_dir, 'orders')}_compacted_orders"
@@ -470,7 +482,11 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.repartition(target).write.option(
         "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
     ).mode("overwrite").parquet(compacted)
-    out = spark.read.parquet(compacted)
+    # read back with the known schema: the compacted layout carries the
+    # fragmented table's schema verbatim (repartition is layout-only),
+    # and df.schema IS parquet inference's output for these files — an
+    # explicit schema skips the per-rebuild footer-inference job
+    out = spark.read.schema(df.schema).parquet(compacted)
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         money_sum(F.col("o_totalprice"), "revenue_checksum"),
