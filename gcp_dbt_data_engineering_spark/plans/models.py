@@ -644,6 +644,97 @@ class ModelGraph:
         ]
         return float(spec["count"]) * per
 
+    @staticmethod
+    def _parquet_stats_max(spark: SparkSession, rel: str, la: str):
+        """``MAX(la)`` from parquet FOOTER column statistics — the
+        guide-§6 aggregate-pushdown answer for the freshness grader,
+        without flipping the whole engine onto the V2 scan path (which
+        would churn every audited plan for one spec). Exactly the
+        metadata Spark's own ``spark.sql.parquet.aggregatePushdown``
+        and DuckDB's zone-map MAX trust.
+
+        Only DATE(INT32)/TIMESTAMP(INT64) columns qualify (string
+        min/max may be writer-truncated); every data file and row
+        group must carry exact stats; an all-NULL row group
+        contributes nothing (same as MAX); a raw-int64 nanos column
+        floors to micros exactly like the registry's
+        ``timestamp_micros(ts DIV 1000)`` view (floor is monotone, so
+        max-of-floors = floor-of-max). Returns ``(True, value)`` —
+        ``value`` is ``None`` for an all-null/empty source, graded
+        ``error`` just like a scanned NULL MAX — or ``None`` when the
+        footers cannot prove the answer and the caller must scan.
+        """
+        import json as _json
+
+        from datetime import date as _date
+        from datetime import datetime as _dt
+        from datetime import timedelta as _td
+
+        import pyarrow.parquet as pq
+
+        try:
+            files = [
+                f.removeprefix("file:")
+                for f in spark.table(rel).inputFiles()
+            ]
+        except Exception:
+            return None
+        if not files:
+            return None
+        kind0: str | None = None
+        best: int | None = None  # micros (timestamp) or days (date)
+        for path in files:
+            try:
+                md = pq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            sch = md.schema
+            try:
+                idx = sch.names.index(la)
+            except ValueError:
+                return None  # nested/renamed/expression: Spark scans
+            col = sch.column(idx)
+            lt = _json.loads(col.logical_type.to_json())
+            if lt["Type"] == "Date" and col.physical_type == "INT32":
+                kind, to_us = "date", None
+            elif (
+                lt["Type"] == "Timestamp"
+                and col.physical_type == "INT64"
+            ):
+                kind = "ts"
+                to_us = {
+                    "nanoseconds": lambda v: v // 1000,
+                    "microseconds": lambda v: v,
+                    "milliseconds": lambda v: v * 1000,
+                }.get(lt.get("timeUnit", ""))
+                if to_us is None:
+                    return None
+            else:
+                return None
+            if kind0 is None:
+                kind0 = kind
+            elif kind0 != kind:
+                return None  # mixed layouts across files: scan
+            for g in range(md.num_row_groups):
+                cmd = md.row_group(g).column(idx)
+                st = cmd.statistics
+                if st is None:
+                    return None
+                if not st.has_min_max:
+                    if st.null_count == cmd.num_values:
+                        continue  # all-NULL group: nothing to add
+                    return None
+                raw = st.max_raw
+                if kind == "ts":
+                    raw = to_us(raw)
+                if best is None or raw > best:
+                    best = raw
+        if best is None:
+            return (True, None)
+        if kind0 == "date":
+            return (True, _date(1970, 1, 1) + _td(days=best))
+        return (True, _dt(1970, 1, 1) + _td(microseconds=best))
+
     def source_freshness(
         self, spark: SparkSession, now: str
     ) -> list[dict]:
@@ -680,19 +771,35 @@ class ModelGraph:
                 )
         if not checks:
             return []
-        row = spark.sql(
-            "SELECT "
-            + ", ".join(
-                f"(SELECT MAX({la}) FROM {rel}) AS m{i}"
-                for i, (_, _, rel, la, _, _) in enumerate(checks)
-            )
-        ).collect()[0]
+        # footer-stats fast path first (guide §6): checks whose MAX is
+        # provable from parquet column statistics skip the scan; only
+        # the remainder goes into the batched scalar-subquery SELECT
+        # (still ONE driver action for all of them)
+        vals: dict[int, object] = {}
+        scan_idx = []
+        for i, (_, _, rel, la, _, _) in enumerate(checks):
+            got = self._parquet_stats_max(spark, rel, la)
+            if got is None:
+                scan_idx.append(i)
+            else:
+                vals[i] = got[1]
+        if scan_idx:
+            row = spark.sql(
+                "SELECT "
+                + ", ".join(
+                    f"(SELECT MAX({checks[i][3]}) FROM {checks[i][2]})"
+                    f" AS m{i}"
+                    for i in scan_idx
+                )
+            ).collect()[0]
+            for i in scan_idx:
+                vals[i] = row[f"m{i}"]
         now_dt = datetime.fromisoformat(now)
         out = []
         for i, (sname, tname, _rel, _la, warn_h, err_h) in enumerate(
             checks
         ):
-            m = row[f"m{i}"]
+            m = vals[i]
             if isinstance(m, date) and not isinstance(m, datetime):
                 m = datetime(m.year, m.month, m.day)
             status = "pass"

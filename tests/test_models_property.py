@@ -148,3 +148,58 @@ def test_quote_aware_arg_split_roundtrip_property():
             assert quote is None, part
 
     check()
+
+
+def test_footer_stats_max_matches_scan_and_falls_back(spark, tmp_path):
+    """The freshness grader's parquet-footer MAX fast path
+    (ModelGraph._parquet_stats_max) must equal the scanned MAX on the
+    real fixture tables, fall back (return None) for columns whose
+    stats can't prove the answer (strings — writer-truncatable), and
+    report an all-NULL column as (True, None), the same verdict the
+    scanned NULL MAX grades as 'error'."""
+    from datetime import date, datetime
+
+    from gcp_dbt_data_engineering_spark.plans.models import ModelGraph
+    from gcp_dbt_data_engineering_spark.sources import register_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_all(spark, sf_dir, ("orders", "lineitem", "events"))
+    for rel, la in (
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+        ("events", "ts"),
+    ):
+        got = ModelGraph._parquet_stats_max(spark, rel, la)
+        assert got is not None, f"{rel}.{la}: footer path must apply"
+        scanned = spark.sql(f"SELECT MAX({la}) AS m FROM {rel}").collect()[
+            0
+        ]["m"]
+        if isinstance(scanned, date) and not isinstance(
+            scanned, datetime
+        ):
+            scanned = datetime(
+                scanned.year, scanned.month, scanned.day
+            )
+        footer = got[1]
+        if isinstance(footer, date) and not isinstance(
+            footer, datetime
+        ):
+            footer = datetime(footer.year, footer.month, footer.day)
+        assert footer == scanned, (rel, la, footer, scanned)
+
+    # string column: stats may be truncated -> must decline
+    assert (
+        ModelGraph._parquet_stats_max(spark, "orders", "o_orderstatus")
+        is None
+    )
+
+    # all-NULL timestamp column -> (True, None), graded like NULL MAX
+    p = str(tmp_path / "allnull")
+    spark.sql(
+        "SELECT CAST(NULL AS TIMESTAMP_NTZ) AS loaded_at"
+        " FROM range(10)"
+    ).write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("__allnull_src")
+    got = ModelGraph._parquet_stats_max(spark, "__allnull_src", "loaded_at")
+    assert got == (True, None)
+    spark.catalog.dropTempView("__allnull_src")
