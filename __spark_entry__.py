@@ -10,67 +10,76 @@ module only aggregates the per-module spec registries.
 
 from __future__ import annotations
 
-import json
-import re
 from collections.abc import Callable
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from gcp_dbt_data_engineering_spark.plans.spec import QuerySpec
 
-
-def _evidence_rank() -> dict[str, tuple[int, int]]:
-    """Rank each spec by how weak its driver-correctness evidence is.
-
-    The external gate samples the FIRST 50 entries of ``queries()`` each
-    round, so iteration order decides which specs accumulate driver-green
-    rows. We read the committed ``CORRECTNESS_r*.json`` artifacts and sort
-    weakest-evidence first: (0) last driver run was red, (1) never
-    driver-sampled, (2) green, oldest round first. This rotates coverage
-    across rounds until every spec has a green row.
-    """
-    rounds: list[tuple[int, dict]] = []
-    for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", p.name)
-        if not m:
-            continue
-        try:
-            rounds.append((int(m.group(1)), json.loads(p.read_text())))
-        except (OSError, ValueError):
-            continue
-    rank: dict[str, tuple[int, int]] = {}
-    for rnd, data in sorted(rounds):
-        if not isinstance(data, dict):
-            continue
-        for name, row in data.items():
-            ok = isinstance(row, dict) and all(
-                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
-            )
-            if ok:
-                rank[name] = (2, -rnd)  # green; newer rounds sort later
-            elif rank.get(name, (0, 0))[0] != 2:
-                rank[name] = (0, -rnd)  # red and never green: first priority
-    # Specs whose SEMANTICS changed in a given round after their last
-    # driver-green row: that evidence describes the old output, so they
-    # outrank everything until a green row from a LATER round lands
-    # (builder-side full-oracle gates cover them meanwhile). r8:
-    # minhash_coeffs fix; k-means reseeding (avalanched-hash seeds).
-    changed_in_round = {
-        "dedup_minhash_lsh": 8,
-        "similarity_ann_ivf_kmeans": 8,
-        "dedup_semantic": 8,
-        # r11: size-adaptive LSH banding (similarity.band_geometry)
-        # changed the sf0.01 output (500 vectors < the 1000-vector
-        # threshold now gets more/narrower bands); the r10 driver-green
-        # row describes the old 56x8 geometry
-        "similarity_ann_lsh": 11,
-    }
-    for name, chg_rnd in changed_in_round.items():
-        status, neg_rnd = rank.get(name, (1, 0))
-        if status != 2 or -neg_rnd < chg_rnd:
-            rank[name] = (-1, 0)
-    return rank
+#: FROZEN iteration order for ``queries()`` (VERDICT r11 item 1a).
+#:
+#: The external gate samples the FIRST 50 entries each round. Rounds 6-11
+#: rotated this window (weakest-correctness-evidence first, via the old
+#: ``_evidence_rank``) until every spec had accumulated a driver-green
+#: row — which round 11 completed: 50/50 green and zero never-sampled
+#: specs across the committed CORRECTNESS_r*.json history. Past that
+#: point rotation only manufactures phantom ``queries_dropped`` /
+#: ``new_in_bench`` rows in round-over-round PERF comparisons, so the
+#: window is now FROZEN to the exact 50 specs the round-11 driver
+#: verified (the keys of CORRECTNESS_r11.json, in its order). Every
+#: other spec follows in stable registry order. Do not reorder.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    "similarity_ann_lsh",
+    "similarity_pq_ivf",
+    "events_props_variant_stats",
+    "dq_psi_drift",
+    "events_ewma_volume",
+    "events_seasonal_baseline",
+    "dq_cusum_drift",
+    "dq_daily_anomaly_mad",
+    "dq_referential_integrity",
+    "dedup_repeated_spans",
+    "dedup_keep_best",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "embeddings_outlier_audit",
+    "similarity_pq_adc",
+    "similarity_ann_ivf_kmeans",
+    "dedup_semantic",
+    "text_rake_keywords",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "text_quality_classifier",
+    "text_ngram_novelty",
+    "text_pmi_cooccurrence",
+    "multimodal_byte_features",
+    "multimodal_phash_near_dup",
+    "contamination_external_bench",
+    "split_train_val_test",
+    "sample_stratified_by_lang",
+    "mix_domains_temperature",
+    "pii_redact_audit",
+    "pack_sequences_chunked",
+    "pack_sequences_greedy",
+    "boilerplate_chunk_filter",
+    "dsir_importance_selection",
+    "curate_corpus_funnel",
+    "token_budget_select",
+    "sample_weighted_priority",
+    "domain_cap_downsample",
+    "sketch_hll_distinct_users",
+    "sketch_hll_users_by_type",
+    "sketch_hll_merge_sources",
+    "sketch_bloom_customer_filter",
+    "sketch_countmin_heavy_users",
+    "sketch_kmv_distinct_users",
+    "sketch_hll_sliding_window",
+    "sketch_kmv_set_ops",
+    "sketch_quantile_hdr_prices",
+    "stats_bootstrap_ci",
+    "basket_part_affinity",
+    "customer_revenue_gini",
+)
 
 
 def _all_specs() -> dict[str, QuerySpec]:
@@ -103,13 +112,9 @@ def _all_specs() -> dict[str, QuerySpec]:
             continue  # module not built yet this round
     for mod in modules:
         specs.update(getattr(mod, "SPECS", {}))
-    rank = _evidence_rank()
-    registry_pos = {name: i for i, name in enumerate(specs)}
-    ordered = sorted(
-        specs,
-        key=lambda n: (*rank.get(n, (1, 0)), registry_pos[n]),
-    )
-    return {name: specs[name] for name in ordered}
+    window = [n for n in _DRIVER_WINDOW if n in specs]
+    rest = [n for n in specs if n not in set(_DRIVER_WINDOW)]
+    return {name: specs[name] for name in (*window, *rest)}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -145,10 +145,70 @@ def main() -> None:
                 fetch_mode[name] = "collect"  # e.g. VARIANT columns
         return len(df.collect())
 
+    # Deterministic per-spec counters (VERDICT r11 item 1b): wall-clock
+    # on this box drifts ±15-40% run to run, so round-over-round
+    # comparisons need noise-free metrics. After each COLD spec the
+    # JVM AppStatusStore is read (listener bus drained first) and the
+    # NEW job/stage entries past the previous watermark are attributed
+    # to that spec: job count, stage count, task count, shuffle
+    # read/write bytes, input bytes/records. Job and stage IDs are
+    # monotonic, so store eviction of old entries cannot corrupt the
+    # deltas. Reads happen OUTSIDE the timed region and add nothing to
+    # any recorded wall-clock.
+    counters: dict[str, dict[str, int]] = {}
+
+    def _store_state():
+        try:
+            jssc = spark.sparkContext._jsc.sc()
+            jssc.listenerBus().waitUntilEmpty(10_000)
+            store = jssc.statusStore()
+            gw = spark.sparkContext._gateway
+            stages = store.stageList(
+                None, False, False, gw.new_array(gw.jvm.double, 0), None
+            )
+            jobs = store.jobsList(None)
+        except Exception:
+            return None
+        job_rows = [
+            (jobs.apply(i).jobId(), jobs.apply(i).numTasks())
+            for i in range(jobs.size())
+        ]
+        stage_rows = []
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            stage_rows.append(
+                (
+                    s.stageId(),
+                    s.numTasks(),
+                    s.shuffleReadBytes(),
+                    s.shuffleWriteBytes(),
+                    s.inputBytes(),
+                    s.inputRecords(),
+                )
+            )
+        return job_rows, stage_rows
+
+    def _counter_delta(prev, cur) -> dict[str, int]:
+        (pj, ps), (cj, cs) = prev, cur
+        job_wm = max((j for j, _ in pj), default=-1)
+        stage_wm = max((s[0] for s in ps), default=-1)
+        new_j = [j for j in cj if j[0] > job_wm]
+        new_s = [s for s in cs if s[0] > stage_wm]
+        return {
+            "jobs": len(new_j),
+            "stages": len(new_s),
+            "tasks": sum(s[1] for s in new_s),
+            "shuffle_read_b": sum(s[2] for s in new_s),
+            "shuffle_write_b": sum(s[3] for s in new_s),
+            "input_b": sum(s[4] for s in new_s),
+            "input_records": sum(s[5] for s in new_s),
+        }
+
     if os.environ.get("BENCH_COLD", "1") != "0":
         order = sorted(specs)
         random.Random(20_260_813).shuffle(order)
         run_orders.append(order)
+        state = _store_state()
         for name in order:
             # keep_table_handles: table schema/footer handles and
             # ANALYZE stats are catalog state (DuckDB's views are
@@ -167,10 +227,18 @@ def main() -> None:
                 # collect() fallback) — re-time it once with the fetch
                 # mode now known (ADVICE r6)
                 clear_caches(spark, keep_table_handles=True)
+                # re-baseline the counter watermark too, so the spec's
+                # counters describe the retimed run, not both runs
+                state = _store_state()
                 t0 = time.perf_counter()
                 df = specs[name].spark(spark, sf_dir)
                 counts[name] = fetch(name, df)
                 cold_s[name] = round(time.perf_counter() - t0, 4)
+            if state is not None:
+                new_state = _store_state()
+                if new_state is not None:
+                    counters[name] = _counter_delta(state, new_state)
+                state = new_state
         clear_caches(spark)
 
     for p in range(passes):
@@ -400,6 +468,11 @@ def main() -> None:
                 "rows": counts[name],
                 "kind": specs[name].kind,
                 "fetch": fetch_mode.get(name, "arrow"),
+                # deterministic cold-pass counters (VERDICT r11 item
+                # 1b): jobs/stages/tasks + shuffle/input bytes from the
+                # JVM AppStatusStore, attributed per spec by ID
+                # watermark; absent when the store is unreachable
+                "cold_counters": counters.get(name),
             }
             for name in sorted(timings)
         },

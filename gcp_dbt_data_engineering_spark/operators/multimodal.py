@@ -352,7 +352,19 @@ def _assets_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# metadata extraction (mapInPandas, one row per asset)
+# ONE decode pass for the whole family (guide §4: cross the Python
+# boundary once). multimodal_meta / frame_sample / resize_plan /
+# byte_features each ran their own mapInPandas stage over the shared
+# encoded corpus — four Python round-trips per bench pass whose decode
+# compute is ~16 ms TOTAL while the per-stage worker handshake is
+# ~180 ms (measured, OPTIMIZATION_r11 §4). The decoded relation below
+# runs the REAL header parsers and the numpy byte histogram in a single
+# stage and is memoized+persisted with the same ``_graft_*_cache``
+# discipline as the shingle/quantized relations (clear_caches sweeps
+# it; the bench cold pass pays the honest rebuild). All four specs are
+# then pure-JVM projections/filters/explodes over it — the decode still
+# gates every value, it just runs once per corpus instead of once per
+# query.
 # ---------------------------------------------------------------------------
 
 _META_SCHEMA = (
@@ -361,17 +373,35 @@ _META_SCHEMA = (
     " duration_s double"
 )
 
+_DECODED_SCHEMA = _META_SCHEMA + ", " + ", ".join(
+    f"f{j} double" for j in range(8)
+)
 
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata per asset via REAL container decode.
+
+def _assets_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata + byte-feature columns per asset, decoded ONCE.
 
     Dispatches on the payload's magic bytes (not the metadata column)
-    and parses the actual BMP/WAV/AVI headers — the full
-    encode→decode round-trip, so a header-math bug in either
-    direction breaks the oracle match. ``byte_len`` reports the media
-    BODY length (the oracles' contract), carried through as
-    ``src_len``.
+    and parses the actual BMP/WAV/AVI headers — the full encode→decode
+    round-trip, so a header-math bug in either direction breaks the
+    oracle match of every downstream spec. ``byte_len`` reports the
+    media BODY length (the oracles' contract, carried as ``src_len``);
+    the body itself is recovered from the container tail (every encoder
+    appends it verbatim) and histogrammed with numpy for ``f0..f7``
+    (NULL for empty bodies — byte_features excludes them).
     """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_assets_decoded_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    cols = [
+        "asset_id", "media_type", "byte_len", "width", "height",
+        "channels", "sample_rate", "n_frames", "duration_s",
+    ] + [f"f{j}" for j in range(FEAT_DIM)]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -404,24 +434,43 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_frames": d["n_frames"],
                         "duration_s": d["duration_s"],
                     }
+                n = int(src_len)
+                feats: dict[str, float | None]
+                if n:
+                    body = np.frombuffer(b[len(b) - n:], dtype=np.uint8)
+                    counts = np.bincount(
+                        body % FEAT_DIM, minlength=FEAT_DIM
+                    )
+                    feats = {
+                        f"f{j}": float(counts[j]) / float(n)
+                        for j in range(FEAT_DIM)
+                    }
+                else:
+                    feats = {f"f{j}": None for j in range(FEAT_DIM)}
                 out.append(
                     {
                         "asset_id": aid,
                         "media_type": mt,
-                        "byte_len": int(src_len),
+                        "byte_len": n,
                         **meta,
+                        **feats,
                     }
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "asset_id", "media_type", "byte_len", "width", "height",
-                    "channels", "sample_rate", "n_frames", "duration_s",
-                ],
-            )
+            yield pd.DataFrame(out, columns=cols)
 
-    return _assets_encoded(spark, sf_dir).mapInPandas(
-        extract, schema=_META_SCHEMA
+    df = _assets_encoded(spark, sf_dir).mapInPandas(
+        extract, schema=_DECODED_SCHEMA
+    ).persist()
+    cache[sf_dir] = df
+    return df
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata per asset via REAL container decode (one shared
+    decode stage — see :func:`_assets_decoded`)."""
+    return _assets_decoded(spark, sf_dir).select(
+        "asset_id", "media_type", "byte_len", "width", "height",
+        "channels", "sample_rate", "n_frames", "duration_s",
     )
 
 
@@ -453,39 +502,31 @@ FROM assets
 # frame sampling (mapInPandas, row-expanding)
 # ---------------------------------------------------------------------------
 
-_FRAME_SCHEMA = "asset_id bigint, frame_idx bigint, frame_offset_s double"
-
-
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per sampled video frame (every FRAME_STRIDE-th frame).
 
-    Demonstrates the row-expanding UDF shape (decode -> N outputs per
-    input): each video asset yields ceil(n_frames / stride) rows.
+    The row-expanding shape (decode -> N outputs per input), now as a
+    JVM ``explode(sequence(...))`` over the shared decode stage's
+    ``n_frames`` (:func:`_assets_decoded`) — the expansion itself needs
+    no Python once the header is parsed. ``n_frames >= 1`` for every
+    video container (``1 + byte_len % 240``), so the sequence is never
+    empty and ``range(0, n_frames, stride)`` == ``sequence(0,
+    n_frames - 1, stride)`` exactly.
     """
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, mt, payload in zip(
-                pdf["asset_id"], pdf["media_type"], pdf["payload"]
-            ):
-                if mt != "video":
-                    continue
-                n_frames = decode_video(bytes(payload))["n_frames"]
-                for idx in range(0, n_frames, FRAME_STRIDE):
-                    rows.append(
-                        {
-                            "asset_id": aid,
-                            "frame_idx": idx,
-                            "frame_offset_s": idx / float(VIDEO_FPS),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "frame_idx", "frame_offset_s"]
-            )
-
-    return _assets_encoded(spark, sf_dir).mapInPandas(
-        sample, schema=_FRAME_SCHEMA
+    return (
+        _assets_decoded(spark, sf_dir)
+        .filter("media_type = 'video'")
+        .selectExpr(
+            "asset_id",
+            f"explode(sequence(CAST(0 AS BIGINT), n_frames - 1,"
+            f" CAST({FRAME_STRIDE} AS BIGINT))) AS frame_idx",
+        )
+        .selectExpr(
+            "asset_id",
+            "frame_idx",
+            f"CAST(frame_idx AS DOUBLE) / {float(VIDEO_FPS)}"
+            " AS frame_offset_s",
+        )
     )
 
 
@@ -508,51 +549,32 @@ FROM vids, LATERAL (
 
 RESIZE_BOX = 224  # fit into BOX x BOX preserving aspect ratio
 
-_RESIZE_SCHEMA = (
-    "asset_id bigint, width bigint, height bigint,"
-    " out_w bigint, out_h bigint, scale_num bigint"
-)
-
-
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image resize plan: fit into RESIZE_BOX², preserve aspect.
 
     The geometry every image pipeline computes before the resample
     kernel runs: scale = BOX/max(w,h) (never upscale), output dims =
     floor(dim*scale). Integer arithmetic only (scale as a rational
-    BOX/longest) so both engines agree exactly; the pixel resample
-    itself belongs to the stubbed codec seam (decode_image).
+    BOX/longest, ``DIV`` == Python ``//`` for the positive dims here)
+    so both engines agree exactly; dims come from the shared decode
+    stage (:func:`_assets_decoded`), the pixel resample itself belongs
+    to the stubbed codec seam (decode_image).
     """
-
-    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, mt, payload in zip(
-                pdf["asset_id"], pdf["media_type"], pdf["payload"]
-            ):
-                if mt != "image":
-                    continue
-                meta = decode_image(bytes(payload))
-                w, h = meta["width"], meta["height"]
-                longest = max(w, h)
-                if longest <= RESIZE_BOX:  # never upscale
-                    ow, oh, num = w, h, longest
-                else:
-                    ow = w * RESIZE_BOX // longest
-                    oh = h * RESIZE_BOX // longest
-                    num = RESIZE_BOX
-                rows.append(
-                    {"asset_id": aid, "width": w, "height": h,
-                     "out_w": ow, "out_h": oh, "scale_num": num}
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["asset_id", "width", "height",
-                         "out_w", "out_h", "scale_num"],
-            )
-
-    return _assets_encoded(spark, sf_dir).mapInPandas(
-        plan, schema=_RESIZE_SCHEMA
+    longest = "greatest(width, height)"
+    return (
+        _assets_decoded(spark, sf_dir)
+        .filter("media_type = 'image'")
+        .selectExpr(
+            "asset_id",
+            "width",
+            "height",
+            f"CASE WHEN {longest} <= {RESIZE_BOX} THEN width"
+            f" ELSE width * {RESIZE_BOX} DIV {longest} END AS out_w",
+            f"CASE WHEN {longest} <= {RESIZE_BOX} THEN height"
+            f" ELSE height * {RESIZE_BOX} DIV {longest} END AS out_h",
+            f"CASE WHEN {longest} <= {RESIZE_BOX} THEN {longest}"
+            f" ELSE CAST({RESIZE_BOX} AS BIGINT) END AS scale_num",
+        )
     )
 
 
@@ -584,41 +606,28 @@ FEAT_DIM = 8
 # driver canonicalizes results by sorting/hashing pandas columns, which
 # cannot hash ndarray cells — a top-level array column is unverifiable to
 # it even when the values match (the one red row in CORRECTNESS_r02).
-_FEAT_SCHEMA = "asset_id bigint, n_bytes bigint, " + ", ".join(
-    f"f{j} double" for j in range(FEAT_DIM)
-)
-
-
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-asset feature vector: normalized byte-residue histogram.
 
-    The feature-extract seam done for real (not stubbed): numpy over
-    Arrow batches inside ``mapInPandas`` — ``frombuffer % FEAT_DIM``,
-    one bincount per payload, normalized to fractions, emitted as
-    ``FEAT_DIM`` scalar double columns ``f0..f7``. This is the batch
-    shape a real embedding model would use (payload bytes in,
-    fixed-dim float vector out); the oracle replays the histogram in
-    SQL off the same bytes.
+    The feature-extract seam done for real (not stubbed): numpy inside
+    the shared decode stage (:func:`_assets_decoded`) — ``frombuffer %
+    FEAT_DIM`` over the container-recovered body bytes, one bincount
+    per payload, normalized to fractions, emitted as ``FEAT_DIM``
+    scalar double columns ``f0..f7``. This is the batch shape a real
+    embedding model would use (payload bytes in, fixed-dim float
+    vector out); the oracle replays the histogram in SQL off the same
+    bytes. Empty bodies carry NULL features and are excluded here
+    (oracle's ``WHERE octet_length > 0``).
     """
-    import numpy as np
-
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["asset_id", "n_bytes"] + [f"f{j}" for j in range(FEAT_DIM)]
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = int(b.size)
-                if n == 0:  # oracle's WHERE length(text) > 0
-                    continue
-                counts = np.bincount(b % FEAT_DIM, minlength=FEAT_DIM)
-                row = {"asset_id": aid, "n_bytes": n}
-                for j in range(FEAT_DIM):
-                    row[f"f{j}"] = float(counts[j]) / float(n)
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=cols)
-
-    return _assets(spark, sf_dir).mapInPandas(feats, schema=_FEAT_SCHEMA)
+    return (
+        _assets_decoded(spark, sf_dir)
+        .filter("byte_len > 0")
+        .selectExpr(
+            "asset_id",
+            "byte_len AS n_bytes",
+            *[f"f{j}" for j in range(FEAT_DIM)],
+        )
+    )
 
 
 def _oracle_byte_features() -> str:

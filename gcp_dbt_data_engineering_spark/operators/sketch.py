@@ -1200,21 +1200,38 @@ def sketch_quantile_hdr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("bucket_id", "lo")).alias("s"))
         .selectExpr("quantile", "rank", "s.lo AS est_cents")
     )
-    from .pipeline import two_phase_prefix_sum
-
-    # global rank without a global sort: exclusive prefix COUNT per
-    # value order (ties share v, so the arbitrary in-tie order cannot
-    # change which v sits at a given rank — the only thing joined on).
-    exact = two_phase_prefix_sum(
-        cents.selectExpr("v", "'all' AS __g", "1 AS __one"),
-        "__g",
-        "v",
-        "__one",
-        "__rank0",
-    ).selectExpr("v", "__rank0 + 1 AS rn")
-    tru = exact.join(
-        F.broadcast(ranks), exact.rn == F.col("rank")
-    ).selectExpr("quantile", "v AS true_cents")
+    # exact rider via rank-prefilter over the SAME bucket relation the
+    # sketch already built (r12, guide §8/§2.3: decide with small
+    # rows). HDR bucket_id is order-monotone in v by construction (the
+    # cum window depends on it), so per-bucket exclusive offsets
+    # (cum - n) are global rank offsets; only the ≤1 bucket containing
+    # each target rank has its rows shuffled + sorted, instead of the
+    # prior two_phase scan's full-data (group, bucket) exchange. Ties
+    # share v, so the arbitrary in-tie order cannot change which v
+    # sits at a given rank — the only thing joined on.
+    tb = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(
+            (F.col("rank") > F.col("cum") - F.col("n"))
+            & (F.col("rank") <= F.col("cum"))
+        )
+        .select(
+            F.col("bucket_id").alias("__bkt"),
+            (F.col("cum") - F.col("n")).alias("__off"),
+        )
+        .distinct()
+    )
+    _, _bid, _ = _hdr_bucket_exprs("v")
+    w_in = Window.partitionBy("__bkt").orderBy("v")
+    tru = (
+        cents.selectExpr("v", f"{_bid} AS __bkt")
+        .join(F.broadcast(tb), "__bkt")
+        .select(
+            "v", (F.row_number().over(w_in) + F.col("__off")).alias("rn")
+        )
+        .join(F.broadcast(ranks), F.col("rn") == F.col("rank"))
+        .selectExpr("quantile", "v AS true_cents")
+    )
     return est.join(tru, "quantile").selectExpr(
         "quantile",
         "rank",

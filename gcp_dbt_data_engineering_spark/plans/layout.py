@@ -463,14 +463,20 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline) and the file-count decision is a planning input — the
     # oracle-checked n_rows below is still computed from the compacted
     # DATA, so the content proof is untouched. O(files) driver-side vs
-    # a full-scan job per rebuild.
+    # a full-scan job per rebuild. The file list comes from
+    # df.inputFiles() — exactly the set Spark will read (ADVICE r11:
+    # os.listdir diverges from the reader's enumeration the moment the
+    # layout moves remote/partitioned); a remote scheme or any footer
+    # hiccup falls back to the counted scan.
     import pyarrow.parquet as pq
 
-    n = sum(
-        pq.ParquetFile(os.path.join(frag, f)).metadata.num_rows
-        for f in os.listdir(frag)
-        if f.endswith(".parquet")
-    )
+    try:
+        n = sum(
+            pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+            for f in df.inputFiles()
+        )
+    except Exception:  # non-local path (s3a://, hdfs://): one scan job
+        n = df.count()
     target = max(1, -(-n // COMPACT_ROWS_PER_FILE))
     compacted = (
         f"{ART}/{_sf_tag(sf_dir, 'orders')}_compacted_orders"

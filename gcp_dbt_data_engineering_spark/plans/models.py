@@ -644,8 +644,88 @@ class ModelGraph:
         ]
         return float(spec["count"]) * per
 
-    @staticmethod
-    def _parquet_stats_max(spark: SparkSession, rel: str, la: str):
+    #: footer-walk cap (ADVICE r11): the fast path opens every backing
+    #: file's footer serially on the driver — O(files) metadata I/O
+    #: that beats one batched scan job at warehouse file counts (the
+    #: staged registry layouts are ≤16 files) but would LOSE to the
+    #: scan at 100 TB file censuses (10^4-10^6 files, likely remote).
+    #: Past the cap the grader falls back into the batched
+    #: scalar-subquery SELECT, whose cost is one distributed job
+    #: regardless of file count.
+    _FOOTER_WALK_MAX_FILES = 64
+
+    #: bare attribute reference in an analyzed-plan Project list
+    _ATTR_RX = re.compile(r"^\w+#\d+[A-Za-z]?$")
+    #: the registry's documented nanos rebuild (sources/registry.py):
+    #: cast(timestamp_micros((ts#1L div cast(1000 as bigint))) as
+    #: timestamp_ntz) AS ts#9 — the ONLY row transform the footer path
+    #: may see, because its nanos→micros floor compensates exactly
+    _TS_REBUILD_RX = re.compile(
+        r"^cast\(timestamp_micros\(\((\w+)#\d+L? div "
+        r"(?:cast\()?1000(?: as bigint\))?\)\) as timestamp_ntz\) "
+        r"AS (\w+)#\d+$"
+    )
+
+    @classmethod
+    def _bare_scan_info(cls, spark: SparkSession, rel: str, la: str):
+        """Prove ``rel`` resolves to a bare parquet scan (ADVICE r11).
+
+        The footer fast path reads the RAW FILES behind ``rel``; any
+        view that filters or row-transforms them (keeping the column
+        name) would silently grade the unfiltered files' MAX. Walk the
+        ANALYZED plan: only SubqueryAlias / View / Relation / Project
+        nodes are allowed, and every Project expression must be a bare
+        attribute — except the registry's nanos-rebuild of ``la``
+        itself, which the footer path compensates for (floor is
+        monotone). Returns ``(True, la_rebuilt)`` when provably bare,
+        ``None`` otherwise (caller scans).
+        """
+        try:
+            tree = (
+                spark.table(rel)._jdf.queryExecution().analyzed().treeString()
+            )
+        except Exception:
+            return None
+        rebuilt = False
+        for raw in tree.splitlines():
+            node = raw.lstrip(" +-:")
+            if not node:
+                continue
+            head = node.split(" ", 1)[0].split("[", 1)[0]
+            if head in ("SubqueryAlias", "View", "Relation",
+                        "LogicalRelation"):
+                continue
+            if head != "Project":
+                return None  # Filter/Join/Aggregate/...: scan
+            try:
+                body = node[node.index("[") + 1: node.rindex("]")]
+            except ValueError:
+                return None
+            parts, depth, buf = [], 0, []
+            for ch in body:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(buf).strip())
+                    buf = []
+                else:
+                    buf.append(ch)
+            parts.append("".join(buf).strip())
+            for p in parts:
+                if cls._ATTR_RX.match(p):
+                    continue
+                m = cls._TS_REBUILD_RX.match(p)
+                if m and m.group(1) == m.group(2):
+                    if m.group(2) == la:
+                        rebuilt = True
+                    continue
+                return None  # rename/expression/truncated list: scan
+        return (True, rebuilt)
+
+    @classmethod
+    def _parquet_stats_max(cls, spark: SparkSession, rel: str, la: str):
         """``MAX(la)`` from parquet FOOTER column statistics — the
         guide-§6 aggregate-pushdown answer for the freshness grader,
         without flipping the whole engine onto the V2 scan path (which
@@ -653,16 +733,24 @@ class ModelGraph:
         metadata Spark's own ``spark.sql.parquet.aggregatePushdown``
         and DuckDB's zone-map MAX trust.
 
-        Only DATE(INT32)/TIMESTAMP(INT64) columns qualify (string
-        min/max may be writer-truncated); every data file and row
-        group must carry exact stats; an all-NULL row group
-        contributes nothing (same as MAX); a raw-int64 nanos column
-        floors to micros exactly like the registry's
-        ``timestamp_micros(ts DIV 1000)`` view (floor is monotone, so
-        max-of-floors = floor-of-max). Returns ``(True, value)`` —
-        ``value`` is ``None`` for an all-null/empty source, graded
-        ``error`` just like a scanned NULL MAX — or ``None`` when the
-        footers cannot prove the answer and the caller must scan.
+        Guards (each failure falls back to the batched scan):
+        ``rel`` must analyze to a BARE parquet scan (no Filter, no
+        non-identity Project — see :meth:`_bare_scan_info`); at most
+        ``_FOOTER_WALK_MAX_FILES`` local files; only DATE(INT32)/
+        TIMESTAMP(INT64) columns qualify (string min/max may be
+        writer-truncated); instant (isAdjustedToUTC) timestamps are
+        declined — the scan path renders them through the session
+        timezone, which only provably matches the footer's naive-UTC
+        epoch under a UTC session, so the cheap safe answer is to
+        scan; every data file and row group must carry exact stats; an
+        all-NULL row group contributes nothing (same as MAX); a
+        raw-nanos column floors to micros IFF the view performs the
+        registry's ``timestamp_micros(ts DIV 1000)`` rebuild (floor is
+        monotone, so max-of-floors = floor-of-max). Returns
+        ``(True, value)`` — ``value`` is ``None`` for an all-null/
+        empty source, graded ``error`` just like a scanned NULL MAX —
+        or ``None`` when the footers cannot prove the answer and the
+        caller must scan.
         """
         import json as _json
 
@@ -672,6 +760,10 @@ class ModelGraph:
 
         import pyarrow.parquet as pq
 
+        info = cls._bare_scan_info(spark, rel, la)
+        if info is None:
+            return None
+        _, la_rebuilt = info
         try:
             files = [
                 f.removeprefix("file:")
@@ -679,7 +771,7 @@ class ModelGraph:
             ]
         except Exception:
             return None
-        if not files:
+        if not files or len(files) > cls._FOOTER_WALK_MAX_FILES:
             return None
         kind0: str | None = None
         best: int | None = None  # micros (timestamp) or days (date)
@@ -696,17 +788,28 @@ class ModelGraph:
             col = sch.column(idx)
             lt = _json.loads(col.logical_type.to_json())
             if lt["Type"] == "Date" and col.physical_type == "INT32":
+                if la_rebuilt:
+                    return None  # rebuild over non-nanos: scan
                 kind, to_us = "date", None
             elif (
                 lt["Type"] == "Timestamp"
                 and col.physical_type == "INT64"
             ):
+                if lt.get("isAdjustedToUTC"):
+                    return None  # instant semantics: scan (see above)
                 kind = "ts"
+                unit = lt.get("timeUnit", "")
+                # nanos files surface through the registry's rebuild
+                # (raw nanos read as bigint otherwise — a bigint MAX
+                # the footer's datetime answer would NOT match);
+                # micros/millis files must be identity-projected
+                if (unit == "nanoseconds") != la_rebuilt:
+                    return None
                 to_us = {
                     "nanoseconds": lambda v: v // 1000,
                     "microseconds": lambda v: v,
                     "milliseconds": lambda v: v * 1000,
-                }.get(lt.get("timeUnit", ""))
+                }.get(unit)
                 if to_us is None:
                     return None
             else:
@@ -1185,7 +1288,17 @@ class ModelGraph:
                     raise ValueError(f"merge model {name} needs unique_key")
                 keys = [k.strip() for k in key.split(",")]
                 merged = df
+                batch_persisted = False
                 if os.path.exists(path):
+                    # the batch is consumed TWICE — once to build the
+                    # broadcast anti-join key set, once in the union —
+                    # and without a pin Spark recomputes its full
+                    # aggregate pipeline for each (guide §5: reuse +
+                    # expensive recompute = the case for persist). The
+                    # batch is one run's output slice, small by
+                    # construction; unpersisted right after the write.
+                    df = df.persist()
+                    batch_persisted = True
                     existing = read_table(spark, path)
                     survivors = existing.join(
                         df.select(*keys).distinct(), on=keys, how="left_anti"
@@ -1193,6 +1306,8 @@ class ModelGraph:
                     merged = survivors.unionByName(df)
                 staging = f"{path}__staging"
                 merged.write.mode("overwrite").parquet(staging)
+                if batch_persisted:
+                    df.unpersist(blocking=False)
                 _swap_in(path, staging)
                 _write_schema_stub(path, merged)
             df = read_table(spark, path)
@@ -1251,7 +1366,9 @@ class ModelGraph:
                     "valid_from", SF.col(updated)
                 ).withColumn("valid_to", SF.lit(None).cast(df.schema[updated].dataType))
                 if os.path.exists(path):
-                    snap = spark.read.parquet(path)
+                    # read_table: schema from the stub (every snapshot
+                    # write leaves one), not a footer-inference job
+                    snap = read_table(spark, path)
                     is_open = SF.col("valid_to").isNull()
                     closed = snap.filter(~is_open)
                     opened = snap.filter(is_open)
@@ -1576,9 +1693,41 @@ def dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLs exempt; `not_null` counts NULL rows. 0 violations ⇒ pass.
     """
     run_example_project(spark)
-    rows = []
+    parts = []
     for model, cols in SCHEMA_TESTS.items():
         for col, tests in cols.items():
+            if set(tests) == {"unique", "not_null"}:
+                # ONE two-level aggregate answers BOTH tests of a
+                # column (r12, guide §2.4): group by the column once —
+                # unique violations are the non-NULL groups with
+                # count > 1, not_null violations are the NULL group's
+                # row count — then stack() the single agg row into the
+                # two test rows. The r11 form still planned one scalar
+                # subquery (= one job + its exchange jobs) per test.
+                grouped = (
+                    f"SELECT {col} AS k, COUNT(*) AS cnt FROM {model} "
+                    f"GROUP BY {col}"
+                )
+                agg = (
+                    "SELECT CAST(COUNT(CASE WHEN k IS NOT NULL AND "
+                    "cnt > 1 THEN 1 END) AS BIGINT) AS uniq_viol, "
+                    "CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN cnt "
+                    f"END), 0) AS BIGINT) AS null_viol FROM ({grouped})"
+                )
+                pairs = ", ".join(
+                    f"'{t}', "
+                    + ("uniq_viol" if t == "unique" else "null_viol")
+                    for t in tests
+                )
+                parts.append(spark.sql(
+                    f"SELECT '{model}' AS model, '{col}' AS column_name,"
+                    " test_name, failed_records, CASE WHEN"
+                    " failed_records = 0 THEN 'PASS' ELSE 'FAIL' END"
+                    f" AS status FROM (SELECT stack({len(tests)},"
+                    f" {pairs}) AS (test_name, failed_records)"
+                    f" FROM ({agg}))"
+                ))
+                continue
             for test in tests:
                 if test == "unique":
                     sql = (
@@ -1590,22 +1739,17 @@ def dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sql = f"SELECT COUNT(*) FROM {model} WHERE {col} IS NULL"
                 else:
                     raise ValueError(f"unknown schema test {test!r}")
-                rows.append((model, col, test, sql))
-    # evaluate each scalar count subquery ONCE: referencing `(sql)` in
-    # both the failed_records projection and the status CASE ran every
-    # count twice (Spark plans two independent scalar subqueries; 8
-    # subquery jobs for 4 tests) — derive status from the aliased
-    # count in an outer select instead (guide §2.4: remove duplicated
-    # work the optimizer won't dedupe for you)
-    parts = [
-        spark.sql(
-            f"SELECT model, column_name, test_name, failed_records, "
-            f"CASE WHEN failed_records = 0 THEN 'PASS' ELSE 'FAIL' END "
-            f"AS status FROM (SELECT '{m}' AS model, '{c}' AS column_name, "
-            f"'{t}' AS test_name, CAST(({sql}) AS BIGINT) AS failed_records)"
-        )
-        for m, c, t, sql in rows
-    ]
+                # evaluate the scalar count subquery ONCE: referencing
+                # `(sql)` in both the failed_records projection and the
+                # status CASE ran every count twice (guide §2.4)
+                parts.append(spark.sql(
+                    f"SELECT model, column_name, test_name,"
+                    f" failed_records, CASE WHEN failed_records = 0"
+                    f" THEN 'PASS' ELSE 'FAIL' END AS status FROM"
+                    f" (SELECT '{model}' AS model, '{col}' AS"
+                    f" column_name, '{test}' AS test_name,"
+                    f" CAST(({sql}) AS BIGINT) AS failed_records)"
+                ))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -304,24 +304,103 @@ FROM comp
 # For quantile q: h = (n-1)·q, lo = floor(h)+1, hi = lo+1 capped at n,
 # frac = h - floor(h); result = v_lo + frac·(v_hi - v_lo). Only rows at
 # rank lo/hi for some q survive the filter, so the final agg touches
-# ≤ 6 rows per group. The sort is per-group (window), never global.
+# ≤ 6 rows per group.
+#
+# r12 (guide §8 / §2.3 / §2.5 — decide with small rows): the r4-r11
+# form shuffled EVERY row into a per-priority window sort to compute
+# rn, then threw all but ≤6 rows per group away — a full-data exchange
+# feeding a 5-hot-key (skew-by-design) sort. The rank-prefilter form
+# first aggregates per (priority, value-bucket) COUNTS (map-side
+# combined: one tiny row per non-empty bucket crosses the wire), turns
+# the bucket counts into per-bucket exclusive rank offsets (a window
+# over the BUCKET relation, hundreds of rows), locates which buckets
+# contain each target rank, and only then sorts the rows of those ≤6
+# buckets per group (broadcast semi-join; in-bucket row_number +
+# bucket offset == the original global rn exactly, because truncating
+# bucketing is order-monotone and ties in v share a bucket). Shuffle
+# bytes drop from O(rows) to O(buckets + rows-in-target-buckets), and
+# no task ever sorts more than one bucket — the skewed-priority window
+# is gone.
 # ---------------------------------------------------------------------------
 
 _QUANTILES = (0.25, 0.50, 0.90)
 
+#: value-units per rank-prefilter bucket. Width trades the bucket
+#: relation's size against the target buckets' row counts; o_totalprice
+#: spans ~[900, 600k], so 4096 gives O(150) buckets per priority while
+#: a target bucket holds ~n/150 rows. NULL v sorts first and NaN last
+#: in Spark ASC order — the sentinels reproduce that; ±inf / overflow
+#: clamp into the extreme buckets (bucketing only needs monotonicity,
+#: the in-bucket sort restores exact order).
+_QUANT_BUCKET_W = 4096.0
+_QUANT_BUCKET_EXPR = (
+    "CASE WHEN v IS NULL THEN -9223372036854775807"
+    " WHEN isnan(v) THEN 9223372036854775806"
+    " ELSE GREATEST(CAST(-4611686018427387904 AS BIGINT),"
+    " LEAST(CAST(4611686018427387904 AS BIGINT),"
+    f" CAST(FLOOR(v / {_QUANT_BUCKET_W}) AS BIGINT))) END"
+)
+
 
 def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = od.select(
+    rows = od.selectExpr(
+        "o_orderpriority", "o_totalprice AS v", "o_orderkey"
+    ).selectExpr("*", f"{_QUANT_BUCKET_EXPR} AS __bkt")
+    # narrow branch: per-(priority, bucket) counts; map-side partial
+    # aggregation means one row per non-empty bucket is shuffled
+    bcounts = rows.groupBy("o_orderpriority", "__bkt").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcounts.select(
         "o_orderpriority",
-        F.col("o_totalprice").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "__bkt",
+        "__bn",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bn")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    # which buckets contain a target rank (lo/hi of some quantile)?
+    nm1 = (F.col("n") - 1).cast("double")
+    in_bucket = F.lit(False)
+    for q in _QUANTILES:
+        h = nm1 * F.lit(q)
+        for r in (F.floor(h) + 1, F.least(F.floor(h) + 2, F.col("n"))):
+            in_bucket = in_bucket | (
+                (r > F.col("__off")) & (r <= F.col("__off") + F.col("__bn"))
+            )
+    targets = offs.filter(in_bucket).select(
+        "o_orderpriority", "__bkt", "__off", "n"
+    )
+    # rank ONLY the rows of the ≤6 target buckets per priority; the
+    # in-bucket sort + exclusive bucket offset reproduces the global
+    # row_number ordered by (v, o_orderkey) exactly. Priority join is
+    # NULL-SAFE: a NULL group key is a real group (the window form
+    # kept it; a plain equi-join would silently drop it)
+    w_in = Window.partitionBy("o_orderpriority", "__bkt").orderBy(
+        "v", "o_orderkey"
+    )
+    tgt = F.broadcast(
+        targets.withColumnRenamed("o_orderpriority", "__p")
+        .withColumnRenamed("__bkt", "__tb")
+    )
+    ranked = rows.join(
+        tgt,
+        F.col("o_orderpriority").eqNullSafe(F.col("__p"))
+        & (F.col("__bkt") == F.col("__tb")),
+    ).select(
+        "o_orderpriority",
+        "v",
+        "n",
+        (F.row_number().over(w_in) + F.col("__off")).alias("rn"),
     )
     nm1 = (F.col("n") - 1).cast("double")
-    cols = [F.col("o_orderpriority"), F.max("n").alias("n_orders")]
     keep = F.lit(False)
     aggs = []
     for q in _QUANTILES:

@@ -203,3 +203,100 @@ def test_footer_stats_max_matches_scan_and_falls_back(spark, tmp_path):
     got = ModelGraph._parquet_stats_max(spark, "__allnull_src", "loaded_at")
     assert got == (True, None)
     spark.catalog.dropTempView("__allnull_src")
+
+
+def test_footer_stats_max_plan_and_path_guards(spark, tmp_path, monkeypatch):
+    """r12 hardening (ADVICE r11 + VERDICT r11 item 7): the footer fast
+    path must DECLINE (None -> scan fallback) whenever the relation is
+    not provably a bare local parquet scan — a filtered view keeping
+    the column name (the footers describe the UNFILTERED files), a
+    renamed column, an instant (isAdjustedToUTC) timestamp, a file
+    count past the O(files) walk cap, and remote-scheme input paths."""
+    from gcp_dbt_data_engineering_spark.plans.models import ModelGraph
+    from gcp_dbt_data_engineering_spark.sources import register_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_all(spark, sf_dir, ("events", "orders"))
+
+    # filtered view with the same column name: MUST scan
+    spark.table("events").filter(
+        "event_type = 'purchase'"
+    ).createOrReplaceTempView("__events_filtered")
+    assert (
+        ModelGraph._parquet_stats_max(spark, "__events_filtered", "ts")
+        is None
+    )
+
+    # renamed column: the footer would read a DIFFERENT physical column
+    spark.table("events").selectExpr(
+        "event_id AS ts"
+    ).createOrReplaceTempView("__events_renamed")
+    assert (
+        ModelGraph._parquet_stats_max(spark, "__events_renamed", "ts")
+        is None
+    )
+
+    # instant (LTZ) timestamp: scan renders through the session TZ,
+    # footer epoch-micros are naive UTC — decline (also declined when
+    # the writer chose a non-INT64 physical layout)
+    p = str(tmp_path / "ltz")
+    spark.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AS loaded_at"
+        " FROM range(4)"
+    ).write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("__ltz_src")
+    assert (
+        ModelGraph._parquet_stats_max(spark, "__ltz_src", "loaded_at")
+        is None
+    )
+
+    # file count past the walk cap: decline (the batched scan job wins
+    # at 100 TB file censuses)
+    p2 = str(tmp_path / "manyfiles")
+    n_files = ModelGraph._FOOTER_WALK_MAX_FILES + 1
+    # range(n, numPartitions=n): one row per partition, no shuffle —
+    # exactly n data files (a round-robin repartition can leave some
+    # target partitions empty and write fewer)
+    spark.range(0, n_files, 1, n_files).selectExpr(
+        "CAST(NULL AS TIMESTAMP_NTZ) AS loaded_at"
+    ).write.parquet(p2)
+    df_many = spark.read.parquet(p2)
+    assert len(df_many.inputFiles()) > ModelGraph._FOOTER_WALK_MAX_FILES
+    df_many.createOrReplaceTempView("__many_src")
+    assert (
+        ModelGraph._parquet_stats_max(spark, "__many_src", "loaded_at")
+        is None
+    )
+
+    # remote-scheme input files (hdfs://, s3a://): the local footer
+    # read raises and the fast path declines instead of crashing
+    # (patch the concrete class — pyspark.sql.DataFrame is the ABC)
+    cls = type(spark.table("orders"))
+    monkeypatch.setattr(
+        cls,
+        "inputFiles",
+        lambda self: ["hdfs://namenode:8020/warehouse/orders/x.parquet"],
+    )
+    assert (
+        ModelGraph._parquet_stats_max(spark, "orders", "o_orderdate")
+        is None
+    )
+
+
+def test_spread_by_size_remote_paths_noop(spark, monkeypatch):
+    """r12 (VERDICT r11 item 7): spread_by_size sizes its fan-out from
+    local file sizes; on a remote filesystem (inputFiles returns
+    hdfs://-shaped paths os.path.getsize cannot stat) it must be a
+    SAFE NO-OP — same DataFrame back, no exception, no repartition."""
+    from gcp_dbt_data_engineering_spark.sources import (
+        load_table,
+        spread_by_size,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    monkeypatch.setattr(
+        type(df),
+        "inputFiles",
+        lambda self: ["s3a://bucket/warehouse/documents/part-0.parquet"],
+    )
+    assert spread_by_size(df) is df
