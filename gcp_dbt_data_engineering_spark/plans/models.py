@@ -165,6 +165,7 @@ def _table_lock(path: str, ttl_s: float = _LOCK_TTL_S):
     import time
 
     lock = f"{path}__lock"
+    breaker = f"{lock}.breaker"
     parent = os.path.dirname(lock)
     if parent:
         os.makedirs(parent, exist_ok=True)
@@ -175,38 +176,65 @@ def _table_lock(path: str, ttl_s: float = _LOCK_TTL_S):
         except FileExistsError:
             try:
                 if time.time() - os.stat(lock).st_mtime > ttl_s:
-                    # Stale: holder crashed. Break it with an atomic
-                    # rename-to-tombstone so exactly ONE breaker wins —
-                    # a bare rmdir+retry lets two waiters both judge the
-                    # same lock stale, A break+reacquire, then B break
-                    # A's FRESH lock: two live holders, the lost-update
-                    # race the lock exists to prevent (ADVICE r9). The
-                    # losing breaker's rename raises (src gone) and it
-                    # loops back to contend on mkdir like everyone else.
-                    tomb = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
-                    os.rename(lock, tomb)
-                    # TOCTOU guard (ADVICE r10): the staleness verdict
-                    # came from a stat taken BEFORE the rename. If we
-                    # were preempted in between, another waiter may
-                    # have broken the stale lock and re-acquired — and
-                    # we just renamed away their FRESH lock. rename
-                    # preserves mtime, so re-judge on the tombstone:
-                    # fresh means we stole a live lock — give it back
-                    # (rename restores the holder's dir) and go wait.
-                    # Residual window is the few instructions between
-                    # this steal and the give-back, vs the unbounded
-                    # preemption gap it replaces.
-                    if time.time() - os.stat(tomb).st_mtime <= ttl_s:
+                    # Stale: holder crashed. Breaking must be SERIAL —
+                    # the r10/r11 protocol renamed on a staleness
+                    # verdict from a stat taken before the rename, and
+                    # when that verdict was invalidated in between
+                    # (another waiter broke + re-acquired) it stole the
+                    # FRESH lock and "gave it back" through a window in
+                    # which the slot stood empty, so a third waiter's
+                    # mkdir could win while the robbed holder still ran:
+                    # two live holders (caught by
+                    # test_table_lock_stale_break_single_winner, r12).
+                    # Now at most one breaker is active (a breaker
+                    # mutex dir, itself age-broken if its owner
+                    # crashes), and staleness is RE-JUDGED inside the
+                    # exclusive section: a stale dir can only be
+                    # removed by a breaker, breakers are serialized,
+                    # and a live holder's dir is always fresh (TTL >>
+                    # max hold time), so a stale verdict inside the
+                    # section cannot be invalidated before the rename.
+                    try:
+                        os.mkdir(breaker)
+                    except FileExistsError:
                         try:
-                            if not os.path.exists(lock):
-                                os.rename(tomb, lock)
-                            else:  # slot re-taken: drop the tombstone
-                                os.rmdir(tomb)
+                            # crashed breaker: its section is tiny, so
+                            # an over-TTL breaker dir is a corpse
+                            if time.time() - os.stat(breaker).st_mtime > ttl_s:
+                                os.rmdir(breaker)
                         except OSError:
                             pass
                         time.sleep(0.05)
                         continue
-                    os.rmdir(tomb)
+                    try:
+                        if time.time() - os.stat(lock).st_mtime > ttl_s:
+                            tomb = (
+                                f"{lock}.stale."
+                                f"{os.getpid()}.{time.monotonic_ns()}"
+                            )
+                            os.rename(lock, tomb)
+                            # belt-and-braces (rename preserves mtime):
+                            # if the renamed dir is somehow fresh —
+                            # reachable only through a double failure
+                            # (crashed breaker + TOCTOU on ITS removal
+                            # admitting two breakers) — restore it
+                            if time.time() - os.stat(tomb).st_mtime <= ttl_s:
+                                try:
+                                    if not os.path.exists(lock):
+                                        os.rename(tomb, lock)
+                                    else:
+                                        os.rmdir(tomb)
+                                except OSError:
+                                    pass
+                            else:
+                                os.rmdir(tomb)
+                    except OSError:
+                        pass  # holder released / slot vanished: retry
+                    finally:
+                        try:
+                            os.rmdir(breaker)
+                        except OSError:
+                            pass
                     continue
             except OSError:
                 continue  # holder released / another breaker won
