@@ -1316,26 +1316,40 @@ class ModelGraph:
                     raise ValueError(f"merge model {name} needs unique_key")
                 keys = [k.strip() for k in key.split(",")]
                 merged = df
-                batch_persisted = False
                 if os.path.exists(path):
                     # the batch is consumed TWICE — once to build the
-                    # broadcast anti-join key set, once in the union —
-                    # and without a pin Spark recomputes its full
-                    # aggregate pipeline for each (guide §5: reuse +
-                    # expensive recompute = the case for persist). The
-                    # batch is one run's output slice, small by
-                    # construction; unpersisted right after the write.
-                    df = df.persist()
-                    batch_persisted = True
+                    # broadcast anti-join key set, once in the union.
+                    # A lazy persist() is NOT enough: inside the one
+                    # write action the broadcast-build thread and the
+                    # union both race the cache fill and each recompute
+                    # the full batch aggregate from the source scan
+                    # (measured r12: the 16-task scan+agg ran 3x per
+                    # batch, 5 jobs). An EAGER localCheckpoint runs the
+                    # aggregate exactly once and cuts the lineage, so
+                    # both consumers read the checkpointed blocks
+                    # (guide §5; same device the incremental self-ref
+                    # path uses). The batch is one run's output slice,
+                    # small by construction; blocks are freed by the
+                    # context cleaner when the handle drops.
+                    df = df.localCheckpoint(eager=True)
                     existing = read_table(spark, path)
+                    # no .distinct() on the key set: left_anti drops a
+                    # row if ANY build-side match exists, so duplicate
+                    # keys cannot change the result — the distinct only
+                    # shrank the broadcast, at the price of a 2-job
+                    # shuffle over the checkpointed batch. dbt's merge
+                    # contract has ~1 row per unique_key per batch, so
+                    # the broadcast is the same size without it. No
+                    # forced-broadcast hint: the planner/AQE picks BHJ
+                    # when the key projection fits (verified) and may
+                    # demote to a shuffled join for a batch too big to
+                    # broadcast safely at scale.
                     survivors = existing.join(
-                        df.select(*keys).distinct(), on=keys, how="left_anti"
+                        df.select(*keys), on=keys, how="left_anti"
                     )
                     merged = survivors.unionByName(df)
                 staging = f"{path}__staging"
                 merged.write.mode("overwrite").parquet(staging)
-                if batch_persisted:
-                    df.unpersist(blocking=False)
                 _swap_in(path, staging)
                 _write_schema_stub(path, merged)
             df = read_table(spark, path)
@@ -1583,9 +1597,41 @@ class ModelGraph:
         an ``error`` row and keeps going — per-node isolation covers
         test nodes too (ADVICE r5), instead of aborting the whole build.
         """
-        queued: list[tuple[str, str, str]] = []  # (node, count q, rows q)
+        queued: list[tuple[str, str, str]] = []  # (node, result expr, rows q)
+        rels: list[str] = []  # one 1-row aggregate relation per column
         results: list[dict] = []
         for col, tnames in cols.items():
+            known = [t for t in tnames if t in ("unique", "not_null")]
+            alias = None
+            if known:
+                # ONE aggregate pass answers every test of a column
+                # (r12, guide §2.4 — the dbt_schema_tests spec's fused
+                # form, ported here): with a `unique` test the column
+                # is grouped once and both counts fall out of the
+                # grouped relation; a lone `not_null` is a plain
+                # conditional count, no grouping. The r11 form planned
+                # one scalar subquery per TEST — each its own job plus
+                # exchange jobs (measured: 10 jobs for 3 counts in the
+                # build pipeline).
+                alias = f"s{len(rels)}"
+                if "unique" in known:
+                    grouped = (
+                        f"SELECT {col} AS k, COUNT(*) AS cnt "
+                        f"FROM {name} GROUP BY {col}"
+                    )
+                    rels.append(
+                        "(SELECT CAST(COUNT(CASE WHEN k IS NOT NULL"
+                        " AND cnt > 1 THEN 1 END) AS BIGINT) AS"
+                        " uniq_viol, CAST(COALESCE(SUM(CASE WHEN k IS"
+                        " NULL THEN cnt END), 0) AS BIGINT) AS"
+                        f" null_viol FROM ({grouped})) {alias}"
+                    )
+                else:
+                    rels.append(
+                        "(SELECT CAST(COUNT(CASE WHEN"
+                        f" {col} IS NULL THEN 1 END) AS BIGINT) AS"
+                        f" null_viol FROM {name}) {alias}"
+                    )
             for t in tnames:
                 if t == "unique":
                     fq = (
@@ -1593,10 +1639,10 @@ class ModelGraph:
                         f"FROM {name} WHERE {col} IS NOT NULL "
                         f"GROUP BY {col} HAVING COUNT(*) > 1"
                     )
-                    q = f"(SELECT COUNT(*) FROM ({fq}))"
+                    expr = f"{alias}.uniq_viol"
                 elif t == "not_null":
                     fq = f"SELECT * FROM {name} WHERE {col} IS NULL"
-                    q = f"(SELECT COUNT(*) FROM ({fq}))"
+                    expr = f"{alias}.null_viol"
                 else:
                     results.append(
                         {"node": f"{t}_{name}_{col}", "kind": "test",
@@ -1604,12 +1650,13 @@ class ModelGraph:
                          "detail": f"unknown schema test {t!r}"}
                     )
                     continue
-                queued.append((f"{t}_{name}_{col}", q, fq))
+                queued.append((f"{t}_{name}_{col}", expr, fq))
         if queued:
             row = spark.sql(
                 "SELECT " + ", ".join(
                     f"{q} AS c{i}" for i, (_, q, _) in enumerate(queued)
                 )
+                + " FROM " + " CROSS JOIN ".join(rels)
             ).collect()[0]
             for i, (node, _, fq) in enumerate(queued):
                 n_bad = row[f"c{i}"]
