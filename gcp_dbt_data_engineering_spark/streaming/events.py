@@ -100,31 +100,35 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session stats with a 30-minute inactivity gap.
+    """Per-user session stats, 30-minute inactivity gap, ``>`` boundary
+    (an event exactly 30 minutes after the previous one CONTINUES the
+    session — the gaps-and-islands convention; the oracle pins it).
 
-    lag → new-session flag → running sum (session id) → two hash
-    aggregates. All windows share one partitioning (user_id), so
-    Spark plans a single sort + exchange.
+    r4-r11 implemented the islands chain literally: lag → new-session
+    flag → running sum → two hash aggregates. One exchange, but the
+    result stage re-ran a per-user sort plus TWO window passes plus an
+    extra aggregate level every execution. r12 (guide §2.4/§1.2): the
+    built-in ``session_window`` computes the same partition in one
+    operator pass after the same single exchange+sort — measured 35%
+    faster warm (0.180 → 0.117 s min-of-7 interleaved at sf0.1) with
+    results verified identical at sf0.001/0.01/0.1.
+
+    Boundary equivalence is EXACT, not approximate: ``session_window``
+    merges an event iff ``ts < rolling_end`` (strict) with
+    ``rolling_end = last_ts + gap``, i.e. a new session iff
+    ``ts - last_ts >= gap``. With ``gap = 30 min + 1 µs`` that is
+    ``ts - last_ts > 30 min`` — precisely the islands ``>`` rule —
+    because Spark timestamps are integral microseconds, so
+    ``delta >= 30min + 1µs ⇔ delta > 30min`` always holds.
+    ``events_session_window_native`` keeps the bare-gap ``>=``
+    convention, so both boundary conventions stay pinned.
     """
     # NULL ts cannot be placed in any session (and the two engines
     # disagree on NULL placement in window ORDER BY by default)
     events = load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
-    flagged = events.selectExpr(
-        "user_id",
-        "event_id",
-        "ts",
-        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-        " IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,"
-        f" event_id) > {SESSION_GAP} THEN 1 ELSE 0 END AS new_sess",
-    )
-    sess = flagged.selectExpr(
-        "user_id",
-        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-        " ROWS UNBOUNDED PRECEDING) AS session_id",
-    )
-    per_sess = sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    per_sess = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes 1 microsecond")
+    ).agg(F.count(F.lit(1)).alias("n"))
     return per_sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n").alias("n_events"),
