@@ -95,6 +95,16 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # materialize at creation (r12, guide §3.1): a LAZY persist leaves
+    # every downstream plan built against the CHILD plan's estimated
+    # stats, which at sf10 under-estimated the 26M-row/417MB shingle
+    # relation below the broadcast threshold — the containment verify
+    # chain then broadcast the FULL relation twice per execution
+    # (measured: 919 exec-seconds per warm pass; at 100 TB it would
+    # OOM outright). After count() the InMemoryRelation carries its
+    # ACCURATE size, so joins pick broadcast only when it truly fits —
+    # BHJ at sf0.1, sort-merge at sf10+, decided by measurement.
+    df.count()
     cache[sf_dir] = df
     return df
 
@@ -134,6 +144,7 @@ def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .persist()
         )
+        hit.count()  # accurate stats for join planning (see _shingle_rows)
         cache[sf_dir] = hit
     return hit
 
@@ -155,6 +166,7 @@ def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     df = _rank_shingle_frame(_shingle_rows(spark, sf_dir)).persist()
+    df.count()  # accurate stats for join planning (see _shingle_rows)
     cache[sf_dir] = df
     return df
 

@@ -311,3 +311,30 @@ def test_shingle_sizes_memo_exact_and_invalidated(spark):
     assert sizes.is_cached
     clear_caches(spark)
     assert "_graft_shingle_sz_cache" not in spark.__dict__
+
+
+def test_shingle_memos_materialized_with_accurate_stats(spark):
+    """r12 optimization: the shingle memos are materialized AT CREATION
+    (df.count() after persist), so every downstream plan sees the
+    InMemoryRelation's ACCURATE size instead of the child plan's
+    estimate. The lazy form under-estimated the 26M-row sf10 relation
+    below the broadcast threshold and the containment verify chain
+    broadcast the FULL shingle table twice per execution (919
+    exec-seconds per warm pass; an OOM at 100 TB)."""
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        _ranked_shingles,
+        _shingle_rows,
+    )
+    from gcp_dbt_data_engineering_spark.session import clear_caches
+
+    clear_caches(spark)
+    sh = _shingle_rows(spark, SF)
+    # materialized at creation: cached rowCount is KNOWN to the planner
+    # (lazy persist leaves rowCount undefined until some action runs)
+    stats = sh._jdf.queryExecution().optimizedPlan().stats()
+    assert stats.rowCount().isDefined(), "memo not materialized at creation"
+    n = stats.rowCount().get()
+    assert int(str(n)) == sh.count()
+    rk = _ranked_shingles(spark, SF)
+    assert rk._jdf.queryExecution().optimizedPlan().stats().rowCount().isDefined()
+    clear_caches(spark)
