@@ -149,6 +149,44 @@ def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, n): each doc's distinct shingle hashes as ONE
+    sorted array row, plus the set size — the verification-side twin
+    of :func:`_shingle_rows`.
+
+    Exact-verification joins previously attached the row-form shingle
+    relation to both members of every candidate pair: the doc_a join
+    exploded each pair into ``na`` rows, the (doc_b, h) join shuffled
+    that pair x shingle intermediate, and a groupBy re-aggregated it
+    back to one row per pair — three exchanges carrying
+    O(pairs x shingles_per_doc) rows (guide §2.3/§2.4). With the set
+    in an array column, verification is two equi-joins on doc id and
+    a JVM ``array_intersect`` per pair: the shuffled unit is one
+    ~n_shingles x 8 B array per pair side instead of ``n`` 24 B rows,
+    and the aggregation exchange disappears (|A∩B| is computed in the
+    join's projection). Memoized + persisted + count()-materialized
+    per (session, corpus) with the same discipline (and for the same
+    accurate-stats reason) as the row memo.
+    """
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault(
+        "_graft_shingle_set_cache", {}
+    )
+    hit = cache.get(sf_dir)
+    if hit is None:
+        hit = (
+            _shingle_rows(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias("hs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
+        )
+        hit.count()  # accurate stats for join planning (see _shingle_rows)
+        cache[sf_dir] = hit
+    return hit
+
+
 def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h, rnk, n): each doc's shingles ranked by the GLOBAL
     (document-frequency, hash) order, plus the doc's shingle count.
@@ -172,30 +210,32 @@ def _ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(
-    pairs: DataFrame, sh: DataFrame, threshold: float,
-    sizes: DataFrame | None = None,
+    pairs: DataFrame, sets: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs via hash join.
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs.
 
-    ``sizes`` lets callers pass the memoized :func:`_shingle_sizes`
-    relation so the two size joins read 1 row/doc from cache instead
-    of re-aggregating the full shingle relation per reference."""
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    sz = (
-        sizes
-        if sizes is not None
-        else sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    )
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    ``sets`` is the per-doc shingle-array relation
+    (:func:`_shingle_sets`): each pair picks up both members' arrays
+    in two doc-id equi-joins and ``|A∩B|`` is one JVM
+    ``array_intersect`` in the projection — no pair x shingle
+    explosion, no re-aggregation exchange, and the set sizes ride
+    along for free (guide §2.3/§2.4; see _shingle_sets). Pairs with
+    an empty intersection surface as jaccard = 0 and are dropped by
+    the threshold filter — the row-join form never produced them
+    (inner join on h), so outputs are identical.
+    """
+    sa = sets.selectExpr("doc_id AS doc_a", "hs AS hs_a", "n AS na")
+    sb = sets.selectExpr("doc_id AS doc_b", "hs AS hs_b", "n AS nb")
     return (
-        inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
-        .join(sz.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(hs_a, hs_b)) AS BIGINT) AS i",
+            "na",
+            "nb",
+        )
         .selectExpr(
             "doc_a",
             "doc_b",
@@ -277,7 +317,7 @@ def _rank_shingle_frame(sh: DataFrame) -> DataFrame:
 
 
 def _ppjoin_candidates(
-    sh: DataFrame, ranked: DataFrame | None = None
+    sh: DataFrame | None, ranked: DataFrame | None = None
 ) -> DataFrame:
     """Prefix-filtered candidate pairs (Bayardo et al., WWW'07; PPJoin).
 
@@ -351,12 +391,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between "works at sf0.1" and "works on a 100 TB
     boilerplate-heavy crawl".
     """
-    sh = _shingle_rows(spark, sf_dir)
     return _jaccard_pairs(
-        _ppjoin_candidates(sh, _ranked_shingles(spark, sf_dir)),
-        sh,
+        _ppjoin_candidates(None, _ranked_shingles(spark, sf_dir)),
+        _shingle_sets(spark, sf_dir),
         JACCARD_T,
-        sizes=_shingle_sizes(spark, sf_dir),
     )
 
 
@@ -404,8 +442,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       ordering keeps boilerplate shingles out of prefixes — the same
       hot-key defense as the Jaccard PPJoin.
     - Size filter inside the join: i <= nb, so t_num*na <= t_den*nb.
-    - Exact verification on the full sets: integer test
-      t_den*i >= t_num*na (no float threshold wobble); the reported
+    - Exact verification on the full sets: each candidate pair picks
+      up both members' shingle ARRAYS (:func:`_shingle_sets`) in two
+      doc-id equi-joins and |A∩B| is one JVM ``array_intersect`` —
+      no pair x shingle explosion, no re-aggregation exchange (guide
+      §2.3/§2.4). The threshold is the integer test
+      t_den*i >= t_num*na (no float wobble); the reported
       ``containment`` is one double division.
 
     Output is directional: (contained_doc, container_doc) — both
@@ -433,18 +475,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    sz = sizes
+    sets = _shingle_sets(spark, sf_dir)
     inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        cands.join(
+            sets.selectExpr(
+                "doc_id AS doc_a", "hs AS hs_a", "n AS na"
+            ),
+            "doc_a",
+        )
+        .join(sets.selectExpr("doc_id AS doc_b", "hs AS hs_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(hs_a, hs_b)) AS BIGINT) AS i",
+            "na",
+        )
     )
     return (
-        inter.join(sz.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
-        .filter(F.expr(f"{td} * i >= {tn} * na"))
+        inter.filter(F.expr(f"{td} * i >= {tn} * na"))
         .selectExpr(
             "doc_a AS contained_doc",
             "doc_b AS container_doc",
@@ -532,9 +580,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(
-        pairs, sh, VERIFY_T, sizes=_shingle_sizes(spark, sf_dir)
-    )
+    return _jaccard_pairs(pairs, _shingle_sets(spark, sf_dir), VERIFY_T)
 
 
 def _sql_minhash() -> str:

@@ -313,6 +313,83 @@ def test_shingle_sizes_memo_exact_and_invalidated(spark):
     assert "_graft_shingle_sz_cache" not in spark.__dict__
 
 
+def test_shingle_sets_verify_matches_row_join(spark):
+    """r12 optimization: exact verification joins per-doc shingle
+    ARRAYS (_shingle_sets + array_intersect) instead of exploding
+    every candidate pair into pair x shingle rows and re-aggregating.
+    The array relation must equal a direct set aggregation, the
+    array-verified Jaccard pairs must equal the row-join reference
+    bit-for-bit, and the memo must follow the _graft_*_cache
+    discipline."""
+    from pyspark.sql import functions as F
+
+    from gcp_dbt_data_engineering_spark.operators.dedup import (
+        JACCARD_T,
+        _jaccard_pairs,
+        _ppjoin_candidates,
+        _ranked_shingles,
+        _shingle_rows,
+        _shingle_sets,
+    )
+    from gcp_dbt_data_engineering_spark.session import clear_caches
+
+    sets = _shingle_sets(spark, SF)
+    direct = (
+        _shingle_rows(spark, SF)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    got = {
+        (r["doc_id"], tuple(r["hs"]), r["n"]) for r in sets.collect()
+    }
+    want = {
+        (r["doc_id"], tuple(r["hs"]), r["n"]) for r in direct.collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(len(set(hs)) == n == len(hs) for _, hs, n in got)
+
+    # array-intersect verification == row-join reference, bit-for-bit
+    pairs = _ppjoin_candidates(None, _ranked_shingles(spark, SF))
+    sh = _shingle_rows(spark, SF)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    ref = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(
+            sets.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a"
+        )
+        .join(
+            sets.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b"
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    got_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in _jaccard_pairs(pairs, sets, JACCARD_T).collect()
+    }
+    want_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in ref.collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    assert _shingle_sets(spark, SF) is sets  # memo hit
+    assert sets.is_cached
+    stats = sets._jdf.queryExecution().optimizedPlan().stats()
+    assert stats.rowCount().isDefined()  # materialized at creation
+    clear_caches(spark)
+    assert "_graft_shingle_set_cache" not in spark.__dict__
+
+
 def test_shingle_memos_materialized_with_accurate_stats(spark):
     """r12 optimization: the shingle memos are materialized AT CREATION
     (df.count() after persist), so every downstream plan sees the
