@@ -470,7 +470,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         pref.join(full_b, "h")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .join(F.broadcast(sz_b.selectExpr("doc_id AS doc_b", "nb")), "doc_b")
+        # no forced-broadcast hint: the sizes memo is materialized with
+        # accurate stats, so the planner picks BHJ when the doc-count
+        # truly fits and can demote to a shuffled join at corpus sizes
+        # where a forced broadcast would hit the 8 GB relation cap
+        .join(sz_b.selectExpr("doc_id AS doc_b", "nb"), "doc_b")
         .filter(F.expr(f"{tn} * na <= {td} * nb"))
         .select("doc_a", "doc_b")
         .distinct()
