@@ -257,6 +257,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-latest column is MAX per group rather than a row_number window
     (same result, one hash aggregate, no sort) — the window variant
     only matters when whole duplicate *rows* must be kept, not ids.
+
+    Engine-stable normalization: the oracle pins DuckDB's trim to the
+    ASCII space character (``trim(x, ' ')``) because DuckDB >= 1.0
+    strips the full Unicode space set while Spark's ``trim`` strips
+    0x20 only — on an all-NBSP document the engines otherwise disagree
+    about membership in the empty-key group (caught by the nasty-
+    corpus gate; both regex ``\\s`` classes are ASCII-identical).
     """
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -277,7 +284,7 @@ ORACLE_DEDUP_EXACT = """
 SELECT MIN(doc_id) AS keep_first,
        MAX(doc_id) AS keep_last,
        COUNT(*)    AS n_copies
-FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k
+FROM (SELECT doc_id, regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g') AS k
       FROM documents)
 GROUP BY k
 """
